@@ -1,0 +1,142 @@
+"""NumPy oracle: direct float64 transliterations of the reference CPU
+algorithms (per-doc sweeps, per-doc viter break), used to validate the
+batch-synchronous TPU implementations update-by-update.
+
+Each function cites the reference equation it implements.  These are
+*oracles*, not the product: deliberately naive, loop-heavy, and slow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import digamma, gammaln, polygamma
+
+EPS = float(np.spacing(1e-14))
+
+
+def _softmax_cols(x):
+    x = x - x.max(axis=0, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=0, keepdims=True)
+
+
+class LDAOracle:
+    """Reference CPU LDA (LDA.jl), float64, per-doc sweep."""
+
+    def __init__(self, docs, V, K, beta0, alpha0=None):
+        """docs: list of (terms0based, counts) numpy arrays."""
+        self.docs = [(np.asarray(t, np.int64), np.asarray(c, np.float64)) for t, c in docs]
+        self.M, self.V, self.K = len(docs), V, K
+        self.alpha = np.ones(K) if alpha0 is None else np.asarray(alpha0, np.float64).copy()
+        self.beta = np.asarray(beta0, np.float64).copy()
+        self.beta_old = self.beta.copy()
+        self.beta_temp = np.zeros((K, V))
+        el0 = -np.euler_gamma - digamma(K)
+        self.Elogtheta = [np.full(K, el0) for _ in range(self.M)]
+        self.Elogtheta_old = [e.copy() for e in self.Elogtheta]
+        self.gamma = [np.ones(K) for _ in range(self.M)]
+        self.phi = None
+        self.elbo = 0.0
+
+    # update_phi! (LDA.jl:150-154)
+    def update_phi(self, d):
+        terms, _ = self.docs[d]
+        phi = self.beta[:, terms] * np.exp(self.Elogtheta[d])[:, None] + EPS
+        self.phi = phi / phi.sum(axis=0, keepdims=True)
+
+    # update_gamma! (LDA.jl:143-146)
+    def update_gamma(self, d):
+        _, counts = self.docs[d]
+        self.gamma[d] = EPS + self.alpha + self.phi @ counts
+
+    # update_Elogtheta! (LDA.jl:136-139)
+    def update_Elogtheta(self, d):
+        self.Elogtheta_old[d] = self.Elogtheta[d]
+        g = self.gamma[d]
+        self.Elogtheta[d] = digamma(g) - digamma(g.sum())
+
+    # update_beta! streaming stat (LDA.jl:129-132)
+    def accum_beta(self, d):
+        terms, counts = self.docs[d]
+        np.add.at(self.beta_temp, (slice(None), terms), self.phi * counts[None, :])
+
+    # update_beta! reset (LDA.jl:121-125)
+    def swap_beta(self):
+        self.beta_old = self.beta
+        self.beta = self.beta_temp / self.beta_temp.sum(axis=1, keepdims=True)
+        self.beta_temp = np.zeros((self.K, self.V))
+
+    # update_alpha! (LDA.jl:97-118)
+    def update_alpha(self, niter, ntol):
+        El_sum = np.sum(self.Elogtheta, axis=0)
+        nu = float(self.K)
+        for _ in range(niter):
+            rho = 1.0
+            a0 = self.alpha.sum()
+            grad = nu / self.alpha + self.M * (digamma(a0) - digamma(self.alpha)) + El_sum
+            h_inv = -1.0 / (self.M * polygamma(1, self.alpha) + nu / self.alpha**2)
+            p = (grad - grad @ h_inv / (1.0 / (self.M * polygamma(1, a0)) + h_inv.sum())) * h_inv
+            while np.min(self.alpha - rho * p) < 0:
+                rho *= 0.5
+            self.alpha = self.alpha - rho * p
+            if (rho * np.linalg.norm(grad) < ntol) and (nu / self.K < ntol):
+                break
+            nu *= 0.5
+        self.alpha = self.alpha + EPS
+
+    # update_elbo! (LDA.jl:50-93)
+    def update_elbo(self):
+        total = 0.0
+        a = self.alpha
+        for d in range(self.M):
+            terms, counts = self.docs[d]
+            phi = self.beta_old[:, terms] * np.exp(self.Elogtheta_old[d])[:, None] + EPS
+            phi = phi / phi.sum(axis=0, keepdims=True)
+            g, el = self.gamma[d], self.Elogtheta[d]
+            e_ptheta = gammaln(a.sum()) - gammaln(a).sum() + (a - 1) @ el
+            e_pz = (phi @ counts) @ el
+            e_pw = np.sum(phi * np.log(self.beta[:, terms] + EPS) * counts[None, :])
+            a0 = g.sum()
+            lmnb = gammaln(g).sum() - gammaln(a0)
+            e_qtheta_entropy = lmnb + (a0 - self.K) * digamma(a0) - np.sum(
+                (g - 1) * digamma(g)
+            )
+            e_qz_entropy = -np.sum(counts * np.sum(phi * np.log(phi), axis=0))
+            total += e_ptheta + e_pz + e_pw + e_qtheta_entropy + e_qz_entropy
+        self.elbo = total
+        return total
+
+    # train! (LDA.jl:161-191)
+    def train(self, iters, viter=10, vtol=None, niter=1000, ntol=None):
+        vtol = 1.0 / self.K**2 if vtol is None else vtol
+        ntol = 1.0 / self.K**2 if ntol is None else ntol
+        elbos = []
+        for _ in range(iters):
+            for d in range(self.M):
+                for _v in range(viter):
+                    self.update_phi(d)
+                    self.update_gamma(d)
+                    self.update_Elogtheta(d)
+                    if np.linalg.norm(self.Elogtheta[d] - self.Elogtheta_old[d]) < vtol:
+                        break
+                self.update_phi_final_stat(d)
+            self.swap_beta()
+            self.update_alpha(niter, ntol)
+            elbos.append(self.update_elbo())
+        return elbos
+
+    def update_phi_final_stat(self, d):
+        # The reference uses phi as left by the last update_phi! call
+        # (computed from Elogtheta before its final in-loop update,
+        # i.e. Elogtheta_old).
+        terms, _ = self.docs[d]
+        phi = self.beta[:, terms] * np.exp(self.Elogtheta_old[d])[:, None] + EPS
+        self.phi = phi / phi.sum(axis=0, keepdims=True)
+        self.accum_beta(d)
+
+
+def docs_from_corpus(corp):
+    return [
+        (np.asarray(doc.terms, np.int64) - 1, np.asarray(doc.counts, np.float64))
+        for doc in corp.docs
+    ]

@@ -1,0 +1,147 @@
+"""Data-layer tests (Document/Corpus, I/O, mutators, fixcorp pipeline)."""
+
+import os
+
+import pytest
+
+from topicmodelsvb_jl_tpu.corpus import (
+    Corpus, CorpusError, Document, DocumentError,
+    abridge_corp, alphabetize_corp, check_corp, compact_corp, condense_corp,
+    fixcorp, pad_corp, readcorp, remove_empty_docs, remove_redundant,
+    remove_terms, stop_corp, trim_corp, trim_docs, writecorp,
+)
+
+
+def test_document_invariants():
+    d = Document(terms=[1, 2, 3])
+    assert d.counts == [1, 1, 1]
+    assert len(d) == 3 and d.size == 3
+    with pytest.raises(DocumentError):
+        Document(terms=[0, 1])
+    with pytest.raises(DocumentError):
+        Document(terms=[1], counts=[1, 2])
+    with pytest.raises(DocumentError):
+        Document(terms=[1], counts=[0])
+    with pytest.raises(DocumentError):
+        Document(readers=[1], ratings=[])
+
+
+def test_corpus_invariants():
+    doc = Document(terms=[1, 2], counts=[2, 1], readers=[1], ratings=[1])
+    corp = Corpus(docs=[doc], vocab={1: "a", 2: "b"}, users={1: "u"})
+    check_corp(corp)
+    assert corp.shape == (1, 2, 1)
+
+    bad = Corpus(docs=[doc], vocab={1: "a", 2: "b", 5: "c"}, users={1: "u"})
+    with pytest.raises(CorpusError):
+        check_corp(bad)  # vocab keys not a unit range
+
+    bad2 = Corpus(docs=[Document(terms=[9])], vocab={1: "a"})
+    with pytest.raises(CorpusError):
+        check_corp(bad2)  # term key outside vocab
+
+
+def test_readcorp_writecorp_roundtrip(tmp_path):
+    corp = Corpus(
+        docs=[
+            Document(terms=[1, 2, 3], counts=[2, 1, 1], readers=[1, 2], ratings=[1, 1]),
+            Document(terms=[2, 4], counts=[5, 1], readers=[2], ratings=[3]),
+        ],
+        vocab={1: "alpha", 2: "beta", 3: "gamma", 4: "delta"},
+        users={1: "ann", 2: "bob"},
+    )
+    corp.docs[0].title = "first"
+    corp.docs[1].title = "second"
+    paths = {k: str(tmp_path / f"{k}.txt") for k in ("doc", "vocab", "user", "title")}
+    writecorp(
+        corp, docfile=paths["doc"], vocabfile=paths["vocab"], userfile=paths["user"],
+        titlefile=paths["title"], counts=True, readers=True, ratings=True,
+    )
+    corp2 = readcorp(
+        docfile=paths["doc"], vocabfile=paths["vocab"], userfile=paths["user"],
+        titlefile=paths["title"], counts=True, readers=True, ratings=True,
+    )
+    assert corp2.docs[0] == corp.docs[0]
+    assert corp2.docs[1] == corp.docs[1]
+    assert corp2.vocab == corp.vocab
+    assert corp2.users == corp.users
+
+
+def test_condense_and_abridge():
+    doc = Document(terms=[1, 1, 2], counts=[1, 2, 1])
+    corp = Corpus(docs=[doc], vocab={1: "a", 2: "b"})
+    condense_corp(corp)
+    assert sorted(zip(doc.terms, doc.counts)) == [(1, 3), (2, 1)]
+    abridge_corp(corp, n=2)
+    assert doc.terms == [1]
+
+
+def test_compact_and_trim():
+    doc = Document(terms=[3, 7], counts=[1, 1])
+    corp = Corpus(docs=[doc], vocab={3: "c", 7: "g", 9: "z"})
+    trim_corp(corp)
+    assert set(corp.vocab) == {3, 7}
+    compact_corp(corp)
+    assert set(corp.vocab) == {1, 2}
+    assert doc.terms == [1, 2]
+    check_corp(corp)
+
+
+def test_pad_and_trim_docs():
+    doc = Document(terms=[1, 5], counts=[1, 1], readers=[4], ratings=[2])
+    corp = Corpus(docs=[doc], vocab={1: "a"}, users={})
+    pad_corp(corp)
+    assert corp.vocab[5] == "#term5"
+    assert corp.users[4] == "#user4"
+
+    doc2 = Document(terms=[1, 5], counts=[1, 1], readers=[4], ratings=[2])
+    corp2 = Corpus(docs=[doc2], vocab={1: "a"}, users={})
+    trim_docs(corp2)
+    assert doc2.terms == [1] and doc2.readers == []
+
+
+def test_remove_redundant_and_terms():
+    docs = [Document(terms=[1, 2, 3], counts=[1, 1, 1])]
+    corp = Corpus(docs=docs, vocab={1: "cat", 2: "cat", 3: "dog"})
+    remove_redundant(corp)
+    assert docs[0].terms == [1, 1, 3]
+    remove_terms(corp, ["dog"])
+    assert docs[0].terms == [1, 1]
+
+
+def test_stopwords_and_empty_docs():
+    docs = [Document(terms=[1, 2], counts=[1, 1]), Document(terms=[1], counts=[1])]
+    corp = Corpus(docs=docs, vocab={1: "the", 2: "science"})
+    stop_corp(corp)
+    assert docs[0].terms == [2] and docs[1].terms == []
+    remove_empty_docs(corp)
+    assert len(corp) == 1
+
+
+def test_alphabetize():
+    docs = [Document(terms=[1, 2], counts=[1, 1])]
+    corp = Corpus(docs=docs, vocab={1: "zebra", 2: "apple"})
+    alphabetize_corp(corp)
+    assert corp.vocab == {1: "apple", 2: "zebra"}
+    assert docs[0].terms == [2, 1]
+
+
+def test_fixcorp_pipeline():
+    docs = [
+        Document(terms=[4, 4, 9], counts=[1, 2, 1]),
+        Document(terms=[9, 12], counts=[1, 1]),
+    ]
+    corp = Corpus(docs=docs, vocab={4: "b", 9: "a", 12: "rare"})
+    fixcorp(corp, condense=True, abridge=2, trim=True, alphabetize=True,
+            remove_empty_docs_=True)
+    check_corp(corp)
+    assert set(corp.vocab.values()) == {"a", "b"}
+    # alphabetized: a < b
+    assert corp.vocab[1] == "a" and corp.vocab[2] == "b"
+
+
+def test_shared_doc_rewritten_once():
+    doc = Document(terms=[1, 1], counts=[1, 1])
+    corp = Corpus(docs=[doc, doc], vocab={1: "a"})
+    condense_corp(corp)
+    assert doc.counts == [2]  # not doubled

@@ -1,0 +1,112 @@
+"""LDA correctness: oracle parity, ELBO monotonicity, determinism,
+shard-count equivalence (SURVEY §4 test pyramid)."""
+
+import numpy as np
+import pytest
+
+import topicmodelsvb_jl_tpu as tm
+from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+
+from oracle import LDAOracle, docs_from_corpus
+
+
+def _make_lda(corp, K, n_devices=None, dtype="float64", chunk=8, seed=3):
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices=n_devices)
+    rt = RuntimeConfig(chunk_docs=chunk, dtype=dtype, pad_multiple=8)
+    return tm.LDA(corp, K, runtime=rt, mesh=mesh, seed=seed)
+
+
+def test_lda_matches_cpu_oracle(tiny_corpus):
+    """Batch-synchronous TPU schedule reproduces the reference CPU
+    per-doc sweep exactly (beta/alpha only change post-sweep)."""
+    K, iters = 4, 5
+    model = _make_lda(tiny_corpus, K)
+    beta0 = np.asarray(model.state.beta, np.float64)
+
+    oracle = LDAOracle(docs_from_corpus(tiny_corpus), V=tiny_corpus.shape[1],
+                       K=K, beta0=beta0)
+    oracle_elbos = oracle.train(iters)
+
+    model.train(iter=iters, checkelbo=1, printelbo=False)
+
+    np.testing.assert_allclose(model.beta, oracle.beta, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(model.alpha, oracle.alpha, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        model.gamma, np.stack(oracle.gamma), rtol=1e-7, atol=1e-9
+    )
+    traced = [r.elbo for r in model.trainer.trace if r.elbo is not None]
+    np.testing.assert_allclose(traced, oracle_elbos, rtol=1e-8)
+
+
+def test_lda_elbo_monotone(tiny_corpus):
+    model = _make_lda(tiny_corpus, K=5)
+    model.train(iter=15, checkelbo=1, printelbo=False)
+    deltas = [r.delta_elbo for r in model.trainer.trace if r.delta_elbo is not None]
+    # CAVI guarantees a nondecreasing bound; first delta is vs the
+    # pre-training bound so all must be > 0 modulo float noise.
+    assert all(d > -1e-6 for d in deltas[1:])
+
+
+def test_lda_deterministic(tiny_corpus):
+    m1 = _make_lda(tiny_corpus, K=4, seed=9)
+    m2 = _make_lda(tiny_corpus, K=4, seed=9)
+    m1.train(iter=3, checkelbo=np.inf, printelbo=False)
+    m2.train(iter=3, checkelbo=np.inf, printelbo=False)
+    assert np.array_equal(m1.beta, m2.beta)  # bitwise
+    assert np.array_equal(m1.gamma, m2.gamma)
+
+
+def test_lda_shard_equivalence(tiny_corpus):
+    """1-device vs 8-device mesh: psum'd sufficient statistics must match
+    the serial accumulation (the analogue of LDA.jl:129-132)."""
+    m1 = _make_lda(tiny_corpus, K=4, n_devices=1, seed=3)
+    m8 = _make_lda(tiny_corpus, K=4, n_devices=8, seed=3)
+    np.testing.assert_array_equal(np.asarray(m1.state.beta), np.asarray(m8.state.beta))
+    m1.train(iter=4, checkelbo=1, printelbo=False)
+    m8.train(iter=4, checkelbo=1, printelbo=False)
+    np.testing.assert_allclose(m1.beta, m8.beta, rtol=1e-9)
+    np.testing.assert_allclose(m1.alpha, m8.alpha, rtol=1e-8)
+    np.testing.assert_allclose(m1.elbo, m8.elbo, rtol=1e-9)
+
+
+def test_lda_float32_runs(tiny_corpus):
+    model = _make_lda(tiny_corpus, K=4, dtype="float32")
+    model.train(iter=3, checkelbo=1, printelbo=False)
+    assert np.isfinite(model.elbo)
+    assert np.allclose(model.beta.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_lda_topicdist_and_topics(tiny_corpus):
+    model = _make_lda(tiny_corpus, K=4)
+    model.train(iter=2, checkelbo=np.inf, printelbo=False)
+    td = model.topicdist(1)
+    assert td.shape == (4,) and np.isclose(td.sum(), 1.0)
+    tds = model.topicdist([1, 2, 3])
+    assert tds.shape == (3, 4)
+    assert model.topics.shape == (4, tiny_corpus.shape[1])
+    # 1-based vocab keys, each row a permutation
+    assert sorted(model.topics[0].tolist()) == list(range(1, tiny_corpus.shape[1] + 1))
+    with pytest.raises(tm.CorpusError):
+        model.topicdist(len(tiny_corpus) + 1)
+
+
+def test_lda_showtopics_smoke(tiny_corpus, capsys):
+    model = _make_lda(tiny_corpus, K=4)
+    model.train(iter=1, checkelbo=np.inf, printelbo=False)
+    model.showtopics(V=5, cols=2)
+    out = capsys.readouterr().out
+    assert "topic 1" in out and "topic 4" in out
+
+
+def test_train_argument_validation(tiny_corpus):
+    model = _make_lda(tiny_corpus, K=3)
+    with pytest.raises(ValueError):
+        model.train(iter=-1)
+    with pytest.raises(ValueError):
+        model.train(tol=-0.5)
+    with pytest.raises(ValueError):
+        model.train(checkelbo=0)
+    with pytest.raises(ValueError):
+        tm.LDA(tiny_corpus, 0)

@@ -1,0 +1,68 @@
+"""Numeric-layer unit tests against SciPy closed forms."""
+
+import numpy as np
+import scipy.special as sp
+import scipy.stats as st
+
+from topicmodelsvb_jl_tpu.utils import numerics as nx
+
+
+def test_epsilon_matches_reference():
+    # Julia eps(1e-14) (utils.jl:3)
+    assert np.isclose(nx.EPSILON, 1.6033346880071782e-30)
+    assert np.float32(nx.EPSILON) > 0  # still a normal f32 (EPSILON32 analogue)
+
+
+def test_additive_logistic():
+    x = np.array([[1.0, 2.0, 3.0], [1000.0, 1000.0, 1000.0]])
+    out = np.asarray(nx.additive_logistic(x, axis=1))
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(out[1], [1 / 3] * 3, rtol=1e-12)
+    whole = np.asarray(nx.additive_logistic(x))
+    np.testing.assert_allclose(whole.sum(), 1.0, rtol=1e-12)
+
+
+def test_logsumexp():
+    x = np.array([1e3, 1e3 + 1.0])
+    assert np.isclose(float(nx.logsumexp(x)), sp.logsumexp(x))
+
+
+def test_dirichlet_entropy():
+    a = np.array([0.3, 2.0, 5.5])
+    ours = float(nx.dirichlet_entropy(a))
+    assert np.isclose(ours, st.dirichlet(a).entropy(), rtol=1e-10)
+    # K=1 edge case: reference returns 0 (utils.jl:168-169)
+    assert np.isclose(float(nx.dirichlet_entropy(np.array([2.7]))), 0.0, atol=1e-9)
+
+
+def test_gamma_entropy():
+    sh, rate = 2.5, 3.0
+    assert np.isclose(
+        float(nx.gamma_entropy(np.array(sh), np.array(rate))),
+        st.gamma(sh, scale=1 / rate).entropy(), rtol=1e-10,
+    )
+
+
+def test_categorical_bernoulli_entropy():
+    p = np.array([0.2, 0.5, 0.3])
+    assert np.isclose(float(nx.categorical_entropy(p)), st.entropy(p), rtol=1e-10)
+    assert np.isclose(float(nx.categorical_entropy(np.array([1.0, 0.0]))), 0.0)
+    assert np.isclose(float(nx.bernoulli_entropy(np.array(0.25))),
+                      st.entropy([0.25, 0.75]), rtol=1e-10)
+    assert np.isclose(float(nx.bernoulli_entropy(np.array(0.0))), 0.0)
+
+
+def test_mvnormal_diag_entropy():
+    v = np.array([0.5, 2.0, 1.3])
+    assert np.isclose(
+        float(nx.mvnormal_diag_entropy(v)),
+        st.multivariate_normal(np.zeros(3), np.diag(v)).entropy(), rtol=1e-10,
+    )
+
+
+def test_finite_clamps():
+    import jax.numpy as jnp
+
+    x = jnp.array([np.inf, -np.inf, 3.0])
+    out = np.asarray(nx.finite(x))
+    assert np.isfinite(out).all() and out[2] == 3.0 and out[0] > 0 > out[1]

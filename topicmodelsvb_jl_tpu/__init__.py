@@ -1,0 +1,31 @@
+"""topicmodelsvb_jl_tpu — TPU-native variational-Bayes topic modeling.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+ericproffitt/TopicModelsVB.jl: LDA, filtered LDA, correlated topic
+model, filtered CTM, and collaborative topic Poisson factorization,
+trained by coordinate-ascent variational inference with
+batch-synchronous E-steps, deterministic segment-sum sufficient
+statistics, and data-parallel sharding over a device mesh.
+"""
+
+from .corpus import (
+    Corpus, CorpusError, Document, DocumentError,
+    abridge_corp, alphabetize_corp, check_corp, check_doc, check_docs,
+    compact_corp, condense_corp, fixcorp, getusers, getvocab, pad_corp,
+    readcorp, remove_empty_docs, remove_redundant, remove_terms,
+    showdocs, showtitles, stop_corp, trim_corp, trim_docs, writecorp,
+)
+from .datasets import load_citeu, load_nsf, load_stopwords, synth_corpus
+from .utils.config import RuntimeConfig, TrainConfig
+
+from .api import LDA, TopicModel, TopicModelError
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Corpus", "Document", "CorpusError", "DocumentError", "TopicModelError",
+    "readcorp", "writecorp", "fixcorp", "check_corp", "check_doc",
+    "showdocs", "showtitles", "getvocab", "getusers",
+    "load_nsf", "load_citeu", "load_stopwords", "synth_corpus",
+    "LDA", "TopicModel", "TrainConfig", "RuntimeConfig",
+]

@@ -1,0 +1,174 @@
+"""Bundled datasets and synthetic corpus generators.
+
+The reference ships two corpora loadable via ``readcorp(:nsf)`` /
+``readcorp(:citeu)`` (Corpus.jl:337-359): NSF research abstracts
+(128,804 docs / 25,319 vocab) and CiteULike (16,980 docs / 8,000 vocab /
+5,551 users).  In this mirror the large docfiles are stripped
+(``.MISSING_LARGE_BLOBS``), so:
+
+* :func:`load_nsf` / :func:`load_citeu` read the real files when a
+  datasets directory with docfiles is available (``TMVB_DATASETS`` env
+  var, or an auto-detected read-only reference checkout), and otherwise
+  synthesize documents at the published scale against the real vocab,
+  seeded for reproducibility.
+* :func:`synth_corpus` draws a corpus from the LDA/CTPF generative
+  model — the self-test mechanism the reference demonstrates with
+  ``gencorp`` (README.md:315-350).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Optional
+
+import numpy as np
+
+from .corpus import Corpus, Document, readcorp
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+# Published corpus scales (reference README.md:34-41).
+NSF_SCALE = dict(M=128_804, V=25_319)
+CITEU_SCALE = dict(M=16_980, V=8_000, U=5_551)
+
+
+def load_stopwords() -> list:
+    """Bundled English stopword list (reference datasets/stopwords.txt analogue)."""
+    with open(os.path.join(_DATA_DIR, "stopwords.txt")) as f:
+        return [w for w in f.read().split() if w]
+
+
+def _datasets_root() -> Optional[str]:
+    root = os.environ.get("TMVB_DATASETS")
+    if root and os.path.isdir(root):
+        return root
+    for cand in ("/root/reference/datasets",):
+        if os.path.isdir(cand):
+            return cand
+    return None
+
+
+def _read_kv_file(path: str) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            k, _, v = line.partition("\t")
+            out[int(k)] = v
+    return out
+
+
+def load_nsf(seed: int = 7, subset: Optional[int] = None) -> Corpus:
+    """NSF abstracts corpus (reference ``readcorp(:nsf)``, Corpus.jl:340-344)."""
+    root = _datasets_root()
+    docfile = os.path.join(root, "nsf", "nsfdocs.txt") if root else ""
+    vocabfile = os.path.join(root, "nsf", "nsfvocab.txt") if root else ""
+    titlefile = os.path.join(root, "nsf", "nsftitles.txt") if root else ""
+
+    if docfile and os.path.exists(docfile):
+        corp = readcorp(
+            docfile=docfile,
+            vocabfile=vocabfile,
+            titlefile=titlefile if os.path.exists(titlefile) else "",
+            counts=True,
+        )
+        if subset:
+            corp.docs = corp.docs[:subset]
+        return corp
+
+    vocab = _read_kv_file(vocabfile) if vocabfile and os.path.exists(vocabfile) else None
+    V = max(vocab) if vocab else NSF_SCALE["V"]
+    M = subset or NSF_SCALE["M"]
+    warnings.warn(
+        "NSF docfile not available in this mirror; generating a synthetic "
+        f"corpus at reference scale (M={M}, V={V}, seed={seed})."
+    )
+    corp = synth_corpus(M=M, V=V, K=50, seed=seed, mean_tokens=120, mean_terms=85)
+    if vocab:
+        corp.vocab = dict(vocab)
+    return corp
+
+
+def load_citeu(seed: int = 7, subset: Optional[int] = None) -> Corpus:
+    """CiteULike corpus (reference ``readcorp(:citeu)``, Corpus.jl:346-351)."""
+    root = _datasets_root()
+    base = os.path.join(root, "citeu") if root else ""
+    docfile = os.path.join(base, "citeudocs.txt") if base else ""
+    vocabfile = os.path.join(base, "citeuvocab.txt") if base else ""
+    userfile = os.path.join(base, "citeuusers.txt") if base else ""
+    titlefile = os.path.join(base, "citeutitles.txt") if base else ""
+
+    if docfile and os.path.exists(docfile):
+        corp = readcorp(
+            docfile=docfile, vocabfile=vocabfile, userfile=userfile,
+            titlefile=titlefile if os.path.exists(titlefile) else "", counts=True,
+            readers=True,
+        )
+        if subset:
+            corp.docs = corp.docs[:subset]
+        return corp
+
+    vocab = _read_kv_file(vocabfile) if vocabfile and os.path.exists(vocabfile) else None
+    users = _read_kv_file(userfile) if userfile and os.path.exists(userfile) else None
+    V = max(vocab) if vocab else CITEU_SCALE["V"]
+    U = max(users) if users else CITEU_SCALE["U"]
+    M = subset or CITEU_SCALE["M"]
+    warnings.warn(
+        "CiteULike docfile not available in this mirror; generating a synthetic "
+        f"corpus at reference scale (M={M}, V={V}, U={U}, seed={seed})."
+    )
+    corp = synth_corpus(
+        M=M, V=V, U=U, K=30, seed=seed, mean_tokens=60, mean_terms=45, mean_readers=5
+    )
+    if vocab:
+        corp.vocab = dict(vocab)
+    if users:
+        corp.users = dict(users)
+    return corp
+
+
+def synth_corpus(
+    M: int,
+    V: int,
+    K: int = 10,
+    U: int = 0,
+    seed: int = 0,
+    mean_tokens: float = 60.0,
+    mean_terms: float = 40.0,
+    mean_readers: float = 4.0,
+    alpha: float = 0.5,
+    topic_concentration: float = 0.1,
+) -> Corpus:
+    """Sample a corpus from the LDA(+readers) generative model.
+
+    Vectorised sampler: per-doc theta ~ Dir(alpha), topic-word rows
+    ~ Dir(topic_concentration); documents get ~mean_terms unique terms
+    with counts summing to ~mean_tokens.  Readers (for CTPF) are drawn
+    uniformly with ratings=1, matching CiteULike's binary structure.
+    """
+    rng = np.random.default_rng(seed)
+    beta = rng.dirichlet(np.full(V, topic_concentration), size=K)  # [K, V]
+    thetas = rng.dirichlet(np.full(K, alpha), size=M)              # [M, K]
+
+    docs = []
+    n_terms = np.clip(rng.poisson(mean_terms, size=M), 1, V)
+    extra = np.maximum(mean_tokens - mean_terms, 1.0)
+    for d in range(M):
+        mix = thetas[d] @ beta  # [V]
+        nt = int(n_terms[d])
+        terms0 = rng.choice(V, size=nt, replace=False, p=mix)
+        counts = 1 + rng.poisson(extra / nt, size=nt)
+        doc = Document(terms=(terms0 + 1).tolist(), counts=counts.tolist())
+        if U > 0:
+            nr = min(int(rng.poisson(mean_readers)) + 1, U)
+            readers0 = rng.choice(U, size=nr, replace=False)
+            doc.readers = (readers0 + 1).tolist()
+            doc.ratings = [1] * nr
+        docs.append(doc)
+
+    vocab = {j + 1: f"term{j + 1}" for j in range(V)}
+    users = {u + 1: f"user{u + 1}" for u in range(U)} if U > 0 else {}
+    return Corpus(docs=docs, vocab=vocab, users=users)

@@ -1,0 +1,111 @@
+"""CAVI training driver.
+
+Re-implements the reference's ``train!`` control flow (LDA.jl:161-191 and
+per-model twins) around jitted, shard_map'd step functions:
+
+* outer loop in Python, one jitted device step per coordinate-ascent
+  iteration (the whole E-sweep + M-step + hyperparameter Newton is a
+  single compiled program — nothing leaves the device between
+  iterations);
+* ``check_elbo`` cadence, ∆elbo print format, and early stopping mirror
+  ``check_elbo!`` (modelutils.jl:574-585).  Unlike the reference — which
+  recomputes ELBO on the *host*, making frequent checks expensive
+  (README.md:686-688) — the ELBO here is a second jitted device program,
+  so ``checkelbo=1`` is cheap;
+* structured per-iteration metrics (elbo, ∆elbo, docs/sec, step time)
+  are collected into a trace for the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from .utils.config import TrainConfig
+
+
+@dataclasses.dataclass
+class IterationRecord:
+    k: int
+    step_time_s: float
+    docs_per_s: float
+    elbo: Optional[float] = None
+    delta_elbo: Optional[float] = None
+
+
+class Trainer:
+    """Generic CAVI driver over a model's jitted (step, elbo) pair.
+
+    ``step_fn(state, *data) -> state`` runs one full outer iteration;
+    ``elbo_fn(state, *elbo_data) -> scalar`` evaluates the bound with the
+    reference's exact *_old semantics.  Data is positional because the
+    shard_map in_specs are positional.
+    """
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        elbo_fn: Callable,
+        data: tuple,
+        elbo_data: Optional[tuple] = None,
+        M: int = 0,
+        printer: Callable[[str], None] = print,
+    ):
+        self.step_fn = step_fn
+        self.elbo_fn = elbo_fn
+        self.data = tuple(data)
+        self.elbo_data = tuple(elbo_data) if elbo_data is not None else self.data
+        self.M = M
+        self.printer = printer
+        self.trace: List[IterationRecord] = []
+
+    def train(self, state, cfg: TrainConfig, corpus_all_empty: bool = False):
+        cfg.validate()
+        n_iter = 0 if corpus_all_empty else cfg.iter
+
+        # initial bound (reference: `(checkelbo <= iter) && update_elbo!(model)`)
+        if cfg.checkelbo <= n_iter:
+            e0 = self.elbo_fn(state, *self.elbo_data)
+            state = state._replace(elbo=e0)
+
+        for k in range(1, n_iter + 1):
+            t0 = time.perf_counter()
+            state = self.step_fn(state, *self.data)
+            jax.block_until_ready(state.beta if hasattr(state, "beta") else state)
+            dt = time.perf_counter() - t0
+            rec = IterationRecord(k=k, step_time_s=dt, docs_per_s=self.M / max(dt, 1e-12))
+
+            # check_elbo! (modelutils.jl:574-585)
+            if cfg.checkelbo != float("inf") and k % int(cfg.checkelbo) == 0:
+                new_elbo = self.elbo_fn(state, *self.elbo_data)
+                delta = float(new_elbo - state.elbo)
+                state = state._replace(elbo=new_elbo)
+                rec.elbo, rec.delta_elbo = float(new_elbo), delta
+                if cfg.printelbo:
+                    self.printer(f"{k} ∆elbo: {round(delta, 3)}")
+                self.trace.append(rec)
+                if delta < cfg.tol:
+                    break
+            else:
+                self.trace.append(rec)
+
+        return state
+
+    def summary(self) -> Dict[str, float]:
+        if not self.trace:
+            return {}
+        times = np.array([r.step_time_s for r in self.trace])
+        steady = times[1:] if len(times) > 1 else times  # drop compile iter
+        return {
+            "iterations": len(self.trace),
+            "mean_step_s": float(steady.mean()),
+            "docs_per_s": float(self.M / steady.mean()) if steady.size else 0.0,
+            "total_s": float(times.sum()),
+            "final_elbo": next(
+                (r.elbo for r in reversed(self.trace) if r.elbo is not None), None
+            ),
+        }

@@ -1,0 +1,258 @@
+"""Latent Dirichlet allocation — batch-synchronous CAVI on TPU.
+
+TPU-native redesign of the reference LDA (``src/LDA.jl``) and its OpenCL
+twin (``src/gpuLDA.jl``).  Differences from the reference are purely
+architectural:
+
+* The per-document E-step fixpoint (LDA.jl:169-180) runs
+  batch-synchronously over dense doc chunks with **per-document
+  convergence masking**, which reproduces the CPU per-doc-sweep
+  trajectory exactly: beta/alpha only change after the full sweep, so
+  document updates within an outer iteration are independent.
+* phi ([K, N_d] in the reference, materialised one doc at a time,
+  LDA.jl:41) is never stored across iterations — it is recomputed from
+  (beta, Elogtheta) inside the fused chunk body, exactly the warm-start
+  identity the reference itself uses (macros.jl:128-132, LDA.jl:87).
+* The streaming M-step accumulation ``beta_temp[:,terms] += phi .* counts'``
+  (LDA.jl:129-132) becomes a deterministic ``segment_sum`` over vocab ids
+  (replacing the gpuLDA inverted-index scatter, gpuLDA.jl:156-177).
+* Sufficient statistics (beta_temp, Elogtheta_sum) are psum'd over the
+  data-parallel mesh axis when one is given; alpha's interior-point
+  Newton (LDA.jl:97-118) then runs replicated on device.
+
+State is a NamedTuple pytree; all update functions are pure.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.newton import dirichlet_newton
+from ..ops.segment import count_scatter
+from ..utils.numerics import (
+    EPSILON, EULERGAMMA, categorical_entropy, digamma, dirichlet_entropy,
+    finite, l2norm, lgamma,
+)
+
+
+class LDAState(NamedTuple):
+    alpha: jax.Array          # [K]
+    beta: jax.Array           # [K, V] right-stochastic rows
+    beta_old: jax.Array       # [K, V]
+    gamma: jax.Array          # [M_pad, K]
+    Elogtheta: jax.Array      # [M_pad, K]
+    Elogtheta_old: jax.Array  # [M_pad, K]
+    elbo: jax.Array           # scalar
+
+
+def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> LDAState:
+    """Constructor state (reference LDA.jl:24-47)."""
+    M_pad, V = packed.M_pad, packed.V
+    beta = jax.random.dirichlet(key, jnp.ones((V,), dtype=jnp.float32), shape=(K,))
+    beta = beta.astype(dtype)
+    # Elogtheta init: −γ_euler − ψ(K) (LDA.jl:38)
+    el0 = -EULERGAMMA - float(jax.lax.digamma(jnp.asarray(float(K), jnp.float64 if dtype == jnp.float64 else jnp.float32)))
+    Elogtheta = jnp.full((M_pad, K), jnp.asarray(el0, dtype), dtype)
+    return LDAState(
+        alpha=jnp.ones((K,), dtype),
+        beta=beta,
+        beta_old=beta,
+        gamma=jnp.ones((M_pad, K), dtype),
+        Elogtheta=Elogtheta,
+        Elogtheta_old=Elogtheta,
+        elbo=jnp.zeros((), dtype),
+    )
+
+
+def _phi(logbeta_d: jax.Array, Elogtheta: jax.Array) -> jax.Array:
+    """phi ∝ beta[:,terms]·exp(Elogtheta), normalised over K (LDA.jl:150-154).
+
+    Log-space softmax — identical in exact arithmetic to the reference's
+    ``@positive phi = beta .* exp(Elogtheta); phi ./= sum`` but immune to
+    exp underflow at f32.
+    logbeta_d: [B, L, K]; Elogtheta: [B, K] → [B, L, K].
+    """
+    return jax.nn.softmax(logbeta_d + Elogtheta[:, None, :], axis=-1)
+
+
+def _estep_chunk(
+    logbetaT: jax.Array,   # [V, K] log(beta + EPS) transposed for gather
+    alpha: jax.Array,      # [K]
+    terms: jax.Array,      # [B, L]
+    counts: jax.Array,     # [B, L]
+    doc_mask: jax.Array,   # [B]
+    gamma: jax.Array,      # [B, K]
+    El: jax.Array,         # [B, K]
+    El_old: jax.Array,     # [B, K]
+    viter: int,
+    vtol: float,
+    V: int,
+):
+    """Fused per-chunk E-step: viter fixpoint + sufficient statistics.
+
+    Mirrors LDA.jl:171-179 with per-doc masking; returns updated per-doc
+    state plus this chunk's beta_temp [V, K] and Elogtheta_sum [K].
+    """
+    eps = jnp.asarray(EPSILON, gamma.dtype)
+    logbeta_d = logbetaT[terms]  # [B, L, K] — gathered once, reused all viter iters
+    active0 = doc_mask > 0
+
+    def body(_, carry):
+        gamma, El, El_old, active = carry
+        p = _phi(logbeta_d, El)
+        # update_gamma! (LDA.jl:143-146): gamma = alpha + phi @ counts (+EPS)
+        gamma_new = alpha[None, :] + jnp.einsum(
+            "bl,blk->bk", counts, p, preferred_element_type=gamma.dtype
+        ) + eps
+        # update_Elogtheta! (LDA.jl:136-139)
+        El_new = digamma(gamma_new) - digamma(jnp.sum(gamma_new, -1, keepdims=True))
+        upd = active[:, None]
+        gamma2 = jnp.where(upd, gamma_new, gamma)
+        El_old2 = jnp.where(upd, El, El_old)
+        El2 = jnp.where(upd, El_new, El)
+        # per-doc break: ‖Elogtheta − Elogtheta_old‖ < vtol (LDA.jl:175)
+        active2 = active & (l2norm(El2 - El_old2) >= vtol)
+        return gamma2, El2, El_old2, active2
+
+    gamma, El, El_old, _ = jax.lax.fori_loop(
+        0, viter, body, (gamma, El, El_old, active0)
+    )
+
+    # final phi for the M-step stat is f(beta, Elogtheta_old) — the value
+    # phi held when the doc's fixpoint stopped (same identity as LDA.jl:87).
+    p = _phi(logbeta_d, El_old)
+    w = p * counts[..., None]                      # [B, L, K]; padding has count 0
+    beta_temp = count_scatter(w.reshape(-1, w.shape[-1]), terms.reshape(-1), V)
+    El_sum = jnp.sum(El * doc_mask[:, None], axis=0)
+    return gamma, El, El_old, beta_temp, El_sum
+
+
+def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
+              chunk_docs: int, axis_name: Optional[str] = None):
+    """Build the jittable outer-iteration step (one full CAVI sweep).
+
+    Local docs are scanned in chunks of ``chunk_docs``; beta_temp /
+    Elogtheta_sum are psum'd over ``axis_name`` when given (the DP
+    all-reduce of §2.3 of the survey — the workload's "gradient
+    all-reduce").
+    """
+    V = packed.V
+
+    def step(state: LDAState, terms, counts, doc_mask, M_total):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        logbetaT = jnp.log(state.beta + jnp.asarray(EPSILON, state.beta.dtype)).T
+
+        def scan_body(carry, xs):
+            beta_temp, El_sum = carry
+            t, c, dm, g, el, elo = xs
+            g2, el2, elo2, bt, es = _estep_chunk(
+                logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V
+            )
+            return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
+
+        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+        (beta_temp, El_sum), (gamma, El, El_old) = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((V, K), state.beta.dtype), jnp.zeros((K,), state.beta.dtype)),
+            (sh(terms), sh(counts), sh(doc_mask),
+             sh(state.gamma), sh(state.Elogtheta), sh(state.Elogtheta_old)),
+        )
+        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
+        gamma, El, El_old = unsh(gamma), unsh(El), unsh(El_old)
+
+        if axis_name is not None:
+            beta_temp = jax.lax.psum(beta_temp, axis_name)
+            El_sum = jax.lax.psum(El_sum, axis_name)
+
+        # update_beta! reset (LDA.jl:121-125)
+        beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+        # update_alpha! (LDA.jl:97-118), replicated on device
+        alpha_new = dirichlet_newton(state.alpha, El_sum, M_total, niter, ntol)
+
+        return LDAState(
+            alpha=alpha_new, beta=beta_new, beta_old=state.beta,
+            gamma=gamma, Elogtheta=El, Elogtheta_old=El_old, elbo=state.elbo,
+        )
+
+    return step
+
+
+def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
+    """Build the jittable full-corpus ELBO (reference LDA.jl:50-93).
+
+    phi is recomputed from (beta_old, Elogtheta_old) exactly as
+    update_elbo! does (LDA.jl:83-93); the five terms use the *current*
+    alpha/beta/gamma/Elogtheta, mirroring check_elbo! running after the
+    M-step (modelutils.jl:574-585).
+    """
+    V = packed.V
+
+    def elbo(state: LDAState, terms, counts, doc_mask):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        eps = jnp.asarray(EPSILON, state.beta.dtype)
+        logbeta_oldT = jnp.log(state.beta_old + eps).T  # for phi recompute
+        logbetaT = jnp.log(state.beta + eps).T          # Elogpw uses current beta
+        a = state.alpha
+        # Elogptheta doc-constant part (LDA.jl:50-53)
+        theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))
+
+        def scan_body(acc, xs):
+            t, c, dm, g, el, elo = xs
+            p = _phi(logbeta_oldT[t], elo)                       # [B, L, K]
+            cw = c[..., None]
+            # Elogptheta (LDA.jl:50-53)
+            e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
+            # Elogpz (LDA.jl:56-60): dot(phi @ counts, Elogtheta)
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=p.dtype)
+            e_pz = jnp.sum(pc * el, -1)
+            # Elogpw (LDA.jl:63-67): sum(phi .* log(beta[:,terms]) * counts)
+            e_pw = jnp.sum(p * logbetaT[t] * cw, axis=(1, 2))
+            # −Elogqtheta = +entropy(Dirichlet(gamma)) (LDA.jl:70-73)
+            e_qtheta = dirichlet_entropy(g)
+            # −Elogqz = +Σ c·entropy(Categorical(phi)) (LDA.jl:76-80)
+            e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
+            contrib = dm * (e_ptheta + e_pz + e_pw + e_qtheta + e_qz)
+            return acc + jnp.sum(contrib), None
+
+        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+        total, _ = jax.lax.scan(
+            scan_body, jnp.zeros((), state.beta.dtype),
+            (sh(terms), sh(counts), sh(doc_mask),
+             sh(state.gamma), sh(state.Elogtheta), sh(state.Elogtheta_old)),
+        )
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
+        return total
+
+    return elbo
+
+
+def partition_spec(data_axis: str = "data"):
+    """shard_map PartitionSpecs: per-doc state sharded, globals replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    return LDAState(
+        alpha=P(), beta=P(), beta_old=P(),
+        gamma=P(data_axis), Elogtheta=P(data_axis), Elogtheta_old=P(data_axis),
+        elbo=P(),
+    )
+
+
+def topicdist(state: LDAState, d=None) -> jax.Array:
+    """Normalised gamma (reference modelutils.jl:946-951)."""
+    g = state.gamma if d is None else state.gamma[d]
+    return g / jnp.sum(g, axis=-1, keepdims=True)
+
+
+def topics_ranking(beta) -> np.ndarray:
+    """Top-terms permutation per topic (LDA.jl:189), 1-based like the reference."""
+    b = np.asarray(beta)
+    return np.argsort(-b, axis=1, kind="stable") + 1

@@ -1,0 +1,29 @@
+"""Deterministic segment reductions.
+
+The reference makes its OpenCL scatter-adds race-free with a
+precomputed inverted index — one work-item per vocab word walking a
+sorted token permutation (``terms_sortperm``/``J_cumsum`` built at
+modelutils.jl:371-397, consumed at gpuLDA.jl:170-175).  Under XLA the
+same reduction is a ``segment_sum`` over vocab ids, which lowers to a
+deterministic sorted scatter on TPU — same-seed runs produce bitwise
+identical sufficient statistics (tested in tests/test_determinism.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def count_scatter(weights: jax.Array, ids: jax.Array, num_segments: int) -> jax.Array:
+    """Σ over tokens of ``weights[token, :]`` into rows by ``ids[token]``.
+
+    weights: [T, K] per-token rows; ids: [T] int32 segment ids (0-based).
+    Returns [num_segments, K].  This is the TPU-native form of the
+    reference's ``beta_temp[:, terms] += phi .* counts'`` (LDA.jl:129-132)
+    and the alef/he/kappa analogues.
+    """
+    return jax.ops.segment_sum(
+        weights, ids, num_segments=num_segments,
+        indices_are_sorted=False, unique_indices=False,
+    )
