@@ -135,6 +135,131 @@ class LDAOracle:
         self.accum_beta(d)
 
 
+class FLDAOracle:
+    """Reference CPU fLDA (fLDA.jl), float64, per-doc sweep."""
+
+    def __init__(self, docs, V, K, beta0, kappa0):
+        self.docs = [(np.asarray(t, np.int64), np.asarray(c, np.float64)) for t, c in docs]
+        self.M, self.V, self.K = len(docs), V, K
+        self.eta = 0.5
+        self.alpha = np.ones(K)
+        self.kappa = np.asarray(kappa0, np.float64).copy()
+        self.kappa_old = self.kappa.copy()
+        self.kappa_temp = np.zeros(V)
+        self.beta = np.asarray(beta0, np.float64).copy()
+        self.beta_old = self.beta.copy()
+        self.beta_temp = np.zeros((K, V))
+        el0 = -np.euler_gamma - digamma(K)
+        self.Elogtheta = [np.full(K, el0) for _ in range(self.M)]
+        self.Elogtheta_old = [e.copy() for e in self.Elogtheta]
+        self.gamma = [np.ones(K) for _ in range(self.M)]
+        self.tau = [np.full(len(t), self.eta) for t, _ in self.docs]
+        self.tau_old = [t.copy() for t in self.tau]
+        self.phi = None
+        self.elbo = 0.0
+        self.C = [c.sum() for _, c in self.docs]
+
+    # update_phi! (fLDA.jl:204-207)
+    def update_phi(self, d):
+        terms, _ = self.docs[d]
+        x = self.tau[d][None, :] * np.log(self.beta[:, terms] + EPS) + self.Elogtheta[d][:, None]
+        self.phi = _softmax_cols(x)
+
+    # update_tau! (fLDA.jl:195-200)
+    def update_tau(self, d):
+        self.tau_old[d] = self.tau[d]
+        terms, _ = self.docs[d]
+        prod = np.prod(self.beta[:, terms] ** (-self.phi), axis=0)
+        self.tau[d] = self.eta / (self.eta + (1 - self.eta) * self.kappa[terms] * prod + EPS)
+
+    def update_gamma(self, d):
+        _, counts = self.docs[d]
+        self.gamma[d] = EPS + self.alpha + self.phi @ counts
+
+    def update_Elogtheta(self, d):
+        self.Elogtheta_old[d] = self.Elogtheta[d]
+        g = self.gamma[d]
+        self.Elogtheta[d] = digamma(g) - digamma(g.sum())
+
+    # update_beta! / update_kappa! streaming stats (fLDA.jl:174-177, 160-163)
+    def accum(self, d):
+        terms, counts = self.docs[d]
+        np.add.at(self.beta_temp, (slice(None), terms),
+                  self.phi * (self.tau[d] * counts)[None, :])
+        np.add.at(self.kappa_temp, terms, (1 - self.tau[d]) * counts)
+
+    def swap(self):
+        self.beta_old = self.beta
+        self.beta = self.beta_temp / self.beta_temp.sum(axis=1, keepdims=True)
+        self.beta_temp = np.zeros((self.K, self.V))
+        self.kappa_old = self.kappa
+        self.kappa = self.kappa_temp / self.kappa_temp.sum()
+        self.kappa_temp = np.zeros(self.V)
+
+    def update_alpha(self, niter, ntol):
+        LDAOracle.update_alpha(self, niter, ntol)
+
+    # update_eta! (fLDA.jl:122-124)
+    def update_eta(self):
+        self.eta = sum(
+            self.tau[d] @ self.docs[d][1] for d in range(self.M)
+        ) / sum(self.C)
+
+    # update_elbo! (fLDA.jl:109-118)
+    def update_elbo(self):
+        total = 0.0
+        a = self.alpha
+        for d in range(self.M):
+            terms, counts = self.docs[d]
+            x = self.tau_old[d][None, :] * np.log(self.beta_old[:, terms] + EPS) \
+                + self.Elogtheta_old[d][:, None]
+            phi = _softmax_cols(x)
+            g, el, ta = self.gamma[d], self.Elogtheta[d], self.tau[d]
+            e_ptheta = gammaln(a.sum()) - gammaln(a).sum() + (a - 1) @ el
+            tc = ta @ counts
+            e_pc = np.log(self.eta**tc * (1 - self.eta) ** (self.C[d] - tc) + EPS)
+            e_pz = (phi @ counts) @ el
+            e_pw = np.sum(phi * np.log(self.beta[:, terms] + EPS) * (counts * ta)[None, :]) \
+                + (counts * (1 - ta)) @ np.log(self.kappa[terms] + EPS)
+            a0 = g.sum()
+            e_qtheta = (gammaln(g).sum() - gammaln(a0)) + (a0 - self.K) * digamma(a0) \
+                - np.sum((g - 1) * digamma(g))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tl = np.where(ta > 0, ta * np.log(ta), 0.0)
+                tl1 = np.where(ta < 1, (1 - ta) * np.log(1 - ta), 0.0)
+            e_qc = -(counts @ (tl + tl1))
+            e_qz = -np.sum(counts * np.sum(phi * np.log(phi), axis=0))
+            total += e_ptheta + e_pc + e_pz + e_pw + e_qtheta + e_qc + e_qz
+        self.elbo = total
+        return total
+
+    # train! (fLDA.jl:214-248)
+    def train(self, iters, viter=10, vtol=None, niter=1000, ntol=None):
+        vtol = 1.0 / self.K**2 if vtol is None else vtol
+        ntol = 1.0 / self.K**2 if ntol is None else ntol
+        elbos = []
+        for _ in range(iters):
+            for d in range(self.M):
+                for _v in range(viter):
+                    self.update_phi(d)
+                    self.update_tau(d)
+                    self.update_gamma(d)
+                    self.update_Elogtheta(d)
+                    if np.linalg.norm(self.Elogtheta[d] - self.Elogtheta_old[d]) < vtol:
+                        break
+                # final phi for stats = f(beta, tau_old, Elogtheta_old)
+                terms, _ = self.docs[d]
+                x = self.tau_old[d][None, :] * np.log(self.beta[:, terms] + EPS) \
+                    + self.Elogtheta_old[d][:, None]
+                self.phi = _softmax_cols(x)
+                self.accum(d)
+            self.swap()
+            self.update_alpha(niter, ntol)
+            self.update_eta()
+            elbos.append(self.update_elbo())
+        return elbos
+
+
 def docs_from_corpus(corp):
     return [
         (np.asarray(doc.terms, np.int64) - 1, np.asarray(doc.counts, np.float64))

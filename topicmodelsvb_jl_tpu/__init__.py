@@ -18,7 +18,7 @@ from .corpus import (
 from .datasets import load_citeu, load_nsf, load_stopwords, synth_corpus
 from .utils.config import RuntimeConfig, TrainConfig
 
-from .api import LDA, TopicModel, TopicModelError
+from .api import LDA, TopicModel, TopicModelError, fLDA
 
 __version__ = "0.1.0"
 
@@ -27,5 +27,5 @@ __all__ = [
     "readcorp", "writecorp", "fixcorp", "check_corp", "check_doc",
     "showdocs", "showtitles", "getvocab", "getusers",
     "load_nsf", "load_citeu", "load_stopwords", "synth_corpus",
-    "LDA", "TopicModel", "TrainConfig", "RuntimeConfig",
+    "LDA", "fLDA", "TopicModel", "TrainConfig", "RuntimeConfig",
 ]

@@ -23,6 +23,7 @@ import numpy as np
 from . import corpus as corpuslib
 from .corpus import Corpus, CorpusError
 from .engine import Trainer
+from .models import flda as flda_mod
 from .models import lda as lda_mod
 from .ops.packing import pack_corpus
 from .parallel.mesh import make_mesh
@@ -229,6 +230,70 @@ class LDA(TopicModel):
     @property
     def Elogtheta(self) -> np.ndarray:
         return np.asarray(self.state.Elogtheta)[: self.M]
+
+    def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
+        g = np.asarray(self.state.gamma)[rows]
+        return g / g.sum(axis=-1, keepdims=True)
+
+
+class fLDA(TopicModel):
+    """Filtered LDA (reference src/fLDA.jl)."""
+
+    def __repr__(self):
+        return f"Filtered latent Dirichlet allocation model with {self.K} topics."
+
+    def _init_state(self):
+        self.state = flda_mod.init(self.key, self.packed, self.K, self.dtype)
+
+    def _build_trainer(self, cfg: TrainConfig) -> Trainer:
+        p = self.packed
+        step_local = flda_mod.make_step(
+            p, self.K, viter=cfg.viter, vtol=cfg.vtol, niter=cfg.niter,
+            ntol=cfg.ntol, chunk_docs=self.chunk_docs,
+            axis_name=self.runtime.data_axis,
+        )
+        elbo_local = flda_mod.make_elbo(
+            p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
+        )
+        spec = flda_mod.partition_spec(self.runtime.data_axis)
+        from jax.sharding import PartitionSpec as P
+
+        step = dp_jit(step_local, self.mesh, spec, n_data_args=3, n_repl_args=2,
+                      data_axis=self.runtime.data_axis)
+        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
+                      data_axis=self.runtime.data_axis)
+        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts), jnp.asarray(p.doc_mask))
+        data = arrs + (
+            jnp.asarray(float(self.M), self.dtype),
+            jnp.asarray(float(sum(self.C)), self.dtype),
+        )
+        return Trainer(step, elbo, data, arrs, M=self.M)
+
+    @property
+    def eta(self) -> float:
+        return float(self.state.eta)
+
+    @property
+    def alpha(self) -> np.ndarray:
+        return np.asarray(self.state.alpha)
+
+    @property
+    def kappa(self) -> np.ndarray:
+        return np.asarray(self.state.kappa)
+
+    @property
+    def beta(self) -> np.ndarray:
+        return np.asarray(self.state.beta)
+
+    @property
+    def gamma(self) -> np.ndarray:
+        return np.asarray(self.state.gamma)[: self.M]
+
+    @property
+    def tau(self):
+        """Ragged view: list of per-doc tau vectors (reference fLDA.jl:25)."""
+        t = np.asarray(self.state.tau)
+        return [t[d, : self.N[d]] for d in range(self.M)]
 
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         g = np.asarray(self.state.gamma)[rows]

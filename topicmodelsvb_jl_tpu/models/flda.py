@@ -1,0 +1,241 @@
+"""Filtered latent Dirichlet allocation — batch-synchronous CAVI on TPU.
+
+TPU-native redesign of the reference fLDA (``src/fLDA.jl``, the author's
+own model, fLDA/fLDA.pdf): LDA plus a per-token Bernoulli switch
+deciding content-word (topic-generated) vs background-word (drawn from
+a corpus-wide distribution kappa), with global mixture weight eta.
+
+Extra state vs LDA: scalar ``eta`` (fLDA.jl:14), background
+distribution ``kappa`` [V] (+old/temp, fLDA.jl:16-18), per-token
+responsibilities ``tau`` [M, N_d] (+old, fLDA.jl:25-26) — packed here
+as dense masked [M_pad, L].
+
+Update equations (cited per function below) mirror fLDA.jl exactly;
+the schedule is the same per-doc-masked batch-synchronous sweep as
+models/lda.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.newton import dirichlet_newton
+from ..ops.segment import count_scatter
+from ..utils.numerics import (
+    EPSILON, EULERGAMMA, bernoulli_entropy, categorical_entropy, digamma,
+    dirichlet_entropy, finite, l2norm, lgamma,
+)
+
+
+class FLDAState(NamedTuple):
+    eta: jax.Array            # scalar
+    alpha: jax.Array          # [K]
+    kappa: jax.Array          # [V]
+    kappa_old: jax.Array      # [V]
+    beta: jax.Array           # [K, V]
+    beta_old: jax.Array       # [K, V]
+    gamma: jax.Array          # [M_pad, K]
+    Elogtheta: jax.Array      # [M_pad, K]
+    Elogtheta_old: jax.Array  # [M_pad, K]
+    tau: jax.Array            # [M_pad, L]
+    tau_old: jax.Array        # [M_pad, L]
+    elbo: jax.Array
+
+
+def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FLDAState:
+    """Constructor state (reference fLDA.jl:30-58)."""
+    M_pad, V, L = packed.M_pad, packed.V, packed.L
+    k_beta, k_kappa = jax.random.split(key)
+    beta = jax.random.dirichlet(k_beta, jnp.ones((V,), jnp.float32), shape=(K,)).astype(dtype)
+    kappa = jax.random.dirichlet(k_kappa, jnp.ones((V,), jnp.float32)).astype(dtype)
+    eta = jnp.asarray(0.5, dtype)
+    el0 = -EULERGAMMA - float(jax.lax.digamma(jnp.asarray(float(K), jnp.float32)))
+    El = jnp.full((M_pad, K), jnp.asarray(el0, dtype), dtype)
+    tau = jnp.full((M_pad, L), eta, dtype)
+    return FLDAState(
+        eta=eta, alpha=jnp.ones((K,), dtype), kappa=kappa, kappa_old=kappa,
+        beta=beta, beta_old=beta, gamma=jnp.ones((M_pad, K), dtype),
+        Elogtheta=El, Elogtheta_old=El, tau=tau, tau_old=tau,
+        elbo=jnp.zeros((), dtype),
+    )
+
+
+def _phi(logbeta_d, tau, El):
+    """phi ∝ exp(tau·log beta + Elogtheta), over K (fLDA.jl:204-207)."""
+    return jax.nn.softmax(tau[..., None] * logbeta_d + El[:, None, :], axis=-1)
+
+
+def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
+                 gamma, El, El_old, tau, tau_old, viter, vtol, V):
+    eps = jnp.asarray(EPSILON, gamma.dtype)
+    logbeta_d = logbetaT[terms]          # [B, L, K]
+    kappa_d = kappa_full[terms]          # [B, L]  raw kappa values (fLDA.jl:199)
+    active0 = doc_mask > 0
+
+    def body(_, carry):
+        gamma, El, El_old, tau, tau_old, active = carry
+        p = _phi(logbeta_d, tau, El)
+        # update_tau! (fLDA.jl:195-200):
+        # tau = eta / (eta + (1-eta)·kappa_j·Π_k beta^{-phi} + EPS)
+        s = jnp.sum(p * logbeta_d, axis=-1)           # Σ_k phi·log beta  [B, L]
+        tau_new = eta / (eta + (1.0 - eta) * kappa_d * jnp.exp(-s) + eps)
+        # update_gamma! (fLDA.jl:188-191)
+        gamma_new = alpha[None, :] + jnp.einsum(
+            "bl,blk->bk", counts, p, preferred_element_type=gamma.dtype
+        ) + eps
+        # update_Elogtheta! (fLDA.jl:181-184)
+        El_new = digamma(gamma_new) - digamma(jnp.sum(gamma_new, -1, keepdims=True))
+        upd = active[:, None]
+        gamma2 = jnp.where(upd, gamma_new, gamma)
+        tau_old2 = jnp.where(upd, tau, tau_old)
+        tau2 = jnp.where(upd, tau_new, tau)
+        El_old2 = jnp.where(upd, El, El_old)
+        El2 = jnp.where(upd, El_new, El)
+        active2 = active & (l2norm(El2 - El_old2) >= vtol)
+        return gamma2, El2, El_old2, tau2, tau_old2, active2
+
+    gamma, El, El_old, tau, tau_old, _ = jax.lax.fori_loop(
+        0, viter, body, (gamma, El, El_old, tau, tau_old, active0)
+    )
+
+    # stats use the last phi (f(beta, tau_old, Elogtheta_old)) with CURRENT tau:
+    # beta_temp += phi .* (tau .* counts)' (fLDA.jl:174-177)
+    # kappa_temp[terms] += (1 - tau) .* counts (fLDA.jl:160-163)
+    p = _phi(logbeta_d, tau_old, El_old)
+    w_beta = p * (tau * counts)[..., None]
+    flatK = w_beta.reshape(-1, w_beta.shape[-1])
+    beta_temp = count_scatter(flatK, terms.reshape(-1), V)
+    w_kappa = ((1.0 - tau) * counts).reshape(-1, 1)
+    kappa_temp = count_scatter(w_kappa, terms.reshape(-1), V)[:, 0]
+    El_sum = jnp.sum(El * doc_mask[:, None], axis=0)
+    tau_counts = jnp.sum(tau * counts)  # for update_eta! (fLDA.jl:122-124)
+    return gamma, El, El_old, tau, tau_old, beta_temp, kappa_temp, El_sum, tau_counts
+
+
+def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
+              chunk_docs: int, axis_name: Optional[str] = None):
+    V = packed.V
+
+    def step(state: FLDAState, terms, counts, doc_mask, M_total, C_total):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        eps = jnp.asarray(EPSILON, state.beta.dtype)
+        logbetaT = jnp.log(state.beta + eps).T
+
+        def scan_body(carry, xs):
+            bt, kt, es, tc = carry
+            t, c, dm, g, el, elo, ta, tao = xs
+            g2, el2, elo2, ta2, tao2, bti, kti, esi, tci = _estep_chunk(
+                logbetaT, state.kappa, state.eta, state.alpha,
+                t, c, dm, g, el, elo, ta, tao, viter, vtol, V
+            )
+            return (bt + bti, kt + kti, es + esi, tc + tci), (g2, el2, elo2, ta2, tao2)
+
+        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+        dt = state.beta.dtype
+        (beta_temp, kappa_temp, El_sum, tau_counts), ys = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((V, K), dt), jnp.zeros((V,), dt), jnp.zeros((K,), dt),
+             jnp.zeros((), dt)),
+            (sh(terms), sh(counts), sh(doc_mask), sh(state.gamma),
+             sh(state.Elogtheta), sh(state.Elogtheta_old),
+             sh(state.tau), sh(state.tau_old)),
+        )
+        gamma, El, El_old, tau, tau_old = ys
+        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
+        gamma, El, El_old = unsh(gamma), unsh(El), unsh(El_old)
+        tau, tau_old = unsh(tau), unsh(tau_old)
+
+        if axis_name is not None:
+            beta_temp = jax.lax.psum(beta_temp, axis_name)
+            kappa_temp = jax.lax.psum(kappa_temp, axis_name)
+            El_sum = jax.lax.psum(El_sum, axis_name)
+            tau_counts = jax.lax.psum(tau_counts, axis_name)
+
+        beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+        kappa_new = kappa_temp / jnp.sum(kappa_temp)         # fLDA.jl:152-156
+        alpha_new = dirichlet_newton(state.alpha, El_sum, M_total, niter, ntol)
+        eta_new = tau_counts / C_total                        # fLDA.jl:122-124
+
+        return FLDAState(
+            eta=eta_new, alpha=alpha_new, kappa=kappa_new, kappa_old=state.kappa,
+            beta=beta_new, beta_old=state.beta, gamma=gamma,
+            Elogtheta=El, Elogtheta_old=El_old, tau=tau, tau_old=tau_old,
+            elbo=state.elbo,
+        )
+
+    return step
+
+
+def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
+    """ELBO with the reference's *_old recompute semantics (fLDA.jl:109-118)."""
+    V = packed.V
+
+    def elbo(state: FLDAState, terms, counts, doc_mask):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.beta.dtype
+        eps = jnp.asarray(EPSILON, dt)
+        logbeta_oldT = jnp.log(state.beta_old + eps).T
+        logbetaT = jnp.log(state.beta + eps).T
+        logkappa = jnp.log(state.kappa + eps)
+        a = state.alpha
+        eta = state.eta
+        theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))
+        log_eps = jnp.log(eps)
+
+        def scan_body(acc, xs):
+            t, c, dm, g, el, elo, ta, tao = xs
+            # phi recompute from tau_old/beta_old/Elogtheta_old (fLDA.jl:113)
+            p = _phi(logbeta_oldT[t], tao, elo)
+            C_d = jnp.sum(c, -1)
+            tau_c = jnp.sum(ta * c, -1)
+            # Elogptheta (fLDA.jl:62-65)
+            e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
+            # Elogpc (fLDA.jl:68-71): log(eta^a (1-eta)^b + EPS) — mirrors the
+            # reference's @boink saturation exactly via logaddexp
+            s = tau_c * jnp.log(eta + eps) + (C_d - tau_c) * jnp.log(1.0 - eta + eps)
+            e_pc = jnp.logaddexp(s, log_eps)
+            # Elogpz (fLDA.jl:74-78)
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
+            e_pz = jnp.sum(pc * el, -1)
+            # Elogpw (fLDA.jl:82-86)
+            e_pw = jnp.sum(p * logbetaT[t] * (c * ta)[..., None], axis=(1, 2)) \
+                + jnp.sum(c * (1.0 - ta) * logkappa[t], axis=-1)
+            # −Elogqtheta (fLDA.jl:89-92)
+            e_qtheta = dirichlet_entropy(g)
+            # −Elogqc (fLDA.jl:95-98)
+            e_qc = jnp.sum(bernoulli_entropy(ta) * c, axis=-1)
+            # −Elogqz (fLDA.jl:102-105)
+            e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
+            contrib = dm * (e_ptheta + e_pc + e_pz + e_pw + e_qtheta + e_qc + e_qz)
+            return acc + jnp.sum(contrib), None
+
+        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+        total, _ = jax.lax.scan(
+            scan_body, jnp.zeros((), dt),
+            (sh(terms), sh(counts), sh(doc_mask), sh(state.gamma),
+             sh(state.Elogtheta), sh(state.Elogtheta_old),
+             sh(state.tau), sh(state.tau_old)),
+        )
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
+        return total
+
+    return elbo
+
+
+def partition_spec(data_axis: str = "data"):
+    from jax.sharding import PartitionSpec as P
+
+    return FLDAState(
+        eta=P(), alpha=P(), kappa=P(), kappa_old=P(), beta=P(), beta_old=P(),
+        gamma=P(data_axis), Elogtheta=P(data_axis), Elogtheta_old=P(data_axis),
+        tau=P(data_axis), tau_old=P(data_axis), elbo=P(),
+    )
