@@ -1,0 +1,67 @@
+"""CTM correctness: oracle parity (batched Newton vs per-doc Newton),
+ELBO monotonicity, sigma posdef maintenance, shard equivalence."""
+
+import numpy as np
+
+import topicmodelsvb_jl_tpu as tm
+from topicmodelsvb_jl_tpu.api import CTM
+from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+
+from oracle import CTMOracle, docs_from_corpus
+
+
+def _make(corp, K, dtype="float64", chunk=8, seed=3, n_devices=None):
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices=n_devices)
+    rt = RuntimeConfig(chunk_docs=chunk, dtype=dtype, pad_multiple=8)
+    return CTM(corp, K, runtime=rt, mesh=mesh, seed=seed)
+
+
+def test_ctm_matches_cpu_oracle(tiny_corpus):
+    K, iters = 3, 3
+    model = _make(tiny_corpus, K)
+    beta0 = np.asarray(model.state.beta, np.float64)
+
+    oracle = CTMOracle(docs_from_corpus(tiny_corpus), V=tiny_corpus.shape[1],
+                       K=K, beta0=beta0)
+    # keep niter modest: the oracle is a slow per-coordinate python loop
+    oracle_elbos = oracle.train(iters, niter=40)
+
+    model.train(iter=iters, checkelbo=1, niter=40, printelbo=False)
+
+    np.testing.assert_allclose(model.beta, oracle.beta, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(model.mu, oracle.mu, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(model.sigma, oracle.sigma, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(model.lam, np.stack(oracle.lam), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(model.vsq, np.stack(oracle.vsq), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(model.logzeta, oracle.logzeta, rtol=1e-6)
+    traced = [r.elbo for r in model.trainer.trace if r.elbo is not None]
+    np.testing.assert_allclose(traced, oracle_elbos, rtol=1e-6)
+
+
+def test_ctm_elbo_monotone_and_posdef(tiny_corpus):
+    model = _make(tiny_corpus, K=4)
+    model.train(iter=10, checkelbo=1, printelbo=False)
+    deltas = [r.delta_elbo for r in model.trainer.trace if r.delta_elbo is not None]
+    assert all(d > -1e-6 for d in deltas[1:])
+    # sigma and invsigma must stay positive-definite (modelutils.jl:116-118)
+    assert np.all(np.linalg.eigvalsh(model.sigma) > 0)
+    assert np.all(np.linalg.eigvalsh(model.invsigma) > 0)
+
+
+def test_ctm_shard_equivalence(tiny_corpus):
+    m1 = _make(tiny_corpus, K=3, n_devices=1)
+    m8 = _make(tiny_corpus, K=3, n_devices=8)
+    m1.train(iter=3, checkelbo=1, niter=30, printelbo=False)
+    m8.train(iter=3, checkelbo=1, niter=30, printelbo=False)
+    np.testing.assert_allclose(m1.beta, m8.beta, rtol=1e-8)
+    np.testing.assert_allclose(m1.sigma, m8.sigma, rtol=1e-8)
+    np.testing.assert_allclose(m1.elbo, m8.elbo, rtol=1e-8)
+
+
+def test_ctm_topicdist(tiny_corpus):
+    model = _make(tiny_corpus, K=3)
+    model.train(iter=2, checkelbo=np.inf, niter=20, printelbo=False)
+    td = model.topicdist(1)
+    assert td.shape == (3,) and np.isclose(td.sum(), 1.0)

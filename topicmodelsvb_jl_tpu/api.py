@@ -23,6 +23,8 @@ import numpy as np
 from . import corpus as corpuslib
 from .corpus import Corpus, CorpusError
 from .engine import Trainer
+from .models import ctm as ctm_mod
+from .models import fctm as fctm_mod
 from .models import flda as flda_mod
 from .models import lda as lda_mod
 from .ops.packing import pack_corpus
@@ -234,6 +236,152 @@ class LDA(TopicModel):
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         g = np.asarray(self.state.gamma)[rows]
         return g / g.sum(axis=-1, keepdims=True)
+
+
+class CTM(TopicModel):
+    """Correlated topic model (reference src/CTM.jl, src/gpuCTM.jl)."""
+
+    def __repr__(self):
+        return f"Correlated topic model with {self.K} topics."
+
+    def _init_state(self):
+        self.state = ctm_mod.init(self.key, self.packed, self.K, self.dtype)
+
+    def _build_trainer(self, cfg: TrainConfig) -> Trainer:
+        p = self.packed
+        step_local = ctm_mod.make_step(
+            p, self.K, viter=cfg.viter, vtol=cfg.vtol, niter=cfg.niter,
+            ntol=cfg.ntol, chunk_docs=self.chunk_docs,
+            axis_name=self.runtime.data_axis,
+        )
+        elbo_local = ctm_mod.make_elbo(
+            p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
+        )
+        spec = ctm_mod.partition_spec(self.runtime.data_axis)
+        from jax.sharding import PartitionSpec as P
+
+        step = dp_jit(step_local, self.mesh, spec, n_data_args=4, n_repl_args=1,
+                      data_axis=self.runtime.data_axis)
+        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=4, out_spec=P(),
+                      data_axis=self.runtime.data_axis)
+        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                jnp.asarray(p.C), jnp.asarray(p.doc_mask))
+        data = arrs + (jnp.asarray(float(self.M), self.dtype),)
+        return Trainer(step, elbo, data, arrs, M=self.M)
+
+    @property
+    def mu(self) -> np.ndarray:
+        return np.asarray(self.state.mu)
+
+    @property
+    def sigma(self) -> np.ndarray:
+        return np.asarray(self.state.sigma)
+
+    @property
+    def invsigma(self) -> np.ndarray:
+        return np.asarray(self.state.invsigma)
+
+    @property
+    def beta(self) -> np.ndarray:
+        return np.asarray(self.state.beta)
+
+    @property
+    def lam(self) -> np.ndarray:
+        return np.asarray(self.state.lam)[: self.M]
+
+    # Julia field name
+    lambda_ = lam
+
+    @property
+    def vsq(self) -> np.ndarray:
+        return np.asarray(self.state.vsq)[: self.M]
+
+    @property
+    def logzeta(self) -> np.ndarray:
+        return np.asarray(self.state.logzeta)[: self.M]
+
+    def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
+        x = np.asarray(self.state.lam)[rows] + 0.5 * np.asarray(self.state.vsq)[rows]
+        e = np.exp(x - x.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+
+class fCTM(TopicModel):
+    """Filtered correlated topic model (reference src/fCTM.jl)."""
+
+    def __repr__(self):
+        return f"Filtered correlated topic model with {self.K} topics."
+
+    def _init_state(self):
+        self.state = fctm_mod.init(self.key, self.packed, self.K, self.dtype)
+
+    def _build_trainer(self, cfg: TrainConfig) -> Trainer:
+        p = self.packed
+        step_local = fctm_mod.make_step(
+            p, self.K, viter=cfg.viter, vtol=cfg.vtol, niter=cfg.niter,
+            ntol=cfg.ntol, chunk_docs=self.chunk_docs,
+            axis_name=self.runtime.data_axis,
+        )
+        elbo_local = fctm_mod.make_elbo(
+            p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
+        )
+        spec = fctm_mod.partition_spec(self.runtime.data_axis)
+        from jax.sharding import PartitionSpec as P
+
+        step = dp_jit(step_local, self.mesh, spec, n_data_args=4, n_repl_args=1,
+                      data_axis=self.runtime.data_axis)
+        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=4, out_spec=P(),
+                      data_axis=self.runtime.data_axis)
+        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                jnp.asarray(p.C), jnp.asarray(p.doc_mask))
+        data = arrs + (jnp.asarray(float(self.M), self.dtype),)
+        return Trainer(step, elbo, data, arrs, M=self.M)
+
+    @property
+    def eta(self) -> float:
+        return float(self.state.eta)
+
+    @property
+    def mu(self) -> np.ndarray:
+        return np.asarray(self.state.mu)
+
+    @property
+    def sigma(self) -> np.ndarray:
+        return np.asarray(self.state.sigma)
+
+    @property
+    def invsigma(self) -> np.ndarray:
+        return np.asarray(self.state.invsigma)
+
+    @property
+    def kappa(self) -> np.ndarray:
+        return np.asarray(self.state.kappa)
+
+    @property
+    def beta(self) -> np.ndarray:
+        return np.asarray(self.state.beta)
+
+    @property
+    def lam(self) -> np.ndarray:
+        return np.asarray(self.state.lam)[: self.M]
+
+    @property
+    def vsq(self) -> np.ndarray:
+        return np.asarray(self.state.vsq)[: self.M]
+
+    @property
+    def logzeta(self) -> np.ndarray:
+        return np.asarray(self.state.logzeta)[: self.M]
+
+    @property
+    def tau(self):
+        t = np.asarray(self.state.tau)
+        return [t[d, : self.N[d]] for d in range(self.M)]
+
+    def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
+        x = np.asarray(self.state.lam)[rows] + 0.5 * np.asarray(self.state.vsq)[rows]
+        e = np.exp(x - x.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
 
 
 class fLDA(TopicModel):

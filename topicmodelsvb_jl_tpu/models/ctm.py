@@ -1,0 +1,248 @@
+"""Correlated topic model — batch-synchronous CAVI on TPU.
+
+TPU-native redesign of the reference CTM (``src/CTM.jl``) and its OpenCL
+twin (``src/gpuCTM.jl``).  The reference's heaviest machinery — a
+per-document Newton step whose K×K solve runs as a workgroup-local
+Gauss–Jordan with barrier sync inside an OpenCL kernel
+(``CTM_LAMBDA_c``, gpuCTM.jl:258-337, with ``LINSOLVE_c`` from
+utils.jl:60-90) — becomes a batched Cholesky solve vmapped over the doc
+chunk (ops/newton.py: the reference's own comment at utils.jl:56-58
+notes pivoting is unnecessary for SPD systems).  The per-coordinate
+vsq Newton with back-tracking (``CTM_VSQ_c``, gpuCTM.jl:346-391)
+vectorises elementwise over [B, K].
+
+Global M-step: beta from segment-sums; mu/sigma from psum'd first and
+second moments of lambda (sigma is computed with the *previous* mu,
+matching the reference's update order update_sigma! → update_mu!,
+CTM.jl:206-208).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
+from ..ops.segment import count_scatter
+from ..utils.numerics import (
+    EPSILON, categorical_entropy, l2norm, logsumexp, mvnormal_diag_entropy,
+)
+
+
+class CTMState(NamedTuple):
+    mu: jax.Array          # [K]
+    sigma: jax.Array       # [K, K]
+    invsigma: jax.Array    # [K, K]
+    beta: jax.Array        # [K, V]
+    beta_old: jax.Array    # [K, V]
+    lam: jax.Array         # [M_pad, K]   (lambda)
+    lam_old: jax.Array     # [M_pad, K]
+    vsq: jax.Array         # [M_pad, K]
+    logzeta: jax.Array     # [M_pad]
+    elbo: jax.Array
+
+
+def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> CTMState:
+    """Constructor state (reference CTM.jl:27-52)."""
+    M_pad, V = packed.M_pad, packed.V
+    beta = jax.random.dirichlet(key, jnp.ones((V,), jnp.float32), shape=(K,)).astype(dtype)
+    eye = jnp.eye(K, dtype=dtype)
+    return CTMState(
+        mu=jnp.zeros((K,), dtype), sigma=eye, invsigma=eye,
+        beta=beta, beta_old=beta,
+        lam=jnp.zeros((M_pad, K), dtype), lam_old=jnp.zeros((M_pad, K), dtype),
+        vsq=jnp.ones((M_pad, K), dtype),
+        logzeta=jnp.full((M_pad,), 0.5, dtype),
+        elbo=jnp.zeros((), dtype),
+    )
+
+
+def _phi(logbeta_d, lam):
+    """phi ∝ exp(log beta[:,terms] + lambda), over K (CTM.jl:175-178)."""
+    return jax.nn.softmax(logbeta_d + lam[:, None, :], axis=-1)
+
+
+def _estep_chunk(logbetaT, mu, invsigma, terms, counts, C, doc_mask,
+                 lam, lam_old, vsq, logzeta, viter, vtol, niter, ntol, V):
+    dtype = lam.dtype
+    # zero-count (padded) slots may gather an all-zero beta column (unused
+    # vocab id 0) whose raw log is -inf for every k; the K-softmax would be
+    # NaN. Every use of phi is count-weighted, so neutralising those logits
+    # is exact.
+    logbeta_d = jnp.where(counts[..., None] > 0, logbetaT[terms], 0.0)  # [B, L, K]
+    active0 = doc_mask > 0
+    isd = jnp.diagonal(invsigma)
+
+    def body(_, carry):
+        lam, lam_old, vsq, logzeta, active = carry
+        # update_phi! (CTM.jl:175-178)
+        p = _phi(logbeta_d, lam)
+        # update_logzeta! (CTM.jl:169-171)
+        lz_new = logsumexp(lam + 0.5 * vsq, axis=-1)
+        logzeta2 = jnp.where(active, lz_new, logzeta)
+        # update_vsq! (CTM.jl:146-165)
+        vsq2 = ctm_vsq_newton(lam, vsq, logzeta2, C, isd, active, niter, ntol)
+        vsq2 = jnp.where(active[:, None], vsq2, vsq)
+        # update_lambda! (CTM.jl:129-142); phi @ counts fixed during Newton
+        pc = jnp.einsum("bl,blk->bk", counts, p, preferred_element_type=dtype)
+        lam_new = ctm_lambda_newton(lam, vsq2, logzeta2, pc, C, mu, invsigma,
+                                    active, niter, ntol)
+        lam_old2 = jnp.where(active[:, None], lam, lam_old)
+        lam2 = jnp.where(active[:, None], lam_new, lam)
+        # break: ‖lambda − lambda_old‖ < vtol (CTM.jl:200)
+        active2 = active & (l2norm(lam2 - lam_old2) >= vtol)
+        return lam2, lam_old2, vsq2, logzeta2, active2
+
+    lam, lam_old, vsq, logzeta, _ = jax.lax.fori_loop(
+        0, viter, body, (lam, lam_old, vsq, logzeta, active0)
+    )
+
+    # M-step stat with the last phi = f(beta, lambda_old) (CTM.jl:93, 122-125)
+    p = _phi(logbeta_d, lam_old)
+    w = p * counts[..., None]
+    beta_temp = count_scatter(w.reshape(-1, w.shape[-1]), terms.reshape(-1), V)
+    dm = doc_mask[:, None]
+    vsq_sum = jnp.sum(vsq * dm, axis=0)                       # Σ_d vsq_d
+    lam_sum = jnp.sum(lam * dm, axis=0)                       # Σ_d λ_d
+    lam_outer = jnp.einsum("bi,bj->ij", lam * dm, lam)        # Σ_d λλᵀ
+    return lam, lam_old, vsq, logzeta, beta_temp, vsq_sum, lam_sum, lam_outer
+
+
+def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
+              chunk_docs: int, axis_name: Optional[str] = None):
+    V = packed.V
+
+    def step(state: CTMState, terms, counts, C, doc_mask, M_total):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.beta.dtype
+        logbetaT = jnp.log(state.beta).T  # raw log, matching CTM.jl:177
+
+        def scan_body(carry, xs):
+            bt, vs, ls, lo = carry
+            t, c, cd, dm, la, lao, v, lz = xs
+            la2, lao2, v2, lz2, bti, vsi, lsi, loi = _estep_chunk(
+                logbetaT, state.mu, state.invsigma, t, c, cd, dm,
+                la, lao, v, lz, viter, vtol, niter, ntol, V
+            )
+            return (bt + bti, vs + vsi, ls + lsi, lo + loi), (la2, lao2, v2, lz2)
+
+        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+        (beta_temp, vsq_sum, lam_sum, lam_outer), ys = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((V, K), dt), jnp.zeros((K,), dt), jnp.zeros((K,), dt),
+             jnp.zeros((K, K), dt)),
+            (sh(terms), sh(counts), sh(C), sh(doc_mask),
+             sh(state.lam), sh(state.lam_old), sh(state.vsq), sh(state.logzeta)),
+        )
+        lam, lam_old, vsq, logzeta = ys
+        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
+        lam, lam_old, vsq, logzeta = unsh(lam), unsh(lam_old), unsh(vsq), unsh(logzeta)
+
+        if axis_name is not None:
+            beta_temp = jax.lax.psum(beta_temp, axis_name)
+            vsq_sum = jax.lax.psum(vsq_sum, axis_name)
+            lam_sum = jax.lax.psum(lam_sum, axis_name)
+            lam_outer = jax.lax.psum(lam_outer, axis_name)
+
+        # update_beta! reset (CTM.jl:114-118)
+        beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+        # update_sigma! with previous mu (CTM.jl:108-111; order CTM.jl:206-208):
+        # Σ_d (λ−μ)(λ−μ)ᵀ = Σλλᵀ − μΣλᵀ − Σλ μᵀ + M μμᵀ
+        mu_old = state.mu
+        centered = (
+            lam_outer
+            - jnp.outer(mu_old, lam_sum) - jnp.outer(lam_sum, mu_old)
+            + M_total * jnp.outer(mu_old, mu_old)
+        )
+        sigma = (jnp.diag(vsq_sum) + centered) / M_total
+        sigma = 0.5 * (sigma + sigma.T)
+        invsigma = jnp.linalg.inv(sigma)
+        invsigma = 0.5 * (invsigma + invsigma.T)
+        # update_mu! (CTM.jl:102-104)
+        mu_new = lam_sum / M_total
+
+        return CTMState(
+            mu=mu_new, sigma=sigma, invsigma=invsigma,
+            beta=beta_new, beta_old=state.beta,
+            lam=lam, lam_old=lam_old, vsq=vsq, logzeta=logzeta, elbo=state.elbo,
+        )
+
+    return step
+
+
+def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
+    """ELBO (CTM.jl:55-98): phi recomputed from (beta_old, lambda_old)."""
+    V = packed.V
+
+    def elbo(state: CTMState, terms, counts, C, doc_mask):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.beta.dtype
+        eps = jnp.asarray(EPSILON, dt)
+        logbeta_oldT = jnp.log(state.beta_old).T       # CTM.jl:93 (raw)
+        logbetaT = jnp.log(state.beta + eps).T         # CTM.jl:71 (@boink)
+        mu, invsigma = state.mu, state.invsigma
+        # logdet(invsigma) via Cholesky (SPD)
+        chol = jnp.linalg.cholesky(state.invsigma)
+        logdet_inv = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        log2pi = jnp.log(2.0 * jnp.pi)
+        isd = jnp.diagonal(invsigma)
+
+        def scan_body(acc, xs):
+            t, c, cd, dm, la, lao, v, lz = xs
+            # phi from (beta_old, lambda_old) (CTM.jl:93); terms below use
+            # the *current* lambda (CTM.jl:56-66). Zero-count slots masked as
+            # in _estep_chunk.
+            p = _phi(jnp.where(c[..., None] > 0, logbeta_oldT[t], 0.0), lao)
+            # Elogpeta (CTM.jl:56-59)
+            diff = la - mu
+            quad = jnp.einsum("bi,ij,bj->b", diff, invsigma, diff)
+            e_peta = 0.5 * (logdet_inv - K * log2pi - jnp.sum(isd * v, -1) - quad)
+            # Elogpz (CTM.jl:62-66)
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
+            bound = jnp.sum(jnp.exp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
+            e_pz = jnp.sum(pc * la, -1) - cd * bound
+            # Elogpw (CTM.jl:69-73)
+            e_pw = jnp.sum(p * logbetaT[t] * c[..., None], axis=(1, 2))
+            # −Elogqeta = +entropy(MvNormal(λ, diag(vsq))) (CTM.jl:76-79)
+            e_qeta = mvnormal_diag_entropy(v)
+            # −Elogqz (CTM.jl:82-86)
+            e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
+            contrib = dm * (e_peta + e_pz + e_pw + e_qeta + e_qz)
+            return acc + jnp.sum(contrib), None
+
+        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+        total, _ = jax.lax.scan(
+            scan_body, jnp.zeros((), dt),
+            (sh(terms), sh(counts), sh(C), sh(doc_mask),
+             sh(state.lam), sh(state.lam_old), sh(state.vsq), sh(state.logzeta)),
+        )
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
+        return total
+
+    return elbo
+
+
+def partition_spec(data_axis: str = "data"):
+    from jax.sharding import PartitionSpec as P
+
+    return CTMState(
+        mu=P(), sigma=P(), invsigma=P(), beta=P(), beta_old=P(),
+        lam=P(data_axis), lam_old=P(data_axis), vsq=P(data_axis),
+        logzeta=P(data_axis), elbo=P(),
+    )
+
+
+def topicdist(state: CTMState, d=None) -> jax.Array:
+    """softmax(lambda + vsq/2) (reference modelutils.jl:953-958)."""
+    lam = state.lam if d is None else state.lam[d]
+    vsq = state.vsq if d is None else state.vsq[d]
+    x = lam + 0.5 * vsq
+    return jax.nn.softmax(x, axis=-1)

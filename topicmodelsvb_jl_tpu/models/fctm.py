@@ -1,0 +1,260 @@
+"""Filtered correlated topic model — batch-synchronous CAVI on TPU.
+
+TPU-native redesign of the reference fCTM (``src/fCTM.jl``): CTM plus
+fLDA's per-token Bernoulli content/background switch (tau/kappa).
+Note two reference quirks mirrored deliberately:
+
+* the viter update order differs from CTM — phi, tau, logzeta,
+  **lambda, vsq** (fCTM.jl:250-256; CTM runs vsq before lambda);
+* ``update_eta!`` is commented out of the train loop (fCTM.jl:267), so
+  eta stays at its 0.5 initialisation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
+from ..ops.segment import count_scatter
+from ..utils.numerics import (
+    EPSILON, bernoulli_entropy, categorical_entropy, l2norm, logsumexp,
+    mvnormal_diag_entropy,
+)
+
+
+class FCTMState(NamedTuple):
+    eta: jax.Array          # scalar (fixed 0.5, fCTM.jl:267)
+    mu: jax.Array           # [K]
+    sigma: jax.Array        # [K, K]
+    invsigma: jax.Array     # [K, K]
+    kappa: jax.Array        # [V]
+    kappa_old: jax.Array    # [V]
+    beta: jax.Array         # [K, V]
+    beta_old: jax.Array     # [K, V]
+    lam: jax.Array          # [M_pad, K]
+    lam_old: jax.Array      # [M_pad, K]
+    vsq: jax.Array          # [M_pad, K]
+    logzeta: jax.Array      # [M_pad]
+    tau: jax.Array          # [M_pad, L]
+    tau_old: jax.Array      # [M_pad, L]
+    elbo: jax.Array
+
+
+def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FCTMState:
+    """Constructor state (reference fCTM.jl:33-64)."""
+    M_pad, V, L = packed.M_pad, packed.V, packed.L
+    k_beta, k_kappa = jax.random.split(key)
+    beta = jax.random.dirichlet(k_beta, jnp.ones((V,), jnp.float32), shape=(K,)).astype(dtype)
+    kappa = jax.random.dirichlet(k_kappa, jnp.ones((V,), jnp.float32)).astype(dtype)
+    eye = jnp.eye(K, dtype=dtype)
+    eta = jnp.asarray(0.5, dtype)
+    tau = jnp.full((M_pad, L), eta, dtype)
+    return FCTMState(
+        eta=eta, mu=jnp.zeros((K,), dtype), sigma=eye, invsigma=eye,
+        kappa=kappa, kappa_old=kappa, beta=beta, beta_old=beta,
+        lam=jnp.zeros((M_pad, K), dtype), lam_old=jnp.zeros((M_pad, K), dtype),
+        vsq=jnp.ones((M_pad, K), dtype), logzeta=jnp.full((M_pad,), 0.5, dtype),
+        tau=tau, tau_old=tau, elbo=jnp.zeros((), dtype),
+    )
+
+
+def _phi(logbeta_d, tau, lam):
+    """phi ∝ exp(tau·log(beta+EPS) + lambda), over K (fCTM.jl:230-233)."""
+    return jax.nn.softmax(tau[..., None] * logbeta_d + lam[:, None, :], axis=-1)
+
+
+def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts, C,
+                 doc_mask, lam, lam_old, vsq, logzeta, tau, tau_old,
+                 viter, vtol, niter, ntol, V):
+    dtype = lam.dtype
+    eps = jnp.asarray(EPSILON, dtype)
+    logbeta_d = logbetaT[terms]    # log(beta+EPS) — @boink'd (fCTM.jl:232)
+    kappa_d = kappa_full[terms]
+    active0 = doc_mask > 0
+    isd = jnp.diagonal(invsigma)
+
+    def body(_, carry):
+        lam, lam_old, vsq, logzeta, tau, tau_old, active = carry
+        # update_phi! (fCTM.jl:230-233)
+        p = _phi(logbeta_d, tau, lam)
+        # update_tau! (fCTM.jl:221-226)
+        s = jnp.sum(p * logbeta_d, axis=-1)
+        tau_new = eta / (eta + (1.0 - eta) * kappa_d * jnp.exp(-s) + eps)
+        tau_old2 = jnp.where(active[:, None], tau, tau_old)
+        tau2 = jnp.where(active[:, None], tau_new, tau)
+        # update_logzeta! (fCTM.jl:215-217)
+        lz_new = logsumexp(lam + 0.5 * vsq, axis=-1)
+        logzeta2 = jnp.where(active, lz_new, logzeta)
+        # update_lambda! (fCTM.jl:175-188) — BEFORE vsq, unlike CTM
+        pc = jnp.einsum("bl,blk->bk", counts, p, preferred_element_type=dtype)
+        lam_new = ctm_lambda_newton(lam, vsq, logzeta2, pc, C, mu, invsigma,
+                                    active, niter, ntol)
+        lam_old2 = jnp.where(active[:, None], lam, lam_old)
+        lam2 = jnp.where(active[:, None], lam_new, lam)
+        # update_vsq! (fCTM.jl:192-211)
+        vsq2 = ctm_vsq_newton(lam2, vsq, logzeta2, C, isd, active, niter, ntol)
+        vsq2 = jnp.where(active[:, None], vsq2, vsq)
+        active2 = active & (l2norm(lam2 - lam_old2) >= vtol)
+        return lam2, lam_old2, vsq2, logzeta2, tau2, tau_old2, active2
+
+    lam, lam_old, vsq, logzeta, tau, tau_old, _ = jax.lax.fori_loop(
+        0, viter, body, (lam, lam_old, vsq, logzeta, tau, tau_old, active0)
+    )
+
+    # stats with last phi = f(beta, tau_old, lambda_old); beta weighted by
+    # tau·counts (fCTM.jl:168-171), kappa by (1-tau)·counts (fCTM.jl:154-157)
+    p = _phi(logbeta_d, tau_old, lam_old)
+    w_beta = p * (tau * counts)[..., None]
+    beta_temp = count_scatter(w_beta.reshape(-1, w_beta.shape[-1]), terms.reshape(-1), V)
+    w_kappa = ((1.0 - tau) * counts).reshape(-1, 1)
+    kappa_temp = count_scatter(w_kappa, terms.reshape(-1), V)[:, 0]
+    dm = doc_mask[:, None]
+    vsq_sum = jnp.sum(vsq * dm, axis=0)
+    lam_sum = jnp.sum(lam * dm, axis=0)
+    lam_outer = jnp.einsum("bi,bj->ij", lam * dm, lam)
+    return (lam, lam_old, vsq, logzeta, tau, tau_old,
+            beta_temp, kappa_temp, vsq_sum, lam_sum, lam_outer)
+
+
+def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
+              chunk_docs: int, axis_name: Optional[str] = None):
+    V = packed.V
+
+    def step(state: FCTMState, terms, counts, C, doc_mask, M_total):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.beta.dtype
+        logbetaT = jnp.log(state.beta + jnp.asarray(EPSILON, dt)).T
+
+        def scan_body(carry, xs):
+            bt, kt, vs, ls, lo = carry
+            t, c, cd, dm, la, lao, v, lz, ta, tao = xs
+            (la2, lao2, v2, lz2, ta2, tao2,
+             bti, kti, vsi, lsi, loi) = _estep_chunk(
+                logbetaT, state.kappa, state.eta, state.mu, state.invsigma,
+                t, c, cd, dm, la, lao, v, lz, ta, tao, viter, vtol, niter, ntol, V
+            )
+            return ((bt + bti, kt + kti, vs + vsi, ls + lsi, lo + loi),
+                    (la2, lao2, v2, lz2, ta2, tao2))
+
+        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+        (beta_temp, kappa_temp, vsq_sum, lam_sum, lam_outer), ys = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((V, K), dt), jnp.zeros((V,), dt), jnp.zeros((K,), dt),
+             jnp.zeros((K,), dt), jnp.zeros((K, K), dt)),
+            (sh(terms), sh(counts), sh(C), sh(doc_mask),
+             sh(state.lam), sh(state.lam_old), sh(state.vsq), sh(state.logzeta),
+             sh(state.tau), sh(state.tau_old)),
+        )
+        lam, lam_old, vsq, logzeta, tau, tau_old = ys
+        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
+        lam, lam_old, vsq = unsh(lam), unsh(lam_old), unsh(vsq)
+        logzeta, tau, tau_old = unsh(logzeta), unsh(tau), unsh(tau_old)
+
+        if axis_name is not None:
+            beta_temp = jax.lax.psum(beta_temp, axis_name)
+            kappa_temp = jax.lax.psum(kappa_temp, axis_name)
+            vsq_sum = jax.lax.psum(vsq_sum, axis_name)
+            lam_sum = jax.lax.psum(lam_sum, axis_name)
+            lam_outer = jax.lax.psum(lam_outer, axis_name)
+
+        beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+        kappa_new = kappa_temp / jnp.sum(kappa_temp)    # fCTM.jl:146-150
+        mu_old = state.mu
+        centered = (
+            lam_outer
+            - jnp.outer(mu_old, lam_sum) - jnp.outer(lam_sum, mu_old)
+            + M_total * jnp.outer(mu_old, mu_old)
+        )
+        sigma = (jnp.diag(vsq_sum) + centered) / M_total   # fCTM.jl:140-143
+        sigma = 0.5 * (sigma + sigma.T)
+        invsigma = jnp.linalg.inv(sigma)
+        invsigma = 0.5 * (invsigma + invsigma.T)
+        mu_new = lam_sum / M_total                          # fCTM.jl:134-136
+        # update_eta! deliberately NOT run (fCTM.jl:267)
+
+        return FCTMState(
+            eta=state.eta, mu=mu_new, sigma=sigma, invsigma=invsigma,
+            kappa=kappa_new, kappa_old=state.kappa,
+            beta=beta_new, beta_old=state.beta,
+            lam=lam, lam_old=lam_old, vsq=vsq, logzeta=logzeta,
+            tau=tau, tau_old=tau_old, elbo=state.elbo,
+        )
+
+    return step
+
+
+def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
+    """ELBO (fCTM.jl:67-124): phi from (tau_old, beta_old, lambda_old)."""
+    V = packed.V
+
+    def elbo(state: FCTMState, terms, counts, C, doc_mask):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.beta.dtype
+        eps = jnp.asarray(EPSILON, dt)
+        logbeta_oldT = jnp.log(state.beta_old + eps).T
+        logbetaT = jnp.log(state.beta + eps).T
+        logkappa = jnp.log(state.kappa + eps)
+        mu, invsigma, eta = state.mu, state.invsigma, state.eta
+        chol = jnp.linalg.cholesky(state.invsigma)
+        logdet_inv = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        log2pi = jnp.log(2.0 * jnp.pi)
+        isd = jnp.diagonal(invsigma)
+        log_eps = jnp.log(eps)
+
+        def scan_body(acc, xs):
+            t, c, cd, dm, la, lao, v, lz, ta, tao = xs
+            p = _phi(logbeta_oldT[t], tao, lao)
+            # Elogpeta (fCTM.jl:68-71)
+            diff = la - mu
+            quad = jnp.einsum("bi,ij,bj->b", diff, invsigma, diff)
+            e_peta = 0.5 * (logdet_inv - K * log2pi - jnp.sum(isd * v, -1) - quad)
+            # Elogpc (fCTM.jl:74-78)
+            tau_c = jnp.sum(ta * c, -1)
+            s = tau_c * jnp.log(eta + eps) + (cd - tau_c) * jnp.log(1.0 - eta + eps)
+            e_pc = jnp.logaddexp(s, log_eps)
+            # Elogpz (fCTM.jl:81-85)
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
+            bound = jnp.sum(jnp.exp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
+            e_pz = jnp.sum(pc * la, -1) - cd * bound
+            # Elogpw (fCTM.jl:88-92)
+            e_pw = jnp.sum(p * logbetaT[t] * (c * ta)[..., None], axis=(1, 2)) \
+                + jnp.sum(c * (1.0 - ta) * logkappa[t], axis=-1)
+            # −Elogqeta (fCTM.jl:95-98)
+            e_qeta = mvnormal_diag_entropy(v)
+            # −Elogqc (fCTM.jl:101-105)
+            e_qc = jnp.sum(bernoulli_entropy(ta) * c, axis=-1)
+            # −Elogqz (fCTM.jl:108-112)
+            e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
+            contrib = dm * (e_peta + e_pc + e_pz + e_pw + e_qeta + e_qc + e_qz)
+            return acc + jnp.sum(contrib), None
+
+        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+        total, _ = jax.lax.scan(
+            scan_body, jnp.zeros((), dt),
+            (sh(terms), sh(counts), sh(C), sh(doc_mask),
+             sh(state.lam), sh(state.lam_old), sh(state.vsq), sh(state.logzeta),
+             sh(state.tau), sh(state.tau_old)),
+        )
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
+        return total
+
+    return elbo
+
+
+def partition_spec(data_axis: str = "data"):
+    from jax.sharding import PartitionSpec as P
+
+    return FCTMState(
+        eta=P(), mu=P(), sigma=P(), invsigma=P(), kappa=P(), kappa_old=P(),
+        beta=P(), beta_old=P(),
+        lam=P(data_axis), lam_old=P(data_axis), vsq=P(data_axis),
+        logzeta=P(data_axis), tau=P(data_axis), tau_old=P(data_axis), elbo=P(),
+    )
