@@ -479,6 +479,228 @@ class FCTMOracle(CTMOracle):
         return elbos
 
 
+class CTPFOracle:
+    """Reference CPU CTPF (CTPF.jl), float64, per-doc sweep, with the
+    O(count) binomial-pdf ELBO terms computed exactly as the reference
+    does (CTPF.jl:116,127,138,180-195)."""
+
+    A = B = C = D = E = F = G = H = 0.1  # CTPF.jl:81
+
+    def __init__(self, docs, V, U, K, alef0):
+        """docs: list of (terms0, counts, readers0, ratings)."""
+        self.docs = [
+            (np.asarray(t, np.int64), np.asarray(c, np.float64),
+             np.asarray(r, np.int64), np.asarray(ra, np.float64))
+            for t, c, r, ra in docs
+        ]
+        self.M, self.V, self.U, self.K = len(docs), V, U, K
+        self.alef = np.asarray(alef0, np.float64).copy()
+        self.alef_old = self.alef.copy()
+        self.alef_temp = np.full((K, V), self.A)
+        self.he = np.ones((K, U))
+        self.he_old = self.he.copy()
+        self.he_temp = np.full((K, U), self.E)
+        self.bet = np.ones(K); self.bet_old = np.ones(K)
+        self.vav = np.ones(K); self.vav_old = np.ones(K)
+        self.gimel = [np.ones(K) for _ in range(self.M)]
+        self.gimel_old = [np.ones(K) for _ in range(self.M)]
+        self.zayin = [np.ones(K) for _ in range(self.M)]
+        self.zayin_old = [np.ones(K) for _ in range(self.M)]
+        self.dalet = np.ones(K); self.dalet_old = np.ones(K)
+        self.het = np.ones(K); self.het_old = np.ones(K)
+        self.phi = None
+        self.xi = None
+        self.elbo = 0.0
+
+    def _phi_of(self, d, gimel, dalet, bet, alef):
+        terms = self.docs[d][0]
+        x = digamma(gimel)[:, None] - np.log(dalet)[:, None] - np.log(bet)[:, None] \
+            + digamma(alef[:, terms])
+        return _softmax_cols(x)
+
+    def _xi_of(self, d, gimel, zayin, dalet, het, vav, he):
+        readers = self.docs[d][2]
+        top = digamma(gimel)[:, None] - np.log(dalet)[:, None] - np.log(vav)[:, None] \
+            + digamma(he[:, readers])
+        bot = digamma(zayin)[:, None] - np.log(het)[:, None] - np.log(vav)[:, None] \
+            + digamma(he[:, readers])
+        return _softmax_cols(np.vstack([top, bot]))
+
+    # update_xi! / update_phi! (CTPF.jl:327-337)
+    def update_xi(self, d):
+        self.xi = self._xi_of(d, self.gimel[d], self.zayin[d], self.dalet,
+                              self.het, self.vav, self.he)
+
+    def update_phi(self, d):
+        self.phi = self._phi_of(d, self.gimel[d], self.dalet, self.bet, self.alef)
+
+    # update_zayin! / update_gimel! (CTPF.jl:309-323)
+    def update_zayin(self, d):
+        self.zayin_old[d] = self.zayin[d]
+        ratings = self.docs[d][3]
+        self.zayin[d] = self.G + self.xi[self.K:, :] @ ratings
+
+    def update_gimel(self, d):
+        self.gimel_old[d] = self.gimel[d]
+        counts, ratings = self.docs[d][1], self.docs[d][3]
+        self.gimel[d] = self.C + self.phi @ counts + self.xi[: self.K, :] @ ratings
+
+    # streaming stats (CTPF.jl:259-277) with last phi/xi = f(*_old)
+    def accum(self, d):
+        terms, counts, readers, ratings = self.docs[d]
+        phi = self._phi_of(d, self.gimel_old[d], self.dalet, self.bet, self.alef)
+        xi = self._xi_of(d, self.gimel_old[d], self.zayin_old[d], self.dalet,
+                         self.het, self.vav, self.he)
+        np.add.at(self.alef_temp, (slice(None), terms), phi * counts[None, :])
+        if self.U > 0:
+            np.add.at(self.he_temp, (slice(None), readers),
+                      (xi[: self.K, :] + xi[self.K:, :]) * ratings[None, :])
+
+    # global updates, reference order (CTPF.jl:366-371)
+    def global_updates(self):
+        self.he_old = self.he
+        self.he = self.he_temp
+        self.he_temp = np.full((self.K, self.U), self.E)
+        self.alef_old = self.alef
+        self.alef = self.alef_temp
+        self.alef_temp = np.full((self.K, self.V), self.A)
+        he_sum = self.he.sum(axis=1) if self.U > 0 else np.zeros(self.K)
+        self.dalet_old = self.dalet
+        self.dalet = self.D + self.alef.sum(axis=1) / self.bet + he_sum / self.vav
+        self.het_old = self.het
+        self.het = self.H + he_sum / self.vav
+        gimel_sum = np.sum(self.gimel, axis=0)
+        zayin_sum = np.sum(self.zayin, axis=0)
+        self.bet_old = self.bet
+        self.bet = self.B + gimel_sum / self.dalet
+        self.vav_old = self.vav
+        self.vav = self.F + gimel_sum / self.dalet + zayin_sum / self.het
+
+    @staticmethod
+    def _Elgamma_binom(n, p):
+        """Σ_y pdf(Binom(n,p), y)·lnΓ(y+1), reference's exact term."""
+        from scipy.stats import binom as sbinom
+
+        n = int(n)
+        ys = np.arange(n + 1)
+        return float(sbinom.pmf(ys, n, p) @ gammaln(ys + 1.0))
+
+    def update_elbo(self):
+        # Elogpbeta − Elogqbeta (CTPF.jl:144-150, 198-204)
+        dg_alef = digamma(self.alef)
+        e_pbeta = self.V * self.K * (self.A * np.log(self.B) - gammaln(self.A)) \
+            + np.sum((self.A - 1) * (dg_alef - np.log(self.bet)[:, None])
+                     - self.B * self.alef / self.bet[:, None])
+        ent_beta = np.sum(
+            self.alef - np.log(self.bet)[:, None] + gammaln(self.alef)
+            + (1 - self.alef) * dg_alef
+        )
+        total = e_pbeta + ent_beta
+        if self.U > 0:
+            dg_he = digamma(self.he)
+            e_peta = self.U * self.K * (self.E * np.log(self.F) - gammaln(self.E)) \
+                + np.sum((self.E - 1) * (dg_he - np.log(self.vav)[:, None])
+                         - self.F * self.he / self.vav[:, None])
+            ent_eta = np.sum(
+                self.he - np.log(self.vav)[:, None] + gammaln(self.he)
+                + (1 - self.he) * dg_he
+            )
+            total += e_peta + ent_eta
+
+        he_sum = self.he.sum(axis=1) if self.U > 0 else np.zeros(self.K)
+        alef_sum = self.alef.sum(axis=1)
+        for d in range(self.M):
+            terms, counts, readers, ratings = self.docs[d]
+            phi = self._phi_of(d, self.gimel_old[d], self.dalet_old, self.bet_old,
+                               self.alef_old)
+            xi = self._xi_of(d, self.gimel_old[d], self.zayin_old[d], self.dalet_old,
+                             self.het_old, self.vav_old, self.he_old)
+            gi, za = self.gimel[d], self.zayin[d]
+            dg_gi, dg_za = digamma(gi), digamma(za)
+
+            # Elogpya (CTPF.jl:111-119)
+            x = -np.dot(gi / (self.dalet * self.vav), he_sum)
+            for u, (re, ra) in enumerate(zip(readers, ratings)):
+                for i in range(self.K):
+                    x += ra * xi[i, u] * (dg_gi[i] - np.log(self.dalet[i])
+                                          + digamma(self.he[i, re]) - np.log(self.vav[i]))
+                    x -= self._Elgamma_binom(ra, xi[i, u])
+            total += x
+            # Elogpyb (CTPF.jl:122-130)
+            x = -np.dot(za / (self.het * self.vav), he_sum)
+            for u, (re, ra) in enumerate(zip(readers, ratings)):
+                for i in range(self.K):
+                    x += ra * xi[self.K + i, u] * (
+                        dg_za[i] - np.log(self.het[i])
+                        + digamma(self.he[i, re]) - np.log(self.vav[i])
+                    )
+                    x -= self._Elgamma_binom(ra, xi[self.K + i, u])
+            total += x
+            # Elogpz (CTPF.jl:133-141)
+            x = -np.dot(gi / (self.dalet * self.bet), alef_sum)
+            for n, (j, cc) in enumerate(zip(terms, counts)):
+                for i in range(self.K):
+                    x += cc * phi[i, n] * (dg_gi[i] - np.log(self.dalet[i])
+                                           + digamma(self.alef[i, j]) - np.log(self.bet[i]))
+                    x -= self._Elgamma_binom(cc, phi[i, n])
+            total += x
+            # Elogptheta − Elogqtheta (CTPF.jl:153-159, 207-213)
+            total += self.K * (self.C * np.log(self.D) - gammaln(self.C)) \
+                + np.sum((self.C - 1) * (dg_gi - np.log(self.dalet))
+                         - self.D * gi / self.dalet)
+            total += np.sum(gi - np.log(self.dalet) + gammaln(gi) + (1 - gi) * dg_gi)
+            # Elogpepsilon − Elogqepsilon (CTPF.jl:171-177, 225-231)
+            total += self.K * (self.G * np.log(self.H) - gammaln(self.G)) \
+                + np.sum((self.G - 1) * (dg_za - np.log(self.het))
+                         - self.H * za / self.het)
+            total += np.sum(za - np.log(self.het) + gammaln(za) + (1 - za) * dg_za)
+            # −Elogqy (CTPF.jl:180-186): exact multinomial entropy
+            for u, ra in enumerate(ratings):
+                hh = -gammaln(ra + 1.0)
+                for i in range(2 * self.K):
+                    hh += self._Elgamma_binom(ra, xi[i, u])
+                pl = np.where(xi[:, u] > 0, xi[:, u] * np.log(np.where(xi[:, u] > 0, xi[:, u], 1.0)), 0.0)
+                hh -= ra * pl.sum()
+                total += hh
+            # −Elogqz (CTPF.jl:189-195)
+            for n, cc in enumerate(counts):
+                hh = -gammaln(cc + 1.0)
+                for i in range(self.K):
+                    hh += self._Elgamma_binom(cc, phi[i, n])
+                pl = np.where(phi[:, n] > 0, phi[:, n] * np.log(np.where(phi[:, n] > 0, phi[:, n], 1.0)), 0.0)
+                hh -= cc * pl.sum()
+                total += hh
+        self.elbo = total
+        return total
+
+    # train! (CTPF.jl:344-376)
+    def train(self, iters, viter=10, vtol=None, with_elbo=True):
+        vtol = 1.0 / self.K**2 if vtol is None else vtol
+        elbos = []
+        for _ in range(iters):
+            for d in range(self.M):
+                for _v in range(viter):
+                    self.update_xi(d)
+                    self.update_phi(d)
+                    self.update_zayin(d)
+                    self.update_gimel(d)
+                    if np.linalg.norm(self.gimel[d] - self.gimel_old[d]) < vtol:
+                        break
+                self.accum(d)
+            self.global_updates()
+            if with_elbo:
+                elbos.append(self.update_elbo())
+        return elbos
+
+
+def ctpf_docs_from_corpus(corp):
+    return [
+        (np.asarray(doc.terms, np.int64) - 1, np.asarray(doc.counts, np.float64),
+         np.asarray(doc.readers, np.int64) - 1, np.asarray(doc.ratings, np.float64))
+        for doc in corp.docs
+    ]
+
+
 def docs_from_corpus(corp):
     return [
         (np.asarray(doc.terms, np.int64) - 1, np.asarray(doc.counts, np.float64))

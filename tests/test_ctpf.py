@@ -1,0 +1,146 @@
+"""CTPF correctness: oracle parity (including the ELBO
+binomial-cancellation identity), recommender outputs, degenerate paths."""
+
+import numpy as np
+
+import topicmodelsvb_jl_tpu as tm
+from topicmodelsvb_jl_tpu.api import CTPF
+from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+
+from oracle import CTPFOracle, ctpf_docs_from_corpus
+
+
+def _make(corp, K, dtype="float64", chunk=8, seed=3, n_devices=None):
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices=n_devices)
+    rt = RuntimeConfig(chunk_docs=chunk, dtype=dtype, pad_multiple=8)
+    return CTPF(corp, K, runtime=rt, mesh=mesh, seed=seed)
+
+
+def test_ctpf_matches_cpu_oracle(reader_corpus):
+    """Parity with the float64 transliteration — including the ELBO, which
+    proves the E[lnΓ(y+1)] cancellation used on device equals the
+    reference's explicit binomial-pdf sums."""
+    K, iters = 3, 3
+    model = _make(reader_corpus, K)
+    alef0 = np.asarray(model.state.alef, np.float64)
+
+    M, V, U = reader_corpus.shape
+    oracle = CTPFOracle(ctpf_docs_from_corpus(reader_corpus), V=V, U=U, K=K,
+                        alef0=alef0)
+    oracle_elbos = oracle.train(iters)
+
+    model.train(iter=iters, checkelbo=1, printelbo=False)
+
+    np.testing.assert_allclose(model.alef, oracle.alef, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(model.he, oracle.he, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(model.bet, oracle.bet, rtol=1e-7)
+    np.testing.assert_allclose(model.vav, oracle.vav, rtol=1e-7)
+    np.testing.assert_allclose(model.dalet, oracle.dalet, rtol=1e-7)
+    np.testing.assert_allclose(model.het, oracle.het, rtol=1e-7)
+    np.testing.assert_allclose(model.gimel, np.stack(oracle.gimel), rtol=1e-6)
+    np.testing.assert_allclose(model.zayin, np.stack(oracle.zayin), rtol=1e-6)
+    traced = [r.elbo for r in model.trainer.trace if r.elbo is not None]
+    np.testing.assert_allclose(traced, oracle_elbos, rtol=1e-7)
+
+
+def test_ctpf_elbo_monotone(reader_corpus):
+    model = _make(reader_corpus, K=4)
+    model.train(iter=10, checkelbo=1, printelbo=False)
+    deltas = [r.delta_elbo for r in model.trainer.trace if r.delta_elbo is not None]
+    assert all(d > -1e-6 for d in deltas[1:])
+
+
+def test_ctpf_shard_equivalence(reader_corpus):
+    m1 = _make(reader_corpus, K=3, n_devices=1)
+    m8 = _make(reader_corpus, K=3, n_devices=8)
+    m1.train(iter=3, checkelbo=1, printelbo=False)
+    m8.train(iter=3, checkelbo=1, printelbo=False)
+    np.testing.assert_allclose(m1.alef, m8.alef, rtol=1e-9)
+    np.testing.assert_allclose(m1.he, m8.he, rtol=1e-9)
+    np.testing.assert_allclose(m1.elbo, m8.elbo, rtol=1e-9)
+
+
+def test_ctpf_recommender_outputs(reader_corpus):
+    model = _make(reader_corpus, K=3)
+    model.train(iter=5, checkelbo=np.inf, printelbo=False)
+    M, V, U = reader_corpus.shape
+    assert model.scores.shape == (M, U)
+    # drecs/urecs are permutations of the non-reader/non-lib complements
+    for d, doc in enumerate(reader_corpus.docs):
+        assert sorted(model.drecs[d]) == sorted(
+            set(range(1, U + 1)) - set(doc.readers)
+        )
+        # ranked descending by score
+        s = model.scores[d, np.array(model.drecs[d]) - 1]
+        assert np.all(np.diff(s) <= 1e-12)
+    for u in range(U):
+        assert sorted(model.urecs[u]) == sorted(
+            set(range(1, M + 1)) - set(model.libs[u])
+        )
+    # libs invert readers
+    for d, doc in enumerate(reader_corpus.docs, start=1):
+        for u in doc.readers:
+            assert d in model.libs[u - 1]
+
+
+def _structured_reader_corpus(n_groups=3, docs_per_group=12, users_per_group=6,
+                              V=30, seed=2):
+    """Planted collaborative structure: group-g users read group-g docs."""
+    rng = np.random.default_rng(seed)
+    docs = []
+    U = n_groups * users_per_group
+    for gidx in range(n_groups):
+        for _ in range(docs_per_group):
+            ids = rng.choice(V // n_groups, size=6, replace=False) + gidx * (V // n_groups) + 1
+            readers = rng.choice(users_per_group, size=4, replace=False) + gidx * users_per_group + 1
+            docs.append(tm.Document(
+                terms=ids.tolist(), counts=(1 + rng.poisson(1.0, 6)).tolist(),
+                readers=readers.tolist(), ratings=[1] * 4,
+            ))
+    vocab = {j + 1: f"t{j + 1}" for j in range(V)}
+    users = {u + 1: f"u{u + 1}" for u in range(U)}
+    return tm.Corpus(docs=docs, vocab=vocab, users=users)
+
+
+def test_ctpf_heldout_reader_rank():
+    """Leave-one-reader-out quality gate (reference README.md:512-560):
+    the held-out reader should rank well among non-readers when the
+    corpus has real collaborative structure."""
+    corp = _structured_reader_corpus()
+    held = []
+    for d, doc in enumerate(corp.docs):
+        if len(doc.readers) >= 2:
+            held.append((d, doc.readers.pop()))
+            doc.ratings.pop()
+    assert held
+    model = _make(corp, K=4)
+    model.train(iter=30, checkelbo=np.inf, printelbo=False)
+    ranks = []
+    for d, u in held:
+        recs = model.drecs[d]
+        ranks.append(recs.index(u) / max(len(recs) - 1, 1))
+    # mean normalized rank must beat random (0.5) decisively
+    assert np.mean(ranks) < 0.25, np.mean(ranks)
+
+
+def test_ctpf_no_users_degenerate(tiny_corpus):
+    """U==0 corpus: CTPF degrades to Poisson LDA (guards at
+    modelutils.jl:483-493, gpuCTPF.jl:448,666)."""
+    model = _make(tiny_corpus, K=3)
+    model.train(iter=3, checkelbo=1, printelbo=False)
+    assert np.isfinite(model.elbo)
+    assert model.scores.shape == (len(tiny_corpus), 0)
+    assert np.all(model.alef > 0)
+
+
+def test_ctpf_show_smoke(reader_corpus, capsys):
+    model = _make(reader_corpus, K=3)
+    model.train(iter=2, checkelbo=np.inf, printelbo=False)
+    model.showlibs(1)
+    model.showdrecs(1, U=3)
+    model.showurecs(1, M=3)
+    model.showtopics(V=3, cols=3)
+    out = capsys.readouterr().out
+    assert "User 1" in out and "Document" in out and "topic 1" in out

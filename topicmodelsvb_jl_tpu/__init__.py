@@ -18,7 +18,7 @@ from .corpus import (
 from .datasets import load_citeu, load_nsf, load_stopwords, synth_corpus
 from .utils.config import RuntimeConfig, TrainConfig
 
-from .api import LDA, TopicModel, TopicModelError, fLDA
+from .api import CTM, CTPF, LDA, TopicModel, TopicModelError, fCTM, fLDA
 
 __version__ = "0.1.0"
 
@@ -27,5 +27,6 @@ __all__ = [
     "readcorp", "writecorp", "fixcorp", "check_corp", "check_doc",
     "showdocs", "showtitles", "getvocab", "getusers",
     "load_nsf", "load_citeu", "load_stopwords", "synth_corpus",
-    "LDA", "fLDA", "TopicModel", "TrainConfig", "RuntimeConfig",
+    "LDA", "fLDA", "CTM", "fCTM", "CTPF", "TopicModel",
+    "TrainConfig", "RuntimeConfig",
 ]

@@ -24,6 +24,7 @@ from . import corpus as corpuslib
 from .corpus import Corpus, CorpusError
 from .engine import Trainer
 from .models import ctm as ctm_mod
+from .models import ctpf as ctpf_mod
 from .models import fctm as fctm_mod
 from .models import flda as flda_mod
 from .models import lda as lda_mod
@@ -446,3 +447,204 @@ class fLDA(TopicModel):
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         g = np.asarray(self.state.gamma)[rows]
         return g / g.sum(axis=-1, keepdims=True)
+
+
+class CTPF(TopicModel):
+    """Collaborative topic Poisson factorization (reference src/CTPF.jl).
+
+    Adds the recommender surface: user libraries (``libs``), ranked
+    per-document user recommendations (``drecs``) and per-user document
+    recommendations (``urecs``), with ``showlibs``/``showdrecs``/
+    ``showurecs`` displays (reference CTPF.jl:62-79, 377-400;
+    modelutils.jl:691-824).
+    """
+
+    _uses_readers = True
+
+    def __init__(self, corp, K, runtime=None, mesh=None, seed: int = 0):
+        super().__init__(corp, K, runtime=runtime, mesh=mesh, seed=seed)
+        self.R = [len(doc.readers) for doc in self.corp.docs]
+        # user libraries (CTPF.jl:62-65), 1-based doc indices
+        self.libs = [[] for _ in range(self.U)]
+        for d, doc in enumerate(self.corp.docs, start=1):
+            for u in doc.readers:
+                self.libs[u - 1].append(d)
+        self.scores = np.zeros((self.M, self.U))
+        # pre-training recs default to unranked complements (CTPF.jl:67-79)
+        self.urecs = [
+            [d for d in range(1, self.M + 1) if d not in set(self.libs[u])]
+            for u in range(self.U)
+        ]
+        self.drecs = [
+            [u for u in range(1, self.U + 1) if u not in set(doc.readers)]
+            for doc in self.corp.docs
+        ]
+
+    def __repr__(self):
+        return f"Collaborative topic Poisson factorization model with {self.K} topics."
+
+    def _init_state(self):
+        self.state = ctpf_mod.init(self.key, self.packed, self.K, self.dtype)
+
+    def _build_trainer(self, cfg: TrainConfig) -> Trainer:
+        p = self.packed
+        step_local = ctpf_mod.make_step(
+            p, self.K, viter=cfg.viter, vtol=cfg.vtol,
+            chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis,
+        )
+        elbo_local = ctpf_mod.make_elbo(
+            p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
+        )
+        spec = ctpf_mod.partition_spec(self.runtime.data_axis)
+        from jax.sharding import PartitionSpec as P
+
+        step = dp_jit(step_local, self.mesh, spec, n_data_args=5, n_repl_args=0,
+                      data_axis=self.runtime.data_axis)
+        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=5, out_spec=P(),
+                      data_axis=self.runtime.data_axis)
+        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                jnp.asarray(p.readers), jnp.asarray(p.ratings),
+                jnp.asarray(p.doc_mask))
+        return Trainer(step, elbo, arrs, arrs, M=self.M)
+
+    def train(self, iter: int = 150, tol: float = 1.0, viter: int = 10,
+              vtol: Optional[float] = None, checkelbo: float = 1,
+              printelbo: bool = True):
+        """train! (CTPF.jl:344-376) — no niter/ntol (no Newton steps)."""
+        return super().train(iter=iter, tol=tol, viter=viter, vtol=vtol,
+                             checkelbo=checkelbo, printelbo=printelbo)
+
+    def _topic_word_matrix(self) -> np.ndarray:
+        # Ebeta = alef ./ bet (CTPF.jl:378)
+        return np.asarray(self.state.alef) / np.asarray(self.state.bet)[:, None]
+
+    def _finalize(self):
+        super()._finalize()
+        # scores + ranked recs (CTPF.jl:381-400)
+        s = np.asarray(ctpf_mod.scores(self.state))[: self.M, : self.U]
+        self.scores = s
+        self.urecs = []
+        for u in range(self.U):
+            lib = set(self.libs[u])
+            cand = np.array([d for d in range(1, self.M + 1) if d not in lib], dtype=np.int64)
+            order = np.argsort(s[cand - 1, u], kind="stable")[::-1]
+            self.urecs.append(cand[order].tolist())
+        self.drecs = []
+        for d, doc in enumerate(self.corp.docs):
+            readers = set(doc.readers)
+            cand = np.array([u for u in range(1, self.U + 1) if u not in readers], dtype=np.int64)
+            order = np.argsort(s[d, cand - 1], kind="stable")[::-1]
+            self.drecs.append(cand[order].tolist())
+
+    # ── Hebrew-letter parameter accessors ──
+    @property
+    def alef(self) -> np.ndarray:
+        return np.asarray(self.state.alef)
+
+    @property
+    def bet(self) -> np.ndarray:
+        return np.asarray(self.state.bet)
+
+    @property
+    def gimel(self) -> np.ndarray:
+        return np.asarray(self.state.gimel)[: self.M]
+
+    @property
+    def dalet(self) -> np.ndarray:
+        return np.asarray(self.state.dalet)
+
+    @property
+    def he(self) -> np.ndarray:
+        return np.asarray(self.state.he)[:, : self.U]
+
+    @property
+    def vav(self) -> np.ndarray:
+        return np.asarray(self.state.vav)
+
+    @property
+    def zayin(self) -> np.ndarray:
+        return np.asarray(self.state.zayin)[: self.M]
+
+    @property
+    def het(self) -> np.ndarray:
+        return np.asarray(self.state.het)
+
+    def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
+        g = np.asarray(self.state.gimel)[rows]
+        return g / g.sum(axis=-1, keepdims=True)
+
+    # ── recommender displays (modelutils.jl:691-824) ──
+    def showlibs(self, users=None):
+        from .utils.display import bullet, juliadots
+
+        if users is None:
+            users = range(1, self.U + 1)
+        if isinstance(users, int):
+            users = [users]
+        users = list(users)
+        if not all(1 <= u <= self.U for u in users):
+            raise ValueError("some user indices are outside range.")
+        for n, u in enumerate(users):
+            if not self.libs[u - 1]:
+                continue
+            juliadots(f"User {u}\n")
+            name = self.corp.users.get(u, "")
+            if name and not name.startswith("#user"):
+                juliadots(f"{name}\n")
+            for d in self.libs[u - 1]:
+                title = self.corp.docs[d - 1].title or f"Document {d}"
+                bullet(title)
+            if n < len(users) - 1:
+                print()
+
+    def showdrecs(self, docs=None, U: int = 15):
+        """Top U user recommendations per document (modelutils.jl:729-770)."""
+        from .utils.display import juliadots
+
+        if U <= 0:
+            raise ValueError("number of displayed users must be a positive integer.")
+        if docs is None:
+            docs = range(1, self.M + 1)
+        if isinstance(docs, int):
+            docs = [docs]
+        docs = list(docs)
+        if not all(1 <= d <= self.M for d in docs):
+            raise ValueError("some document indices are outside range.")
+        U = min(U, self.U)
+        for n, d in enumerate(docs):
+            if not self.drecs[d - 1]:
+                continue
+            juliadots(f"Document {d}\n")
+            if self.corp.docs[d - 1].title:
+                juliadots(f"{self.corp.docs[d - 1].title}\n")
+            for rank, u in enumerate(self.drecs[d - 1][:U], start=1):
+                print(f"{rank}. {self.corp.users.get(u, f'#user{u}')}")
+            if n < len(docs) - 1:
+                print()
+
+    def showurecs(self, users=None, M: int = 15):
+        """Top M document recommendations per user (modelutils.jl:777-821)."""
+        from .utils.display import juliadots
+
+        if M <= 0:
+            raise ValueError("number of displayed documents must be a positive integer.")
+        if users is None:
+            users = range(1, self.U + 1)
+        if isinstance(users, int):
+            users = [users]
+        users = list(users)
+        if not all(1 <= u <= self.U for u in users):
+            raise ValueError("some user indices are outside range.")
+        M = min(M, self.M)
+        for n, u in enumerate(users):
+            if not self.urecs[u - 1]:
+                continue
+            juliadots(f"User {u}\n")
+            name = self.corp.users.get(u, "")
+            if name and not name.startswith("#user"):
+                juliadots(f"{name}\n")
+            for rank, d in enumerate(self.urecs[u - 1][:M], start=1):
+                title = self.corp.docs[d - 1].title or f"Document {d}"
+                print(f"{rank}. {title}")
+            if n < len(users) - 1:
+                print()

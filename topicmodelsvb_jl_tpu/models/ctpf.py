@@ -1,0 +1,366 @@
+"""Collaborative topic Poisson factorization — batch-synchronous CAVI on TPU.
+
+TPU-native redesign of the reference CTPF (``src/CTPF.jl``,
+Gopalan/Charlin/Blei) and its OpenCL twin (``src/gpuCTPF.jl``, 12
+kernels — one per Hebrew-letter Gamma variational parameter plus the
+phi/xi softmaxes).  Document content (terms) and user behavior
+(readers/ratings) are fused: Gamma posteriors alef/bet (topic-word),
+gimel/dalet (doc-topic), he/vav (user-pref), zayin/het (doc-offset),
+multinomial responsibilities phi [K per token] and xi [2K per rating,
+stacking content vs offset halves, CTPF.jl:102].
+
+Design notes vs the reference:
+
+* phi and xi are recomputed inside the fused chunk body, never stored
+  (the reference's warm-start identity, modelutils.jl:231-240).
+* The alef/he scatters (CTPF.jl:259-262, 274-277) are deterministic
+  segment-sums over vocab/user ids.
+* **ELBO without the O(count) binomial sums**: the reference evaluates
+  Σ_y pdf(Binom(c, φ), y)·lnΓ(y+1) per token/rating inside Elogpz /
+  Elogpya / Elogpyb (CTPF.jl:116,127,138) *and* the exact multinomial
+  entropies in Elogqz/Elogqy (CTPF.jl:180-195).  These E[lnΓ(y_i+1)]
+  terms cancel exactly: for y ~ Mult(n, p),
+  H = −lnΓ(n+1) + Σ_i E[lnΓ(y_i+1)] − n·Σ_i p_i·ln p_i, so
+  (Elogp − Elogq) keeps only −lnΓ(n+1) − n·Σ p ln p plus the linear
+  terms.  The device ELBO is closed-form; equality with the
+  transliterated reference form is proven in tests/test_ctpf.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import count_scatter
+from ..utils.numerics import digamma, gamma_entropy, l2norm, lgamma
+
+# Gamma hyperpriors a..h = 0.1 (CTPF.jl:81)
+HYPER = dict(a=0.1, b=0.1, c=0.1, d=0.1, e=0.1, f=0.1, g=0.1, h=0.1)
+
+
+class CTPFState(NamedTuple):
+    alef: jax.Array       # [K, V]
+    alef_old: jax.Array
+    bet: jax.Array        # [K]
+    bet_old: jax.Array
+    gimel: jax.Array      # [M_pad, K]
+    gimel_old: jax.Array
+    dalet: jax.Array      # [K]
+    dalet_old: jax.Array
+    he: jax.Array         # [K, U_seg]
+    he_old: jax.Array
+    vav: jax.Array        # [K]
+    vav_old: jax.Array
+    zayin: jax.Array      # [M_pad, K]
+    zayin_old: jax.Array
+    het: jax.Array        # [K]
+    het_old: jax.Array
+    elbo: jax.Array
+
+
+def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> CTPFState:
+    """Constructor state (reference CTPF.jl:81-103)."""
+    M_pad, V = packed.M_pad, packed.V
+    U_seg = max(packed.U, 1)
+    alef = jnp.exp(
+        jax.random.dirichlet(key, jnp.ones((V,), jnp.float32), shape=(K,)) - 0.5
+    ).astype(dtype)
+    ones_k = jnp.ones((K,), dtype)
+    return CTPFState(
+        alef=alef, alef_old=alef,
+        bet=ones_k, bet_old=ones_k,
+        gimel=jnp.ones((M_pad, K), dtype), gimel_old=jnp.ones((M_pad, K), dtype),
+        dalet=ones_k, dalet_old=ones_k,
+        he=jnp.ones((K, U_seg), dtype), he_old=jnp.ones((K, U_seg), dtype),
+        vav=ones_k, vav_old=ones_k,
+        zayin=jnp.ones((M_pad, K), dtype), zayin_old=jnp.ones((M_pad, K), dtype),
+        het=ones_k, het_old=ones_k,
+        elbo=jnp.zeros((), dtype),
+    )
+
+
+def _phi(dg_alef_d, dg_gimel, log_dalet, log_bet):
+    """phi ∝ exp(ψ(gimel) − log dalet − log bet + ψ(alef[:,terms])), over K
+    (CTPF.jl:327-330)."""
+    return jax.nn.softmax(
+        dg_alef_d + (dg_gimel - log_dalet - log_bet)[:, None, :], axis=-1
+    )
+
+
+def _xi(dg_he_d, dg_gimel, dg_zayin, log_dalet, log_het, log_vav):
+    """xi ∝ softmax over 2K of stacked content/offset halves (CTPF.jl:334-337).
+
+    Returns ([B,R,K] top, [B,R,K] bottom)."""
+    top = dg_he_d + (dg_gimel - log_dalet - log_vav)[:, None, :]
+    bot = dg_he_d + (dg_zayin - log_het - log_vav)[:, None, :]
+    m = jnp.maximum(jnp.max(top, -1, keepdims=True), jnp.max(bot, -1, keepdims=True))
+    et, eb = jnp.exp(top - m), jnp.exp(bot - m)
+    z = jnp.sum(et, -1, keepdims=True) + jnp.sum(eb, -1, keepdims=True)
+    return et / z, eb / z
+
+
+def _estep_chunk(dg_alefT, dg_heT, log_bet, log_vav,
+                 c_hyper, g_hyper, terms, counts, readers, ratings, doc_mask,
+                 gimel, gimel_old, zayin, zayin_old, viter, vtol, V, U_seg,
+                 dalet, het):
+    dtype = gimel.dtype
+    dg_alef_d = dg_alefT[terms]      # [B, L, K]
+    dg_he_d = dg_heT[readers]        # [B, R, K]
+    log_dalet = jnp.log(dalet)
+    log_het = jnp.log(het)
+    active0 = doc_mask > 0
+
+    def body(_, carry):
+        gimel, gimel_old, zayin, zayin_old, active = carry
+        dg_gimel = digamma(gimel)
+        dg_zayin = digamma(zayin)
+        # update_xi! then update_phi! (CTPF.jl:355-356)
+        xi_top, xi_bot = _xi(dg_he_d, dg_gimel, dg_zayin,
+                             log_dalet[None, :], log_het[None, :], log_vav[None, :])
+        p = _phi(dg_alef_d, dg_gimel, log_dalet[None, :], log_bet[None, :])
+        # update_zayin! (CTPF.jl:318-323): zayin = g + xi_bot @ ratings
+        zayin_new = g_hyper + jnp.einsum(
+            "br,brk->bk", ratings, xi_bot, preferred_element_type=dtype
+        )
+        # update_gimel! (CTPF.jl:309-314): gimel = c + phi@counts + xi_top@ratings
+        gimel_new = c_hyper + jnp.einsum(
+            "bl,blk->bk", counts, p, preferred_element_type=dtype
+        ) + jnp.einsum("br,brk->bk", ratings, xi_top, preferred_element_type=dtype)
+        upd = active[:, None]
+        zayin_old2 = jnp.where(upd, zayin, zayin_old)
+        zayin2 = jnp.where(upd, zayin_new, zayin)
+        gimel_old2 = jnp.where(upd, gimel, gimel_old)
+        gimel2 = jnp.where(upd, gimel_new, gimel)
+        # break: ‖gimel − gimel_old‖ < vtol (CTPF.jl:359)
+        active2 = active & (l2norm(gimel2 - gimel_old2) >= vtol)
+        return gimel2, gimel_old2, zayin2, zayin_old2, active2
+
+    gimel, gimel_old, zayin, zayin_old, _ = jax.lax.fori_loop(
+        0, viter, body, (gimel, gimel_old, zayin, zayin_old, active0)
+    )
+
+    # stats with the last phi/xi = f(gimel_old, zayin_old) (CTPF.jl:259-277)
+    dg_gimel_o = digamma(gimel_old)
+    dg_zayin_o = digamma(zayin_old)
+    p = _phi(dg_alef_d, dg_gimel_o, log_dalet[None, :], log_bet[None, :])
+    xi_top, xi_bot = _xi(dg_he_d, dg_gimel_o, dg_zayin_o,
+                         log_dalet[None, :], log_het[None, :], log_vav[None, :])
+    w_alef = p * counts[..., None]
+    alef_temp = count_scatter(w_alef.reshape(-1, w_alef.shape[-1]), terms.reshape(-1), V)
+    w_he = (xi_top + xi_bot) * ratings[..., None]
+    he_temp = count_scatter(w_he.reshape(-1, w_he.shape[-1]), readers.reshape(-1), U_seg)
+    dm = doc_mask[:, None]
+    gimel_sum = jnp.sum(gimel * dm, axis=0)
+    zayin_sum = jnp.sum(zayin * dm, axis=0)
+    return gimel, gimel_old, zayin, zayin_old, alef_temp, he_temp, gimel_sum, zayin_sum
+
+
+def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
+              axis_name: Optional[str] = None, hyper: dict = HYPER):
+    V = packed.V
+    U = packed.U
+    U_seg = max(U, 1)
+    a, b, c, d = hyper["a"], hyper["b"], hyper["c"], hyper["d"]
+    e, f, g, h = hyper["e"], hyper["f"], hyper["g"], hyper["h"]
+
+    def step(state: CTPFState, terms, counts, readers, ratings, doc_mask):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.alef.dtype
+        dg_alefT = digamma(state.alef).T       # [V, K]
+        dg_heT = digamma(state.he).T           # [U_seg, K]
+        log_bet = jnp.log(state.bet)
+        log_vav = jnp.log(state.vav)
+
+        def scan_body(carry, xs):
+            at, ht, gs, zs = carry
+            t, cnt, rd, rt, dm, gi, gio, za, zao = xs
+            gi2, gio2, za2, zao2, ati, hti, gsi, zsi = _estep_chunk(
+                dg_alefT, dg_heT, log_bet, log_vav,
+                c, g, t, cnt, rd, rt, dm, gi, gio, za, zao,
+                viter, vtol, V, U_seg, state.dalet, state.het,
+            )
+            return (at + ati, ht + hti, gs + gsi, zs + zsi), (gi2, gio2, za2, zao2)
+
+        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+        (alef_temp, he_temp, gimel_sum, zayin_sum), ys = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((V, K), dt), jnp.zeros((U_seg, K), dt),
+             jnp.zeros((K,), dt), jnp.zeros((K,), dt)),
+            (sh(terms), sh(counts), sh(readers), sh(ratings), sh(doc_mask),
+             sh(state.gimel), sh(state.gimel_old),
+             sh(state.zayin), sh(state.zayin_old)),
+        )
+        gimel, gimel_old, zayin, zayin_old = ys
+        unsh = lambda x: x.reshape((M_pad,) + x.shape[2:])
+        gimel, gimel_old = unsh(gimel), unsh(gimel_old)
+        zayin, zayin_old = unsh(zayin), unsh(zayin_old)
+
+        if axis_name is not None:
+            alef_temp = jax.lax.psum(alef_temp, axis_name)
+            he_temp = jax.lax.psum(he_temp, axis_name)
+            gimel_sum = jax.lax.psum(gimel_sum, axis_name)
+            zayin_sum = jax.lax.psum(zayin_sum, axis_name)
+
+        # global updates, reference order (CTPF.jl:366-371):
+        # he (CTPF.jl:266-270), alef (CTPF.jl:251-255) — init-filled temps
+        he_new = e + he_temp.T
+        alef_new = a + alef_temp.T
+        # dalet (CTPF.jl:295-298): new alef/he, OLD bet/vav
+        he_sum = jnp.sum(he_new, axis=1) if U > 0 else jnp.zeros((K,), dt)
+        dalet_new = d + jnp.sum(alef_new, axis=1) / state.bet + he_sum / state.vav
+        # het (CTPF.jl:302-305): old vav
+        het_new = h + he_sum / state.vav
+        # bet (CTPF.jl:281-284): NEW dalet
+        bet_new = b + gimel_sum / dalet_new
+        # vav (CTPF.jl:288-291): NEW dalet and het
+        vav_new = f + gimel_sum / dalet_new + zayin_sum / het_new
+
+        return CTPFState(
+            alef=alef_new, alef_old=state.alef, bet=bet_new, bet_old=state.bet,
+            gimel=gimel, gimel_old=gimel_old, dalet=dalet_new, dalet_old=state.dalet,
+            he=he_new, he_old=state.he, vav=vav_new, vav_old=state.vav,
+            zayin=zayin, zayin_old=zayin_old, het=het_new, het_old=state.het,
+            elbo=state.elbo,
+        )
+
+    return step
+
+
+def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None,
+              hyper: dict = HYPER):
+    """Closed-form ELBO (CTPF.jl:110-247 with the E[lnΓ(y+1)] cancellation).
+
+    phi/xi recomputed from the *_old parameter set (CTPF.jl:240-241);
+    all bound terms use current parameters.
+    """
+    V, U = packed.V, packed.U
+    U_seg = max(U, 1)
+    a, b, c, d = hyper["a"], hyper["b"], hyper["c"], hyper["d"]
+    e, f, g, h = hyper["e"], hyper["f"], hyper["g"], hyper["h"]
+
+    def _xlogx(p):
+        return jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0)
+
+    def elbo(state: CTPFState, terms, counts, readers, ratings, doc_mask):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.alef.dtype
+
+        # old-param responsibilities (CTPF.jl:240-241)
+        dg_alef_oT = digamma(state.alef_old).T
+        dg_he_oT = digamma(state.he_old).T
+        log_bet_o = jnp.log(state.bet_old)
+        log_vav_o = jnp.log(state.vav_old)
+        log_dalet_o = jnp.log(state.dalet_old)
+        log_het_o = jnp.log(state.het_old)
+        # current params for the bound
+        dg_alef = digamma(state.alef)
+        dg_he = digamma(state.he)
+        log_bet = jnp.log(state.bet)
+        log_vav = jnp.log(state.vav)
+        log_dalet = jnp.log(state.dalet)
+        log_het = jnp.log(state.het)
+        alef_sum = jnp.sum(state.alef, axis=1)                     # Σ_j alef [K]
+        he_sum = jnp.sum(state.he, axis=1) if U > 0 else jnp.zeros((K,), dt)
+        dg_alefT_cur = dg_alef.T
+        dg_heT_cur = dg_he.T
+
+        # ── global terms ──
+        # Elogpbeta (CTPF.jl:144-150) − Elogqbeta (CTPF.jl:198-204)
+        e_pbeta = V * K * (a * jnp.log(jnp.asarray(b, dt)) - lgamma(jnp.asarray(a, dt))) \
+            + jnp.sum((a - 1.0) * (dg_alef - log_bet[:, None])
+                      - b * state.alef / state.bet[:, None])
+        e_qbeta_ent = jnp.sum(gamma_entropy(state.alef, state.bet[:, None]))
+        # Elogpeta (CTPF.jl:162-168) − Elogqeta (CTPF.jl:216-222)
+        if U > 0:
+            e_peta = U * K * (e * jnp.log(jnp.asarray(f, dt)) - lgamma(jnp.asarray(e, dt))) \
+                + jnp.sum((e - 1.0) * (dg_he - log_vav[:, None])
+                          - f * state.he / state.vav[:, None])
+            e_qeta_ent = jnp.sum(gamma_entropy(state.he, state.vav[:, None]))
+        else:
+            e_peta = jnp.zeros((), dt)
+            e_qeta_ent = jnp.zeros((), dt)
+
+        def scan_body(acc, xs):
+            t, cnt, rd, rt, dm, gi, gio, za, zao = xs
+            dg_gi_o, dg_za_o = digamma(gio), digamma(zao)
+            p = _phi(dg_alef_oT[t], dg_gi_o, log_dalet_o[None, :], log_bet_o[None, :])
+            xi_top, xi_bot = _xi(dg_he_oT[rd], dg_gi_o, dg_za_o,
+                                 log_dalet_o[None, :], log_het_o[None, :],
+                                 log_vav_o[None, :])
+            dg_gi, dg_za = digamma(gi), digamma(za)
+
+            # Elogpya + Elogpyb − Elogqy, E[lnΓ] cancelled (CTPF.jl:111-130, 180-186)
+            lin_top = (dg_gi - log_dalet)[:, None, :] + dg_heT_cur[rd] - log_vav[None, None, :]
+            lin_bot = (dg_za - log_het)[:, None, :] + dg_heT_cur[rd] - log_vav[None, None, :]
+            rate_lin = jnp.sum(rt[..., None] * (xi_top * lin_top + xi_bot * lin_bot),
+                               axis=(1, 2))
+            xi_ent = jnp.sum(_xlogx(xi_top) + _xlogx(xi_bot), axis=-1)   # Σ xi ln xi
+            rate_q = jnp.sum(lgamma(rt + 1.0) + rt * xi_ent, axis=1)
+            dot_ya = jnp.sum((gi / (state.dalet * state.vav)) * he_sum, -1)
+            dot_yb = jnp.sum((za / (state.het * state.vav)) * he_sum, -1)
+
+            # Elogpz − Elogqz, E[lnΓ] cancelled (CTPF.jl:133-141, 189-195)
+            lin_z = (dg_gi - log_dalet)[:, None, :] + dg_alefT_cur[t] - log_bet[None, None, :]
+            tok_lin = jnp.sum(cnt[..., None] * p * lin_z, axis=(1, 2))
+            p_ent = jnp.sum(_xlogx(p), axis=-1)
+            tok_q = jnp.sum(lgamma(cnt + 1.0) + cnt * p_ent, axis=1)
+            dot_z = jnp.sum((gi / (state.dalet * state.bet)) * alef_sum, -1)
+
+            # Elogptheta (CTPF.jl:153-159) − Elogqtheta (CTPF.jl:207-213)
+            e_pth = K * (c * jnp.log(jnp.asarray(d, dt)) - lgamma(jnp.asarray(c, dt))) \
+                + jnp.sum((c - 1.0) * (dg_gi - log_dalet) - d * gi / state.dalet, -1)
+            e_qth = jnp.sum(gamma_entropy(gi, state.dalet[None, :]), -1)
+            # Elogpepsilon (CTPF.jl:171-177) − Elogqepsilon (CTPF.jl:225-231)
+            e_pep = K * (g * jnp.log(jnp.asarray(h, dt)) - lgamma(jnp.asarray(g, dt))) \
+                + jnp.sum((g - 1.0) * (dg_za - log_het) - h * za / state.het, -1)
+            e_qep = jnp.sum(gamma_entropy(za, state.het[None, :]), -1)
+
+            contrib = dm * (
+                -dot_ya - dot_yb + rate_lin - rate_q
+                - dot_z + tok_lin - tok_q
+                + e_pth + e_qth + e_pep + e_qep
+            )
+            return acc + jnp.sum(contrib), None
+
+        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+        per_doc, _ = jax.lax.scan(
+            scan_body, jnp.zeros((), dt),
+            (sh(terms), sh(counts), sh(readers), sh(ratings), sh(doc_mask),
+             sh(state.gimel), sh(state.gimel_old),
+             sh(state.zayin), sh(state.zayin_old)),
+        )
+        if axis_name is not None:
+            per_doc = jax.lax.psum(per_doc, axis_name)
+        return e_pbeta + e_qbeta_ent + e_peta + e_qeta_ent + per_doc
+
+    return elbo
+
+
+def scores(state: CTPFState, doc_mask=None) -> jax.Array:
+    """Dense recommendation scores Eeta'·(Etheta+Eepsilon) (CTPF.jl:381-386).
+
+    Returns [M_pad, U_seg]; one MXU matmul instead of the reference's
+    per-doc host loop.
+    """
+    Eeta = state.he / state.vav[:, None]                 # [K, U]
+    Etheta = state.gimel / state.dalet[None, :]          # [M, K]
+    Eeps = state.zayin / state.het[None, :]
+    return (Etheta + Eeps) @ Eeta
+
+
+def partition_spec(data_axis: str = "data"):
+    from jax.sharding import PartitionSpec as P
+
+    return CTPFState(
+        alef=P(), alef_old=P(), bet=P(), bet_old=P(),
+        gimel=P(data_axis), gimel_old=P(data_axis), dalet=P(), dalet_old=P(),
+        he=P(), he_old=P(), vav=P(), vav_old=P(),
+        zayin=P(data_axis), zayin_old=P(data_axis), het=P(), het_old=P(),
+        elbo=P(),
+    )
