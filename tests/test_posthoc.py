@@ -1,0 +1,145 @@
+"""predict / gendoc / gencorp / checkpoint / warm-start tests
+(the reference's own oracles: gencorp round-trip topic recovery,
+README.md:315-350; held-out prediction, README.md:422-505)."""
+
+import numpy as np
+import pytest
+
+import topicmodelsvb_jl_tpu as tm
+from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+
+
+def _rt():
+    return RuntimeConfig(chunk_docs=16, dtype="float64", pad_multiple=8)
+
+
+def _planted_corpus(M=120, seed=0):
+    rng = np.random.default_rng(seed)
+    vocab = [f"g{g}w{i}" for g in range(3) for i in range(10)]
+    docs = []
+    for d in range(M):
+        z = d % 3
+        ids = rng.choice(10, size=7, replace=False) + z * 10 + 1
+        docs.append(tm.Document(terms=ids.tolist(),
+                                counts=(1 + rng.poisson(1.0, 7)).tolist()))
+    return tm.Corpus(docs=docs, vocab=vocab)
+
+
+def test_predict_lda_assigns_planted_topics():
+    corp = _planted_corpus()
+    train_corp = tm.Corpus(docs=corp.docs[:90], vocab=dict(corp.vocab))
+    test_corp = tm.Corpus(docs=corp.docs[90:], vocab=dict(corp.vocab))
+    model = tm.LDA(train_corp, 3, runtime=_rt(), seed=1)
+    model.train(iter=25, checkelbo=np.inf, printelbo=False)
+
+    pred = tm.predict(test_corp, model, iter=10)
+    # frozen globals carried over
+    np.testing.assert_array_equal(pred.beta, model.beta)
+    np.testing.assert_array_equal(pred.alpha, model.alpha)
+    # same planted group ⇒ same argmax topic as a trained doc of that group
+    ref_topics = [int(np.argmax(model.topicdist(d + 1))) for d in range(3)]
+    for i, doc_global in enumerate(range(90, 120)):
+        z = doc_global % 3
+        got = int(np.argmax(pred.topicdist(i + 1)))
+        assert got == ref_topics[z]
+
+
+def test_predict_ctm_and_filtered():
+    corp = _planted_corpus(M=60)
+    model = tm.CTM(corp, 3, runtime=_rt(), seed=1)
+    model.train(iter=8, checkelbo=np.inf, niter=30, printelbo=False)
+    pred = tm.predict(corp, model, iter=5, niter=30)
+    assert np.isfinite(pred.lam).all()
+    np.testing.assert_array_equal(pred.beta, model.beta)
+    np.testing.assert_array_equal(pred.sigma, model.sigma)
+
+    fl = tm.fLDA(corp, 3, runtime=_rt(), seed=1)
+    fl.train(iter=5, checkelbo=np.inf, printelbo=False)
+    predf = tm.predict(corp, fl, iter=5)
+    np.testing.assert_array_equal(predf.kappa, fl.kappa)
+    assert 0 <= predf.eta <= 1
+
+    with pytest.raises(tm.CorpusError):
+        other = _planted_corpus(M=10)
+        other.vocab[1] = "different"
+        tm.predict(other, model)
+
+
+def test_predict_ctpf_raises():
+    corp = _planted_corpus(M=30)
+    with pytest.raises(tm.TopicModelError):
+        # CTPF has no reference predict path
+        model = tm.CTPF.__new__(tm.CTPF)  # no need to train
+        model.corp = corp
+        tm.predict(corp, model)
+
+
+def test_gendoc_gencorp_roundtrip():
+    """Train → generate → retrain recovers the same topic structure
+    (reference README.md:315-350)."""
+    corp = _planted_corpus()
+    model = tm.LDA(corp, 3, runtime=_rt(), seed=1)
+    model.train(iter=25, checkelbo=np.inf, printelbo=False)
+
+    doc = tm.gendoc(model, rng=np.random.default_rng(0))
+    assert all(1 <= t <= 30 for t in doc.terms)
+
+    gen = tm.gencorp(model, 400, laplace_smooth=1e-9, seed=0)
+    assert len(gen) == 400 and gen.vocab == corp.vocab
+    tm.remove_empty_docs(gen)
+    model2 = tm.LDA(gen, 3, runtime=_rt(), seed=2)
+    model2.train(iter=25, checkelbo=np.inf, printelbo=False)
+
+    # topic-word rows must match up to permutation
+    b1, b2 = model.beta, model2.beta
+    cost = np.array([[np.abs(r1 - r2).sum() for r2 in b2] for r1 in b1])
+    perm = cost.argmin(axis=1)
+    assert sorted(perm.tolist()) == [0, 1, 2]
+    assert cost[np.arange(3), perm].max() < 0.35
+
+
+def test_gendoc_ctm_and_errors():
+    corp = _planted_corpus(M=30)
+    model = tm.CTM(corp, 2, runtime=_rt(), seed=0)
+    model.train(iter=3, checkelbo=np.inf, niter=20, printelbo=False)
+    doc = tm.gendoc(model, rng=np.random.default_rng(1))
+    assert all(1 <= t <= 30 for t in doc.terms)
+    with pytest.raises(ValueError):
+        tm.gendoc(model, laplace_smooth=-1)
+    with pytest.raises(ValueError):
+        tm.gencorp(model, 0)
+
+
+def test_checkpoint_resume_continues_elbo_trace(tiny_corpus):
+    """Save at iter 3, resume 2 more — ELBO trace must equal a straight
+    5-iteration run (SURVEY §5.4)."""
+    model = tm.LDA(tiny_corpus, 3, runtime=_rt(), seed=5)
+    model.train(iter=3, checkelbo=1, printelbo=False)
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "ckpt.npz")
+    tm.save_checkpoint(path, model)
+
+    resumed = tm.load_checkpoint(path, tiny_corpus)
+    assert isinstance(resumed, tm.LDA)
+    np.testing.assert_array_equal(resumed.beta, model.beta)
+    resumed.train(iter=2, checkelbo=1, printelbo=False)
+
+    straight = tm.LDA(tiny_corpus, 3, runtime=_rt(), seed=5)
+    straight.train(iter=5, checkelbo=1, printelbo=False)
+    np.testing.assert_allclose(resumed.beta, straight.beta, rtol=1e-10)
+    np.testing.assert_allclose(resumed.elbo, straight.elbo, rtol=1e-10)
+
+    with pytest.raises(ValueError):
+        other = _planted_corpus(M=10)
+        tm.load_checkpoint(path, other)
+
+
+def test_ctpf_warm_start(reader_corpus):
+    lda = tm.LDA(reader_corpus, 3, runtime=_rt(), seed=1)
+    lda.train(iter=3, checkelbo=np.inf, printelbo=False)
+    ctpf = tm.CTPF(reader_corpus, 3, runtime=_rt(), seed=1)
+    ctpf.warm_start_from(lda)
+    np.testing.assert_allclose(np.asarray(ctpf.state.alef), np.exp(lda.beta), rtol=1e-12)
+    ctpf.train(iter=3, checkelbo=1, printelbo=False)
+    assert np.isfinite(ctpf.elbo)

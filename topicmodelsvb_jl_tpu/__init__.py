@@ -18,7 +18,12 @@ from .corpus import (
 from .datasets import load_citeu, load_nsf, load_stopwords, synth_corpus
 from .utils.config import RuntimeConfig, TrainConfig
 
-from .api import CTM, CTPF, LDA, TopicModel, TopicModelError, fCTM, fLDA
+from .api import (
+    CTM, CTPF, LDA, TopicModel, TopicModelError, fCTM, fLDA,
+    gencorp, gendoc, predict,
+)
+from .checkpoint import load as load_checkpoint
+from .checkpoint import save as save_checkpoint
 
 __version__ = "0.1.0"
 
@@ -28,5 +33,6 @@ __all__ = [
     "showdocs", "showtitles", "getvocab", "getusers",
     "load_nsf", "load_citeu", "load_stopwords", "synth_corpus",
     "LDA", "fLDA", "CTM", "fCTM", "CTPF", "TopicModel",
+    "predict", "gendoc", "gencorp", "save_checkpoint", "load_checkpoint",
     "TrainConfig", "RuntimeConfig",
 ]

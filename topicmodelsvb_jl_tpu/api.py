@@ -573,6 +573,18 @@ class CTPF(TopicModel):
         g = np.asarray(self.state.gimel)[rows]
         return g / g.sum(axis=-1, keepdims=True)
 
+    def warm_start_from(self, model: "TopicModel") -> "CTPF":
+        """Seed alef from a trained LDA/CTM-family beta:
+        ``ctpf.alef = exp(beta)`` (reference README.md:669-674)."""
+        beta = np.asarray(model.beta)
+        if beta.shape != (self.K, self.V):
+            raise ValueError("warm-start model must share K and V.")
+        import jax.numpy as _jnp
+
+        alef = _jnp.asarray(np.exp(beta), self.dtype)
+        self.state = self.state._replace(alef=alef, alef_old=alef)
+        return self
+
     # ── recommender displays (modelutils.jl:691-824) ──
     def showlibs(self, users=None):
         from .utils.display import bullet, juliadots
@@ -648,3 +660,130 @@ class CTPF(TopicModel):
                 print(f"{rank}. {title}")
             if n < len(users) - 1:
                 print()
+
+
+# ───────────────────── inference on new documents (predict) ─────────────────────
+
+def predict(corp, train_model: TopicModel, iter: int = 10,
+            tol: Optional[float] = None, niter: int = 1000,
+            ntol: Optional[float] = None) -> TopicModel:
+    """E-step-only inference on a new corpus with frozen global parameters
+    (reference modelutils.jl:831-944).
+
+    Returns a new model of the same type whose per-document variational
+    state is fit against the trained globals; call ``topicdist`` on it.
+    Mirrors the reference's semantics — the per-doc fixpoint runs ``iter``
+    times with ``tol`` as the convergence break — but fixes two reference
+    bugs: the fLDA/fCTM variants reference an undefined ``vtol``
+    (modelutils.jl:876,937), and they silently use a freshly-randomised
+    kappa; here kappa/eta are carried over from the trained model.
+    """
+    corpuslib.check_corp(corp)
+    if corp.vocab != train_model.corp.vocab:
+        raise CorpusError(
+            "predict corpus and train_model corpus must have identical vocabularies."
+        )
+    if tol is not None and tol < 0:
+        raise ValueError("tolerance parameter must be nonnegative.")
+    if iter < 0:
+        raise ValueError("iteration parameter must be nonnegative.")
+    if isinstance(train_model, CTPF):
+        raise TopicModelError("predict is not defined for CTPF models (as in the reference).")
+
+    cls = type(train_model)
+    new = cls(corp, train_model.K, runtime=train_model.runtime,
+              mesh=train_model.mesh, seed=train_model.seed)
+    ts = train_model.state
+
+    # copy frozen globals into the fresh state
+    if isinstance(train_model, LDA):
+        new.state = new.state._replace(alpha=ts.alpha, beta=ts.beta, beta_old=ts.beta)
+    elif isinstance(train_model, fLDA):
+        new.state = new.state._replace(
+            eta=ts.eta, alpha=ts.alpha, kappa=ts.kappa, kappa_old=ts.kappa,
+            beta=ts.beta, beta_old=ts.beta,
+        )
+    elif isinstance(train_model, fCTM):
+        new.state = new.state._replace(
+            eta=ts.eta, mu=ts.mu, sigma=ts.sigma, invsigma=ts.invsigma,
+            kappa=ts.kappa, kappa_old=ts.kappa, beta=ts.beta, beta_old=ts.beta,
+        )
+    elif isinstance(train_model, CTM):
+        new.state = new.state._replace(
+            mu=ts.mu, sigma=ts.sigma, invsigma=ts.invsigma,
+            beta=ts.beta, beta_old=ts.beta,
+        )
+    else:
+        raise TopicModelError(f"predict not implemented for {cls.__name__}")
+
+    # one outer step with viter=iter/vtol=tol runs exactly the reference's
+    # per-doc fixpoint; the trailing M-step output is discarded below.
+    cfg = TrainConfig(iter=1, viter=iter, vtol=tol, niter=niter, ntol=ntol,
+                      checkelbo=float("inf"), printelbo=False).resolved(train_model.K)
+    trainer = new._build_trainer(cfg)
+    frozen = new.state
+    stepped = trainer.step_fn(frozen, *trainer.data)
+
+    # keep per-doc fields from the step, restore every global from `frozen`
+    per_doc_fields = {
+        LDA: ("gamma", "Elogtheta", "Elogtheta_old"),
+        fLDA: ("gamma", "Elogtheta", "Elogtheta_old", "tau", "tau_old"),
+        CTM: ("lam", "lam_old", "vsq", "logzeta"),
+        fCTM: ("lam", "lam_old", "vsq", "logzeta", "tau", "tau_old"),
+    }[cls]
+    new.state = frozen._replace(**{f: getattr(stepped, f) for f in per_doc_fields})
+    new.topics = train_model.topics
+    return new
+
+
+# ───────────────── generative sampling (gendoc / gencorp) ─────────────────
+
+def gendoc(model: TopicModel, laplace_smooth: float = 0.0, rng=None):
+    """Sample an artificial document from the fitted generative model
+    (reference modelutils.jl:594-633).
+
+    Token-level (z then w) sampling marginalises to a single multinomial
+    over the smoothed mixture theta·beta, which is what we draw.  The
+    reference's CTM variant contains a latent NameError (``topicdist``
+    vs ``topic_dist``, modelutils.jl:626); this implementation is the
+    corrected form.
+    """
+    from .corpus import Document
+
+    if laplace_smooth < 0:
+        raise ValueError("laplace_smooth parameter must be nonnegative.")
+    rng = np.random.default_rng() if rng is None else rng
+
+    if isinstance(model, (LDA, fLDA)):
+        alpha = np.asarray(model.alpha, np.float64)
+        theta = rng.dirichlet(alpha)
+    elif isinstance(model, (CTM, fCTM)):
+        x = rng.multivariate_normal(np.asarray(model.mu, np.float64),
+                                    np.asarray(model.sigma, np.float64))
+        e = np.exp(x - x.max())
+        theta = e / e.sum()
+    else:
+        raise TopicModelError("gendoc is not defined for CTPF models (as in the reference).")
+
+    C = rng.poisson(np.mean(model.C))
+    beta = np.asarray(model.beta, np.float64)
+    V = beta.shape[1]
+    beta_s = (beta + laplace_smooth) / (1.0 + laplace_smooth * V)
+    beta_s = beta_s / beta_s.sum(axis=1, keepdims=True)
+    mix = theta @ beta_s
+    mix = mix / mix.sum()
+    counts = rng.multinomial(C, mix)
+    nz = np.nonzero(counts)[0]
+    return Document(terms=(nz + 1).tolist(), counts=counts[nz].tolist())
+
+
+def gencorp(model: TopicModel, M: int, laplace_smooth: float = 0.0,
+            seed: Optional[int] = None) -> Corpus:
+    """Sample an artificial corpus (reference modelutils.jl:642-649)."""
+    if M <= 0:
+        raise ValueError("corp_size parameter must be a positive integer.")
+    if laplace_smooth < 0:
+        raise ValueError("laplace_smooth parameter must be nonnegative.")
+    rng = np.random.default_rng(seed)
+    docs = [gendoc(model, laplace_smooth, rng) for _ in range(M)]
+    return Corpus(docs=docs, vocab=dict(model.corp.vocab), users=dict(model.corp.users))

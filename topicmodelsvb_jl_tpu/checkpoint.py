@@ -1,0 +1,107 @@
+"""Checkpoint / resume.
+
+The reference has none — "save/load trained models" is an open wish
+(todo.txt item 5); its substitute is that every model struct is a plain
+bag of arrays and ``train!`` is resumable by construction (all ``*_old``
+fields live in the struct, LDA.jl:16-19).  Here both halves are
+first-class:
+
+* :func:`save` / :func:`load` serialise the full variational-state
+  pytree plus metadata (model class, K, corpus fingerprint, seed,
+  trained-elbo) to a single ``.npz``;
+* because the state carries every ``*_old`` buffer, a loaded model's
+  ``train()`` continues the ELBO trace exactly (tested in
+  tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from .corpus import Corpus
+
+_FORMAT_VERSION = 1
+
+
+def corpus_fingerprint(corp: Corpus) -> str:
+    """Stable hash of the corpus contents (docs + vocab + users)."""
+    h = hashlib.sha256()
+    for doc in corp.docs:
+        h.update(np.asarray(doc.terms, np.int64).tobytes())
+        h.update(np.asarray(doc.counts, np.int64).tobytes())
+        h.update(np.asarray(doc.readers, np.int64).tobytes())
+        h.update(np.asarray(doc.ratings, np.int64).tobytes())
+    for k in sorted(corp.vocab):
+        h.update(f"{k}:{corp.vocab[k]};".encode())
+    for k in sorted(corp.users):
+        h.update(f"{k}:{corp.users[k]};".encode())
+    return h.hexdigest()
+
+
+def save(path: str, model) -> None:
+    """Save an api.TopicModel's state + metadata."""
+    leaves, treedef = jax.tree_util.tree_flatten(model.state)
+    meta = dict(
+        format=_FORMAT_VERSION,
+        model=type(model).__name__,
+        K=model.K,
+        seed=model.seed,
+        dtype=str(model.dtype),
+        corpus=corpus_fingerprint(model.corp),
+        n_leaves=len(leaves),
+        fields=list(model.state._fields),
+    )
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+             **arrays)
+
+
+def load(path: str, corp: Corpus, strict_corpus: bool = True):
+    """Rebuild the api model from a checkpoint + the original corpus.
+
+    ``strict_corpus=True`` verifies the corpus fingerprint so a resumed
+    run trains on exactly the data it left off with.
+    """
+    from . import api
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        leaves = [z[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+
+    if meta["format"] != _FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint format {meta['format']}")
+    if strict_corpus and corpus_fingerprint(corp) != meta["corpus"]:
+        raise ValueError("checkpoint corpus fingerprint does not match the given corpus.")
+
+    cls = getattr(api, meta["model"])
+    from .utils.config import RuntimeConfig
+
+    model = cls(corp, meta["K"], runtime=RuntimeConfig(dtype=meta["dtype"]),
+                seed=meta["seed"])
+    # M_pad depends on mesh/chunking and may differ between save and load
+    # environments; doc-major leaves are re-padded (init rows) or truncated.
+    init_leaves = jax.tree_util.tree_leaves(model.state)
+    fixed = []
+    for saved, ref in zip(leaves, init_leaves):
+        saved = np.asarray(saved)
+        ref = np.asarray(ref)
+        if saved.shape != ref.shape:
+            if saved.shape[1:] != ref.shape[1:]:
+                raise ValueError(
+                    f"checkpoint leaf shape {saved.shape} incompatible with {ref.shape}"
+                )
+            out = ref.copy()
+            n = min(saved.shape[0], ref.shape[0])
+            out[:n] = saved[:n]
+            saved = out
+        fixed.append(saved.astype(ref.dtype))
+    state_cls = type(model.state)
+    model.state = state_cls(*fixed)
+    # refresh derived artifacts (topics / scores / recs)
+    model._finalize()
+    return model
