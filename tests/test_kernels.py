@@ -1,0 +1,91 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU).
+
+The fused E-step kernel must compute the same math as the pure-XLA
+fixpoint path (models/lda.py:_estep_chunk) — the reference's own
+CPU-vs-GPU relationship, where tolerance (not bitwise) agreement is the
+criterion because the two paths order float ops differently
+(LDA.jl:14-21 vs gpuLDA.jl:14-21).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topicmodelsvb_jl_tpu.kernels.lda_estep import digamma_series, lda_estep
+from topicmodelsvb_jl_tpu.models import lda as lda_mod
+from topicmodelsvb_jl_tpu.ops.packing import PackedCorpus
+
+
+def _small_packed(M=32, V=64, L=32, seed=3):
+    rng = np.random.default_rng(seed)
+    terms = rng.integers(0, V, size=(M, L)).astype(np.int32)
+    counts = (1 + rng.poisson(0.4, size=(M, L))).astype(np.float32)
+    n = rng.integers(4, L, size=M)
+    valid = np.arange(L)[None, :] < n[:, None]
+    counts *= valid
+    terms *= valid
+    dm = np.ones(M, np.float32)
+    dm[-3:] = 0.0  # padded docs
+    counts[-3:] = 0.0
+    return PackedCorpus(
+        terms=terms, counts=counts, doc_mask=dm, N=n.astype(np.int32),
+        C=counts.sum(1), M=M - 3, V=V, L=L, max_count=int(counts.max()),
+    )
+
+
+def test_digamma_series_matches_lax():
+    x = jnp.asarray(
+        np.concatenate([np.linspace(1e-3, 0.9, 50),
+                        np.linspace(1.0, 50.0, 50),
+                        np.linspace(100.0, 5e4, 20)]).astype(np.float32))
+    got = digamma_series(x)
+    want = jax.lax.digamma(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("K", [7, 16])
+def test_lda_estep_kernel_matches_xla(K):
+    packed = _small_packed()
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
+    data = (
+        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+        jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float32),
+    )
+    kw = dict(viter=6, vtol=1.0 / K**2, niter=50, ntol=1.0 / K**2,
+              chunk_docs=16, axis_name=None)
+    step_x = jax.jit(lda_mod.make_step(packed, K, use_pallas=False, **kw))
+    step_p = jax.jit(lda_mod.make_step(packed, K, use_pallas=True,
+                                       pallas_interpret=True, **kw))
+    sx, sp = state, state
+    for _ in range(3):  # a few outer iterations so differences compound
+        sx = step_x(sx, *data)
+        sp = step_p(sp, *data)
+    for f in ("alpha", "beta", "gamma", "Elogtheta"):
+        a = np.asarray(getattr(sx, f))
+        b = np.asarray(getattr(sp, f))
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5,
+                                   err_msg=f"{f} diverged")
+
+
+def test_lda_estep_padded_doc_rows_frozen():
+    """Padded documents (mask 0) must keep their incoming state."""
+    K = 8
+    packed = _small_packed()
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
+    Kp = 128
+    padk = lambda a: jnp.pad(jnp.asarray(a), ((0, 0), (0, Kp - K)))
+    betaT_p = jnp.pad(state.beta.T + 1e-30, ((0, 0), (0, Kp - K)))
+    bd = betaT_p[jnp.asarray(packed.terms)]
+    g, el, elo, w = lda_estep(
+        bd, jnp.asarray(packed.counts), jnp.asarray(packed.doc_mask),
+        jnp.pad(state.alpha, (0, Kp - K)),
+        padk(state.gamma), padk(state.Elogtheta), padk(state.Elogtheta_old),
+        viter=4, vtol=1e-6, n_topics=K, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(g)[-3:, :K],
+                                  np.asarray(state.gamma)[-3:])
+    np.testing.assert_array_equal(np.asarray(el)[-3:, :K],
+                                  np.asarray(state.Elogtheta)[-3:])
+    assert np.all(np.asarray(w)[-3:] == 0.0)

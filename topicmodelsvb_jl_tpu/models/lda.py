@@ -68,6 +68,10 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> LDAState:
     )
 
 
+def _round_up_128(k: int) -> int:
+    return ((k + 127) // 128) * 128
+
+
 def _phi(logbeta_d: jax.Array, Elogtheta: jax.Array) -> jax.Array:
     """phi ∝ beta[:,terms]·exp(Elogtheta), normalised over K (LDA.jl:150-154).
 
@@ -132,15 +136,22 @@ def _estep_chunk(
 
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
-              chunk_docs: int, axis_name: Optional[str] = None):
+              chunk_docs: int, axis_name: Optional[str] = None,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
     """Build the jittable outer-iteration step (one full CAVI sweep).
 
     Local docs are scanned in chunks of ``chunk_docs``; beta_temp /
     Elogtheta_sum are psum'd over ``axis_name`` when given (the DP
     all-reduce of §2.3 of the survey — the workload's "gradient
     all-reduce").
+
+    ``use_pallas`` selects the fused Pallas E-step kernel
+    (kernels/lda_estep.py) over the pure-XLA fixpoint; ``None`` means
+    auto (on for TPU backends).  Both paths compute the same math.
     """
     V = packed.V
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
 
     def step(state: LDAState, terms, counts, doc_mask, M_total):
         M_pad = terms.shape[0]
@@ -148,13 +159,40 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         n_chunks = M_pad // B
         logbetaT = jnp.log(state.beta + jnp.asarray(EPSILON, state.beta.dtype)).T
 
-        def scan_body(carry, xs):
-            beta_temp, El_sum = carry
-            t, c, dm, g, el, elo = xs
-            g2, el2, elo2, bt, es = _estep_chunk(
-                logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V
-            )
-            return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
+        if use_pallas:
+            from ..kernels.lda_estep import lda_estep
+
+            Kp = _round_up_128(K)
+            # (beta+eps) gathered directly (pad topics → 0 ⇒ phi_pad = 0);
+            # the kernel works multiplicatively like the reference CPU path
+            # with the @boink EPSILON guard folded into the table.
+            eps = jnp.asarray(EPSILON, state.beta.dtype)
+            betaT_p = jnp.pad(state.beta.T + eps, ((0, 0), (0, Kp - K)))
+            alpha_p = jnp.pad(state.alpha, (0, Kp - K))
+            padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
+
+            def scan_body(carry, xs):
+                beta_temp, El_sum = carry
+                t, c, dm, g, el, elo = xs
+                bd = betaT_p[t]                          # [B, L, Kp]
+                g2, el2, elo2, w = lda_estep(
+                    bd, c, dm, alpha_p, padk(g), padk(el), padk(elo),
+                    viter=viter, vtol=vtol, n_topics=K,
+                    interpret=pallas_interpret,
+                )
+                g2, el2, elo2 = g2[:, :K], el2[:, :K], elo2[:, :K]
+                bt = count_scatter(
+                    w[..., :K].reshape(-1, K), t.reshape(-1), V)
+                es = jnp.sum(el2 * dm[:, None], axis=0)
+                return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
+        else:
+            def scan_body(carry, xs):
+                beta_temp, El_sum = carry
+                t, c, dm, g, el, elo = xs
+                g2, el2, elo2, bt, es = _estep_chunk(
+                    logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V
+                )
+                return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
 
         sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
         (beta_temp, El_sum), (gamma, El, El_old) = jax.lax.scan(

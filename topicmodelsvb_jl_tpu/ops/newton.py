@@ -69,14 +69,23 @@ def dirichlet_newton(
         denom = 1.0 / (M * trigamma(a0)) + jnp.sum(h_inv)
         p = (grad - jnp.dot(grad, h_inv) / denom) * h_inv
 
-        # back-tracking: minimum(alpha - rho*p) must stay >= 0 (LDA.jl:107)
-        def rho_cond(rho):
-            return (jnp.min(alpha - rho * p) < 0) & (rho > 1e-38)
-
-        rho = jax.lax.while_loop(rho_cond, lambda r: r * 0.5, jnp.asarray(1.0, dtype))
+        # back-tracking: minimum(alpha - rho*p) must stay >= 0 (LDA.jl:107-109).
+        # The reference halves rho from 1; the final value is the largest
+        # 2^-m with rho <= min_k alpha_k/p_k over descending coordinates —
+        # computed here in closed form instead of an inner while_loop.
+        ratio = jnp.where(p > 0, alpha / jnp.where(p > 0, p, 1.0), jnp.inf)
+        r_star = jnp.min(ratio)
+        m = jnp.maximum(jnp.ceil(-jnp.log2(jnp.minimum(r_star, 1.0))), 0.0)
+        rho = jnp.exp2(-m)
 
         alpha_new = finite(alpha - rho * p)
-        done = (rho * l2norm(grad) < ntol) & (nu / K < ntol)
+        # reference stopping rule (LDA.jl:113-115) — plus a numerical-
+        # stagnation stop: once the accepted step is below f32 resolution
+        # of alpha, further iterations cannot make progress (the
+        # reference runs f64 on CPU where ntol is reachable; at f32 the
+        # M-scaled gradient's noise floor can exceed ntol).
+        stagnant = rho * l2norm(p) <= 1e-6 * (l2norm(alpha) + 1.0)
+        done = ((rho * l2norm(grad) < ntol) & (nu / K < ntol)) | stagnant
         return i + 1, alpha_new, nu * 0.5, done
 
     _, alpha, _, _ = jax.lax.while_loop(
