@@ -68,11 +68,13 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 1024))
     M = int(os.environ.get("BENCH_M", 128_804))
 
+    from topicmodelsvb_jl_tpu.ops.packing import bucketize_packed
+
     packed = make_packed_nsf_scale(M=M, chunk_docs=chunk)
     mesh = make_mesh(axis_names=("data",))
     n_sh = mesh.shape["data"]
-    # doc axis must divide into chunk × shards
-    assert packed.M_pad % (chunk * n_sh) == 0 or n_sh == 1
+    packed = bucketize_packed(packed, chunk=chunk, n_shards=n_sh,
+                              pad_multiple=32)
 
     state = lda_mod.init(jax.random.PRNGKey(7), packed, K, jnp.float32)
     vtol = 1.0 / K**2
@@ -84,8 +86,10 @@ def main():
     step = dp_jit(step_local, mesh, spec, n_data_args=3, n_repl_args=1)
 
     data = (
-        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
-        jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float32),
+        tuple(jnp.asarray(s.terms) for s in packed.segments),
+        tuple(jnp.asarray(s.counts) for s in packed.segments),
+        tuple(jnp.asarray(s.doc_mask) for s in packed.segments),
+        jnp.asarray(float(packed.M), jnp.float32),
     )
 
     # compile + warm up

@@ -34,3 +34,67 @@ def test_chunked_view():
     ch = p.chunked(4)
     assert ch["terms"].shape == (4, 4, p.L)
     np.testing.assert_array_equal(ch["terms"].reshape(16, p.L), p.terms)
+
+
+def test_bucketize_roundtrip_and_widths():
+    """Every doc appears exactly once at its (shorter) segment width."""
+    import numpy as np
+
+    from topicmodelsvb_jl_tpu.ops.packing import PackedCorpus, bucketize_packed
+
+    rng = np.random.default_rng(0)
+    M, V, L = 100, 50, 64
+    N = np.clip(rng.poisson(20, M), 2, L).astype(np.int32)
+    terms = np.zeros((M, L), np.int32)
+    counts = np.zeros((M, L), np.float32)
+    for d in range(M):
+        terms[d, :N[d]] = rng.integers(0, V, N[d])
+        counts[d, :N[d]] = 1 + rng.poisson(0.3, N[d])
+    p = PackedCorpus(terms=terms, counts=counts,
+                     doc_mask=np.ones(M, np.float32), N=N, C=counts.sum(1),
+                     M=M, V=V, L=L, max_count=3)
+    bp = bucketize_packed(p, chunk=8, n_shards=2, pad_multiple=8)
+
+    assert max(s.L for s in bp.segments) <= L
+    local = bp.M_pad // 2
+    seen = np.zeros(M, bool)
+    for seg in bp.segments:
+        for row in range(seg.terms.shape[0]):
+            if seg.doc_mask[row] <= 0:
+                assert seg.counts[row].sum() == 0
+                continue
+            s, lr = divmod(row, seg.n_local)
+            prow = s * local + seg.loc_start + lr
+            (o,) = np.nonzero(bp.inv_order == prow)[0]
+            n = N[o]
+            assert np.array_equal(seg.terms[row, :n], terms[o, :n])
+            assert np.array_equal(seg.counts[row, :n], counts[o, :n])
+            assert np.array_equal(bp.terms[prow, :n], terms[o, :n])
+            seen[o] = True
+    assert seen.all()
+
+
+def test_lda_bucketed_matches_dense():
+    """Bucketed LDA training equals dense training (doc updates are
+    independent within an outer sweep; only reduction order differs)."""
+    import numpy as np
+
+    import topicmodelsvb_jl_tpu as tm
+    import topicmodelsvb_jl_tpu.api as apimod
+
+    corp = tm.synth_corpus(M=120, V=60, K=3, seed=2)
+    m_b = tm.LDA(corp, 3, seed=4)
+    assert m_b.packed.segments is not None
+
+    class LDAPlain(apimod.LDA):
+        _bucketed = False
+
+    m_d = LDAPlain(corp, 3, seed=4)
+    m_b.train(iter=5, checkelbo=5, printelbo=False)
+    m_d.train(iter=5, checkelbo=5, printelbo=False)
+    np.testing.assert_allclose(m_b.beta, m_d.beta, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(m_b.gamma, m_d.gamma, rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(m_b.elbo, m_d.elbo, rtol=1e-4)
+    # topicdist consistency through the permutation
+    td = m_b.topicdist(list(range(1, corp.shape[0] + 1)))
+    np.testing.assert_allclose(np.sum(td, axis=1), 1.0, rtol=1e-5)

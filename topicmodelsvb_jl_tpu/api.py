@@ -28,7 +28,7 @@ from .models import ctpf as ctpf_mod
 from .models import fctm as fctm_mod
 from .models import flda as flda_mod
 from .models import lda as lda_mod
-from .ops.packing import pack_corpus
+from .ops.packing import bucketize_packed, pack_corpus
 from .parallel.mesh import make_mesh
 from .parallel.shard import dp_jit
 from .utils.config import RuntimeConfig, TrainConfig
@@ -46,6 +46,7 @@ class TopicModel:
     """Common construction/packing/mesh logic for all five models."""
 
     _uses_readers = False
+    _bucketed = False   # length-bucketed token packing (SURVEY §5.7a)
 
     def __init__(
         self,
@@ -78,6 +79,13 @@ class TopicModel:
             with_readers=self._uses_readers,
             dtype=np.dtype(self.runtime.dtype),
         )
+        if self._bucketed:
+            # length-sorted, shard-major, per-segment token widths; doc-
+            # indexed accessors map through packed.inv_order
+            self.packed = bucketize_packed(
+                self.packed, chunk=self.chunk_docs, n_shards=n_sh,
+                pad_multiple=min(32, self.runtime.pad_multiple),
+            )
         self.dtype = jnp.dtype(self.runtime.dtype)
         self.key = jax.random.PRNGKey(seed)
         self.state = None
@@ -133,8 +141,18 @@ class TopicModel:
         idx = np.atleast_1d(np.asarray(d, dtype=np.int64))
         if np.any((idx < 1) | (idx > self.M)):
             raise CorpusError("some document indices outside corpus range.")
-        out = self._topicdist_rows(idx - 1)
+        out = self._topicdist_rows(self._rows(idx - 1))
         return out[0] if scalar else out
+
+    def _rows(self, doc_idx: np.ndarray) -> np.ndarray:
+        """Original 0-based doc indices → packed state rows."""
+        if self.packed.inv_order is not None:
+            return self.packed.inv_order[doc_idx]
+        return doc_idx
+
+    def _doc_rows(self) -> np.ndarray:
+        """Packed state rows for docs 1..M in original order."""
+        return self._rows(np.arange(self.M, dtype=np.int64))
 
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         raise NotImplementedError
@@ -189,6 +207,8 @@ class TopicModel:
 class LDA(TopicModel):
     """Latent Dirichlet allocation (reference src/LDA.jl, src/gpuLDA.jl)."""
 
+    _bucketed = True
+
     def __repr__(self):
         return f"Latent Dirichlet allocation model with {self.K} topics."
 
@@ -213,7 +233,15 @@ class LDA(TopicModel):
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
 
-        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts), jnp.asarray(p.doc_mask))
+        if p.segments is not None:
+            arrs = (
+                tuple(jnp.asarray(s.terms) for s in p.segments),
+                tuple(jnp.asarray(s.counts) for s in p.segments),
+                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
+            )
+        else:
+            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                    jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
         return Trainer(step, elbo, data, arrs, M=self.M)
 
@@ -228,11 +256,11 @@ class LDA(TopicModel):
 
     @property
     def gamma(self) -> np.ndarray:
-        return np.asarray(self.state.gamma)[: self.M]
+        return np.asarray(self.state.gamma)[self._doc_rows()]
 
     @property
     def Elogtheta(self) -> np.ndarray:
-        return np.asarray(self.state.Elogtheta)[: self.M]
+        return np.asarray(self.state.Elogtheta)[self._doc_rows()]
 
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         g = np.asarray(self.state.gamma)[rows]

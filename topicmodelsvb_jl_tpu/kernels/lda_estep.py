@@ -159,10 +159,13 @@ def lda_estep(beta_d, counts, doc_mask, alpha,
     """
     B, L, Kp = beta_d.shape
     assert Kp % 128 == 0, Kp
-    bt = max(8, _MAX_TILE_ELEMS // (L * Kp) // 8 * 8)
-    while B % bt:
-        bt //= 2
-    assert bt >= 1 and B % bt == 0, (B, bt)
+    # largest doc-tile that is a multiple of 8, divides B, and keeps the
+    # [bt, L, Kp] working set inside the VMEM budget
+    bt_cap = max(8, _MAX_TILE_ELEMS // (L * Kp))
+    bt = 8
+    while bt * 2 <= min(bt_cap, 256) and B % (bt * 2) == 0:
+        bt *= 2
+    assert B % bt == 0 and bt % 8 == 0, (B, bt)
     grid = (B // bt,)
 
     kern = functools.partial(_estep_kernel, viter=viter, vtol=vtol,

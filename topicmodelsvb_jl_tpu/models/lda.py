@@ -150,14 +150,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     auto (on for TPU backends).  Both paths compute the same math.
     """
     V = packed.V
+    segments = packed.segments
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
 
     def step(state: LDAState, terms, counts, doc_mask, M_total):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
-        logbetaT = jnp.log(state.beta + jnp.asarray(EPSILON, state.beta.dtype)).T
+        dtype = state.beta.dtype
+        logbetaT = jnp.log(state.beta + jnp.asarray(EPSILON, dtype)).T
 
         if use_pallas:
             from ..kernels.lda_estep import lda_estep
@@ -166,12 +165,12 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             # (beta+eps) gathered directly (pad topics → 0 ⇒ phi_pad = 0);
             # the kernel works multiplicatively like the reference CPU path
             # with the @boink EPSILON guard folded into the table.
-            eps = jnp.asarray(EPSILON, state.beta.dtype)
+            eps = jnp.asarray(EPSILON, dtype)
             betaT_p = jnp.pad(state.beta.T + eps, ((0, 0), (0, Kp - K)))
             alpha_p = jnp.pad(state.alpha, (0, Kp - K))
             padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
 
-            def scan_body(carry, xs):
+            def scan_body_pallas(carry, xs):
                 beta_temp, El_sum = carry
                 t, c, dm, g, el, elo = xs
                 bd = betaT_p[t]                          # [B, L, Kp]
@@ -185,24 +184,55 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                     w[..., :K].reshape(-1, K), t.reshape(-1), V)
                 es = jnp.sum(el2 * dm[:, None], axis=0)
                 return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
-        else:
-            def scan_body(carry, xs):
-                beta_temp, El_sum = carry
-                t, c, dm, g, el, elo = xs
-                g2, el2, elo2, bt, es = _estep_chunk(
-                    logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V
-                )
-                return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
 
-        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
-        (beta_temp, El_sum), (gamma, El, El_old) = jax.lax.scan(
-            scan_body,
-            (jnp.zeros((V, K), state.beta.dtype), jnp.zeros((K,), state.beta.dtype)),
-            (sh(terms), sh(counts), sh(doc_mask),
-             sh(state.gamma), sh(state.Elogtheta), sh(state.Elogtheta_old)),
-        )
-        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
-        gamma, El, El_old = unsh(gamma), unsh(El), unsh(El_old)
+        def scan_body_xla(carry, xs):
+            beta_temp, El_sum = carry
+            t, c, dm, g, el, elo = xs
+            g2, el2, elo2, bt, es = _estep_chunk(
+                logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V
+            )
+            return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
+
+        def sweep(t_arr, c_arr, dm_arr, g_arr, el_arr, elo_arr, carry):
+            n_rows = t_arr.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            # the fused kernel needs >= 8 docs per tile (f32 sublane)
+            body = (scan_body_pallas if use_pallas and B % 8 == 0
+                    else scan_body_xla)
+            sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+            carry, (gamma, El, El_old) = jax.lax.scan(
+                body, carry,
+                (sh(t_arr), sh(c_arr), sh(dm_arr),
+                 sh(g_arr), sh(el_arr), sh(elo_arr)),
+            )
+            unsh = lambda a: a.reshape((n_rows,) + a.shape[2:])
+            return carry, unsh(gamma), unsh(El), unsh(El_old)
+
+        carry0 = (jnp.zeros((V, K), dtype), jnp.zeros((K,), dtype))
+        if segments is None:
+            (beta_temp, El_sum), gamma, El, El_old = sweep(
+                terms, counts, doc_mask,
+                state.gamma, state.Elogtheta, state.Elogtheta_old, carry0)
+        else:
+            # length-bucketed sweep: one scan per equal-width segment,
+            # each slicing its contiguous rows of the (local) doc state
+            carry = carry0
+            g_parts, el_parts, elo_parts = [], [], []
+            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
+                lo = seg.loc_start
+                hi = lo + t_arr.shape[0]   # local rows under shard_map
+                carry, g2, el2, elo2 = sweep(
+                    t_arr, c_arr, dm_arr,
+                    state.gamma[lo:hi], state.Elogtheta[lo:hi],
+                    state.Elogtheta_old[lo:hi], carry)
+                g_parts.append(g2)
+                el_parts.append(el2)
+                elo_parts.append(elo2)
+            beta_temp, El_sum = carry
+            gamma = jnp.concatenate(g_parts, axis=0)
+            El = jnp.concatenate(el_parts, axis=0)
+            El_old = jnp.concatenate(elo_parts, axis=0)
 
         if axis_name is not None:
             beta_temp = jax.lax.psum(beta_temp, axis_name)
@@ -230,11 +260,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     M-step (modelutils.jl:574-585).
     """
     V = packed.V
+    segments = packed.segments
 
     def elbo(state: LDAState, terms, counts, doc_mask):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
         eps = jnp.asarray(EPSILON, state.beta.dtype)
         logbeta_oldT = jnp.log(state.beta_old + eps).T  # for phi recompute
         logbetaT = jnp.log(state.beta + eps).T          # Elogpw uses current beta
@@ -260,12 +288,30 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
             contrib = dm * (e_ptheta + e_pz + e_pw + e_qtheta + e_qz)
             return acc + jnp.sum(contrib), None
 
-        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
-        total, _ = jax.lax.scan(
-            scan_body, jnp.zeros((), state.beta.dtype),
-            (sh(terms), sh(counts), sh(doc_mask),
-             sh(state.gamma), sh(state.Elogtheta), sh(state.Elogtheta_old)),
-        )
+        def sweep(t_arr, c_arr, dm_arr, g_arr, el_arr, elo_arr, acc):
+            n_rows = t_arr.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+            acc, _ = jax.lax.scan(
+                scan_body, acc,
+                (sh(t_arr), sh(c_arr), sh(dm_arr),
+                 sh(g_arr), sh(el_arr), sh(elo_arr)),
+            )
+            return acc
+
+        total = jnp.zeros((), state.beta.dtype)
+        if segments is None:
+            total = sweep(terms, counts, doc_mask,
+                          state.gamma, state.Elogtheta, state.Elogtheta_old,
+                          total)
+        else:
+            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
+                lo = seg.loc_start
+                hi = lo + t_arr.shape[0]
+                total = sweep(t_arr, c_arr, dm_arr,
+                              state.gamma[lo:hi], state.Elogtheta[lo:hi],
+                              state.Elogtheta_old[lo:hi], total)
         if axis_name is not None:
             total = jax.lax.psum(total, axis_name)
         return total

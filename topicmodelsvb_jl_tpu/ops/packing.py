@@ -54,6 +54,19 @@ class PackedCorpus:
     max_count: int = 0       # max single term count (bounds CTPF's E[log y!] loop)
     max_rating: int = 0
 
+    # ── optional length-bucketed layout (SURVEY §5.7a) ──
+    # When set, token-axis work runs per segment at that segment's own
+    # padded width instead of the corpus-global L, eliminating most of
+    # the ragged-doc padding waste (docs are length-sorted, dealt into
+    # equal chunks per shard, and consecutive equal-width chunk groups
+    # form segments).  ``order``/``inv_order`` map packed row ↔ original
+    # document index.
+    segments: Optional[tuple] = None       # tuple[Segment]
+    order: Optional[np.ndarray] = None     # [M_pad] packed row → orig doc (-1 pad)
+    inv_order: Optional[np.ndarray] = None # [M] orig doc → packed row
+    n_shards: int = 1
+    chunk: int = 0                         # docs per chunk per shard
+
     @property
     def M_pad(self) -> int:
         return self.terms.shape[0]
@@ -127,4 +140,149 @@ def pack_corpus(
     return PackedCorpus(
         terms=terms, counts=counts, doc_mask=doc_mask, N=N_full, C=C,
         M=M, V=V, L=L, max_count=max_count, max_rating=max_rating, **kw
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class Segment:
+    """One equal-width slice of a bucketed corpus.
+
+    Rows are **shard-major**: shard ``s`` of ``n_shards`` owns rows
+    ``[s·n_local, (s+1)·n_local)``, so a ``PartitionSpec('data')`` on
+    axis 0 hands every shard exactly its own chunk-aligned documents.
+    ``loc_start`` is the segment's row offset inside each shard's local
+    slice of the doc-major state arrays (gamma/Elogtheta/…).
+    """
+
+    terms: np.ndarray      # [n_shards · n_local, L]
+    counts: np.ndarray     # [n_shards · n_local, L]
+    doc_mask: np.ndarray   # [n_shards · n_local]
+    L: int
+    n_local: int           # rows per shard (multiple of chunk)
+    loc_start: int         # row offset within each shard's local state
+
+
+def bucketize(
+    terms: np.ndarray,     # [M_pad, L_max] packed (padding rows allowed)
+    counts: np.ndarray,
+    N: np.ndarray,         # [M_pad] real token counts (0 for padding rows)
+    doc_mask: np.ndarray,
+    chunk: int,
+    n_shards: int = 1,
+    pad_multiple: int = 32,
+):
+    """Length-sort + shard-deal + equal-width segment grouping.
+
+    Returns (segments, order, local_size): ``order[packed_row]`` is the
+    source row each packed row came from.  The total padded doc count is
+    rounded up to ``chunk·n_shards``; appended padding rows map to -1.
+    Replaces the reference GPU path's single flat CSR token stream
+    (modelutils.jl:370-397) — where OpenCL tolerated raggedness with
+    per-doc offsets, the TPU wants dense tiles, so docs of similar
+    length share a tile width.
+    """
+    M_src = terms.shape[0]
+    block = chunk * n_shards
+    M_pad = _round_up(max(M_src, 1), block)
+
+    # longest-first so early blocks get the wide segments
+    src_order = np.argsort(-N[:M_src], kind="stable").astype(np.int64)
+    order = np.full(M_pad, -1, dtype=np.int64)
+    order[:M_src] = src_order
+
+    n_blocks = M_pad // block
+    local_size = n_blocks * chunk
+
+    # per-block padded width
+    blk_L = np.zeros(n_blocks, dtype=np.int64)
+    for b in range(n_blocks):
+        sel = order[b * block : (b + 1) * block]
+        real = sel[sel >= 0]
+        mx = int(N[real].max()) if real.size else 0
+        blk_L[b] = _round_up(max(mx, 1), pad_multiple)
+
+    segments = []
+    b0 = 0
+    while b0 < n_blocks:
+        b1 = b0
+        while b1 < n_blocks and blk_L[b1] == blk_L[b0]:
+            b1 += 1
+        L = int(blk_L[b0])
+        nb = b1 - b0
+        seg_t = np.zeros((n_shards * nb * chunk, L), dtype=terms.dtype)
+        seg_c = np.zeros((n_shards * nb * chunk, L), dtype=counts.dtype)
+        seg_m = np.zeros(n_shards * nb * chunk, dtype=doc_mask.dtype)
+        for b in range(b0, b1):
+            sel = order[b * block : (b + 1) * block]  # [n_shards · chunk]
+            for s in range(n_shards):
+                rows = sel[s * chunk : (s + 1) * chunk]
+                dst = s * nb * chunk + (b - b0) * chunk
+                for j, r in enumerate(rows):
+                    if r >= 0:
+                        n = int(N[r])
+                        seg_t[dst + j, :n] = terms[r, :n]
+                        seg_c[dst + j, :n] = counts[r, :n]
+                        seg_m[dst + j] = doc_mask[r]
+        segments.append(Segment(
+            terms=seg_t, counts=seg_c, doc_mask=seg_m, L=L,
+            n_local=nb * chunk, loc_start=b0 * chunk,
+        ))
+        b0 = b1
+
+    return tuple(segments), order, local_size
+
+
+def bucketize_packed(
+    packed: PackedCorpus,
+    chunk: int,
+    n_shards: int = 1,
+    pad_multiple: int = 32,
+) -> PackedCorpus:
+    """Return a bucketed copy of a dense PackedCorpus.
+
+    The dense doc-major fields (terms/counts/doc_mask/N/C and the
+    CTPF reader arrays) are re-ordered into the packed (length-sorted,
+    shard-major) row order so per-doc state arrays line up with the
+    segments; ``inv_order`` maps original doc index → packed row.
+    """
+    segments, order, local_size = bucketize(
+        packed.terms, packed.counts, packed.N, packed.doc_mask,
+        chunk=chunk, n_shards=n_shards, pad_multiple=pad_multiple,
+    )
+    M_pad = n_shards * local_size
+
+    def reorder(a, fill=0):
+        if a is None:
+            return None
+        out = np.full((M_pad,) + a.shape[1:], fill, dtype=a.dtype)
+        # packed row for (block b, shard s, slot j) holds order[b·block + s·chunk + j]
+        block = chunk * n_shards
+        n_blocks = local_size // chunk
+        for b in range(n_blocks):
+            sel = order[b * block : (b + 1) * block]
+            for s in range(n_shards):
+                rows = sel[s * chunk : (s + 1) * chunk]
+                dst = s * local_size + b * chunk
+                ok = rows >= 0
+                out[dst + np.nonzero(ok)[0]] = a[rows[ok]]
+        return out
+
+    inv_order = np.zeros(max(packed.M, 1), dtype=np.int64)
+    block = chunk * n_shards
+    for p_row in range(order.shape[0]):
+        r = order[p_row]
+        if 0 <= r < packed.M:
+            b, rem = divmod(p_row, block)
+            s, j = divmod(rem, chunk)
+            inv_order[r] = s * local_size + b * chunk + j
+
+    return dataclasses.replace(
+        packed,
+        terms=reorder(packed.terms), counts=reorder(packed.counts),
+        doc_mask=reorder(packed.doc_mask), N=reorder(packed.N),
+        C=reorder(packed.C),
+        readers=reorder(packed.readers), ratings=reorder(packed.ratings),
+        R=reorder(packed.R),
+        segments=segments, order=order, inv_order=inv_order,
+        n_shards=n_shards, chunk=chunk,
     )
