@@ -1,0 +1,119 @@
+"""TP (vocab-axis) and SP (token-axis) sharding equivalence tests.
+
+The reference has no multi-device capability (SURVEY §2.3); these are
+the build's first-class parallelism components, validated on the
+8-virtual-device CPU mesh: every sharded configuration must reproduce
+the single-device trajectory up to reduction-order roundoff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from topicmodelsvb_jl_tpu.models import lda as lda_mod
+from topicmodelsvb_jl_tpu.ops.packing import PackedCorpus
+from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+from topicmodelsvb_jl_tpu.parallel.shard import shard_map
+
+
+def _packed(M=64, V=512, L=32, seed=0):
+    rng = np.random.default_rng(seed)
+    terms = rng.integers(0, V, size=(M, L)).astype(np.int32)
+    counts = (1 + rng.poisson(0.4, size=(M, L))).astype(np.float64)
+    n = rng.integers(8, L, size=M)
+    valid = np.arange(L)[None, :] < n[:, None]
+    counts *= valid
+    terms *= valid
+    return PackedCorpus(
+        terms=terms, counts=counts, doc_mask=np.ones(M, np.float64),
+        N=n.astype(np.int32), C=counts.sum(1), M=M, V=V, L=L,
+        max_count=int(counts.max()),
+    )
+
+
+def _reference_run(packed, K, iters=3):
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    step = jax.jit(lda_mod.make_step(
+        packed, K, viter=5, vtol=1.0 / K**2, niter=100, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name=None, use_pallas=False))
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float64))
+    for _ in range(iters):
+        state = step(state, *data)
+    elbo = jax.jit(lda_mod.make_elbo(packed, K, chunk_docs=16))(state, *data[:3])
+    return state, float(elbo)
+
+
+def test_vocab_axis_tp_matches_single_device():
+    """beta sharded over a vocab axis (TP): same trajectory + ELBO."""
+    K = 6
+    packed = _packed()
+    ref, ref_elbo = _reference_run(packed, K)
+
+    mesh = make_mesh(axis_names=("data", "vocab"), shape=(2, 4))
+    spec = lda_mod.partition_spec(data_axis=("data", "vocab"), vocab_axis="vocab")
+    step_l = lda_mod.make_step(
+        packed, K, viter=5, vtol=1.0 / K**2, niter=100, ntol=1.0 / K**2,
+        chunk_docs=8, axis_name=("data", "vocab"), use_pallas=False,
+        vocab_axis="vocab")
+    elbo_l = lda_mod.make_elbo(
+        packed, K, chunk_docs=8, axis_name=("data", "vocab"),
+        vocab_axis="vocab")
+    dspec = P(("data", "vocab"))
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec, P()),
+        out_specs=spec, check_vma=False))
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec),
+        out_specs=P(), check_vma=False))
+
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float64))
+    for _ in range(3):
+        state = step(state, *data)
+    np.testing.assert_allclose(np.asarray(state.beta), np.asarray(ref.beta),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(state.gamma), np.asarray(ref.gamma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.alpha), np.asarray(ref.alpha),
+                               rtol=1e-7)
+    e = float(elbo_fn(state, *data[:3]))
+    np.testing.assert_allclose(e, ref_elbo, rtol=1e-9)
+
+
+def test_seq_axis_sp_matches_single_device():
+    """Token axis of every doc sharded over a seq axis (SP analogue)."""
+    K = 6
+    packed = _packed()
+    ref, ref_elbo = _reference_run(packed, K)
+
+    mesh = make_mesh(axis_names=("data", "seq"), shape=(2, 4))
+    spec = lda_mod.partition_spec(data_axis="data")
+    step_l = lda_mod.make_step(
+        packed, K, viter=5, vtol=1.0 / K**2, niter=100, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name="data", use_pallas=False, seq_axis="seq")
+    elbo_l = lda_mod.make_elbo(
+        packed, K, chunk_docs=16, axis_name="data", seq_axis="seq")
+    tokspec = P("data", "seq")   # docs over data, token axis over seq
+    dspec = P("data")
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh,
+        in_specs=(spec, tokspec, tokspec, dspec, P()),
+        out_specs=spec, check_vma=False))
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
+        out_specs=P(), check_vma=False))
+
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float64))
+    for _ in range(3):
+        state = step(state, *data)
+    np.testing.assert_allclose(np.asarray(state.beta), np.asarray(ref.beta),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(state.gamma), np.asarray(ref.gamma),
+                               rtol=1e-6)
+    e = float(elbo_fn(state, *data[:3]))
+    np.testing.assert_allclose(e, ref_elbo, rtol=1e-9)

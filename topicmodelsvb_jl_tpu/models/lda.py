@@ -95,11 +95,17 @@ def _estep_chunk(
     viter: int,
     vtol: float,
     V: int,
+    seq_axis=None,
 ):
     """Fused per-chunk E-step: viter fixpoint + sufficient statistics.
 
     Mirrors LDA.jl:171-179 with per-doc masking; returns updated per-doc
     state plus this chunk's beta_temp [V, K] and Elogtheta_sum [K].
+
+    With ``seq_axis`` the token axis of every document is sharded over
+    that mesh axis (the long-document analogue of sequence parallelism,
+    SURVEY §5.7b): phi rows live shard-local and the per-doc reduction
+    ``phi @ counts`` (LDA.jl:145) is a psum over the doc's token shards.
     """
     eps = jnp.asarray(EPSILON, gamma.dtype)
     logbeta_d = logbetaT[terms]  # [B, L, K] — gathered once, reused all viter iters
@@ -109,9 +115,12 @@ def _estep_chunk(
         gamma, El, El_old, active = carry
         p = _phi(logbeta_d, El)
         # update_gamma! (LDA.jl:143-146): gamma = alpha + phi @ counts (+EPS)
-        gamma_new = alpha[None, :] + jnp.einsum(
+        pc = jnp.einsum(
             "bl,blk->bk", counts, p, preferred_element_type=gamma.dtype
-        ) + eps
+        )
+        if seq_axis is not None:
+            pc = jax.lax.psum(pc, seq_axis)
+        gamma_new = alpha[None, :] + pc + eps
         # update_Elogtheta! (LDA.jl:136-139)
         El_new = digamma(gamma_new) - digamma(jnp.sum(gamma_new, -1, keepdims=True))
         upd = active[:, None]
@@ -136,14 +145,27 @@ def _estep_chunk(
 
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
-              chunk_docs: int, axis_name: Optional[str] = None,
-              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
+              chunk_docs: int, axis_name=None,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """Build the jittable outer-iteration step (one full CAVI sweep).
 
     Local docs are scanned in chunks of ``chunk_docs``; beta_temp /
-    Elogtheta_sum are psum'd over ``axis_name`` when given (the DP
-    all-reduce of §2.3 of the survey — the workload's "gradient
-    all-reduce").
+    Elogtheta_sum are psum'd over ``axis_name`` (str or tuple of axes)
+    when given — the DP all-reduce of §2.3 of the survey, the workload's
+    "gradient all-reduce".
+
+    ``vocab_axis`` shards beta *storage* over that mesh axis (the TP
+    component, SURVEY §2.3): state.beta arrives as a [K, V/n] shard, is
+    all-gathered for the E-step (beta is frozen within a sweep), and the
+    new beta is formed shard-local via psum_scatter of the sufficient
+    statistic.  Compute stays fully data-parallel — include the vocab
+    axis in ``axis_name`` and shard docs over both axes.
+
+    ``seq_axis`` shards every document's token axis over that mesh axis
+    (the sequence-parallel analogue for very long documents, SURVEY
+    §5.7b); the per-doc gamma reduction becomes a per-viter psum.
+    Incompatible with bucketed packing and the Pallas body.
 
     ``use_pallas`` selects the fused Pallas E-step kernel
     (kernels/lda_estep.py) over the pure-XLA fixpoint; ``None`` means
@@ -153,10 +175,18 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     segments = packed.segments
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    if seq_axis is not None:
+        use_pallas = False
+        assert segments is None, "token-axis sharding requires dense packing"
 
     def step(state: LDAState, terms, counts, doc_mask, M_total):
         dtype = state.beta.dtype
-        logbetaT = jnp.log(state.beta + jnp.asarray(EPSILON, dtype)).T
+        if vocab_axis is not None:
+            beta_full = jax.lax.all_gather(
+                state.beta, vocab_axis, axis=1, tiled=True)
+        else:
+            beta_full = state.beta
+        logbetaT = jnp.log(beta_full + jnp.asarray(EPSILON, dtype)).T
 
         if use_pallas:
             from ..kernels.lda_estep import lda_estep
@@ -166,7 +196,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             # the kernel works multiplicatively like the reference CPU path
             # with the @boink EPSILON guard folded into the table.
             eps = jnp.asarray(EPSILON, dtype)
-            betaT_p = jnp.pad(state.beta.T + eps, ((0, 0), (0, Kp - K)))
+            betaT_p = jnp.pad(beta_full.T + eps, ((0, 0), (0, Kp - K)))
             alpha_p = jnp.pad(state.alpha, (0, Kp - K))
             padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
 
@@ -189,7 +219,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             beta_temp, El_sum = carry
             t, c, dm, g, el, elo = xs
             g2, el2, elo2, bt, es = _estep_chunk(
-                logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V
+                logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V,
+                seq_axis=seq_axis,
             )
             return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
 
@@ -234,12 +265,34 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             El = jnp.concatenate(el_parts, axis=0)
             El_old = jnp.concatenate(elo_parts, axis=0)
 
-        if axis_name is not None:
-            beta_temp = jax.lax.psum(beta_temp, axis_name)
-            El_sum = jax.lax.psum(El_sum, axis_name)
+        stat_axes = axis_name if axis_name is not None else ()
+        if isinstance(stat_axes, str):
+            stat_axes = (stat_axes,)
+        if seq_axis is not None:
+            # token-local scatters: sum token shards too (El_sum is
+            # doc-level and identical across seq shards — data axes only)
+            stat_axes_bt = stat_axes + (seq_axis,)
+        else:
+            stat_axes_bt = stat_axes
+        if stat_axes:
+            El_sum = jax.lax.psum(El_sum, stat_axes)
 
         # update_beta! reset (LDA.jl:121-125)
-        beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+        if vocab_axis is not None:
+            # reduce_scatter the statistic over the vocab axis (each shard
+            # keeps only its V/n rows), then all-reduce that shard over the
+            # remaining data axes — half the bytes of a full psum + slice
+            bt_local = jax.lax.psum_scatter(
+                beta_temp, vocab_axis, scatter_dimension=0, tiled=True)
+            rest = tuple(a for a in stat_axes_bt if a != vocab_axis)
+            if rest:
+                bt_local = jax.lax.psum(bt_local, rest)
+            row_sum = jax.lax.psum(jnp.sum(bt_local, axis=0), vocab_axis)  # [K]
+            beta_new = bt_local.T / row_sum[:, None]
+        else:
+            if stat_axes_bt:
+                beta_temp = jax.lax.psum(beta_temp, stat_axes_bt)
+            beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
         # update_alpha! (LDA.jl:97-118), replicated on device
         alpha_new = dirichlet_newton(state.alpha, El_sum, M_total, niter, ntol)
 
@@ -251,7 +304,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     return step
 
 
-def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
+def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """Build the jittable full-corpus ELBO (reference LDA.jl:50-93).
 
     phi is recomputed from (beta_old, Elogtheta_old) exactly as
@@ -261,16 +315,24 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     """
     V = packed.V
     segments = packed.segments
+    if seq_axis is not None:
+        assert segments is None, "token-axis sharding requires dense packing"
 
     def elbo(state: LDAState, terms, counts, doc_mask):
         eps = jnp.asarray(EPSILON, state.beta.dtype)
-        logbeta_oldT = jnp.log(state.beta_old + eps).T  # for phi recompute
-        logbetaT = jnp.log(state.beta + eps).T          # Elogpw uses current beta
+        if vocab_axis is not None:
+            beta_full = jax.lax.all_gather(state.beta, vocab_axis, axis=1, tiled=True)
+            beta_old_full = jax.lax.all_gather(state.beta_old, vocab_axis, axis=1, tiled=True)
+        else:
+            beta_full, beta_old_full = state.beta, state.beta_old
+        logbeta_oldT = jnp.log(beta_old_full + eps).T  # for phi recompute
+        logbetaT = jnp.log(beta_full + eps).T          # Elogpw uses current beta
         a = state.alpha
         # Elogptheta doc-constant part (LDA.jl:50-53)
         theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))
 
         def scan_body(acc, xs):
+            acc_doc, acc_tok = acc
             t, c, dm, g, el, elo = xs
             p = _phi(logbeta_oldT[t], elo)                       # [B, L, K]
             cw = c[..., None]
@@ -278,6 +340,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
             e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
             # Elogpz (LDA.jl:56-60): dot(phi @ counts, Elogtheta)
             pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=p.dtype)
+            if seq_axis is not None:
+                pc = jax.lax.psum(pc, seq_axis)
             e_pz = jnp.sum(pc * el, -1)
             # Elogpw (LDA.jl:63-67): sum(phi .* log(beta[:,terms]) * counts)
             e_pw = jnp.sum(p * logbetaT[t] * cw, axis=(1, 2))
@@ -285,8 +349,11 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
             e_qtheta = dirichlet_entropy(g)
             # −Elogqz = +Σ c·entropy(Categorical(phi)) (LDA.jl:76-80)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
-            contrib = dm * (e_ptheta + e_pz + e_pw + e_qtheta + e_qz)
-            return acc + jnp.sum(contrib), None
+            # doc-level terms are replicated across token shards; token-
+            # level terms are shard-local — kept in separate accumulators
+            acc_doc = acc_doc + jnp.sum(dm * (e_ptheta + e_pz + e_qtheta))
+            acc_tok = acc_tok + jnp.sum(dm * (e_pw + e_qz))
+            return (acc_doc, acc_tok), None
 
         def sweep(t_arr, c_arr, dm_arr, g_arr, el_arr, elo_arr, acc):
             n_rows = t_arr.shape[0]
@@ -300,31 +367,47 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
             )
             return acc
 
-        total = jnp.zeros((), state.beta.dtype)
+        zero = jnp.zeros((), state.beta.dtype)
+        acc = (zero, zero)
         if segments is None:
-            total = sweep(terms, counts, doc_mask,
-                          state.gamma, state.Elogtheta, state.Elogtheta_old,
-                          total)
+            acc = sweep(terms, counts, doc_mask,
+                        state.gamma, state.Elogtheta, state.Elogtheta_old,
+                        acc)
         else:
             for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
                 lo = seg.loc_start
                 hi = lo + t_arr.shape[0]
-                total = sweep(t_arr, c_arr, dm_arr,
-                              state.gamma[lo:hi], state.Elogtheta[lo:hi],
-                              state.Elogtheta_old[lo:hi], total)
-        if axis_name is not None:
-            total = jax.lax.psum(total, axis_name)
+                acc = sweep(t_arr, c_arr, dm_arr,
+                            state.gamma[lo:hi], state.Elogtheta[lo:hi],
+                            state.Elogtheta_old[lo:hi], acc)
+        total_doc, total_tok = acc
+        axes = axis_name if axis_name is not None else ()
+        if isinstance(axes, str):
+            axes = (axes,)
+        if seq_axis is not None:
+            total_tok = jax.lax.psum(total_tok, axes + (seq_axis,))
+            total_doc = jax.lax.psum(total_doc, axes) if axes else total_doc
+            return total_doc + total_tok
+        total = total_doc + total_tok
+        if axes:
+            total = jax.lax.psum(total, axes)
         return total
 
     return elbo
 
 
-def partition_spec(data_axis: str = "data"):
-    """shard_map PartitionSpecs: per-doc state sharded, globals replicated."""
+def partition_spec(data_axis="data", vocab_axis: Optional[str] = None):
+    """shard_map PartitionSpecs: per-doc state sharded, globals replicated.
+
+    ``data_axis`` may be a tuple of mesh axes (docs sharded over their
+    product).  With ``vocab_axis`` beta/beta_old storage is sharded over
+    that axis (TP; SURVEY §2.3) while everything else stays replicated.
+    """
     from jax.sharding import PartitionSpec as P
 
+    beta_spec = P(None, vocab_axis) if vocab_axis is not None else P()
     return LDAState(
-        alpha=P(), beta=P(), beta_old=P(),
+        alpha=P(), beta=beta_spec, beta_old=beta_spec,
         gamma=P(data_axis), Elogtheta=P(data_axis), Elogtheta_old=P(data_axis),
         elbo=P(),
     )
