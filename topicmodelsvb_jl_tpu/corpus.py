@@ -252,20 +252,45 @@ def readcorp(
             ("terms", "counts", "readers", "ratings"),
             (True, counts, readers, ratings),
         ) if on]
-        with open(docfile) as f:
-            lines = f.read().splitlines()
-        for d in range(0, len(lines), block):
-            doc_block = lines[d : d + block]
-            try:
-                fields = {
-                    k: [int(p) for p in line.split(delim)] if line else []
-                    for k, line in zip(keys, doc_block)
-                }
-                corp.append(Document(**fields))
-            except Exception as e:
-                raise CorpusError(
-                    f"document {d // block + 1} beginning on line {d + 1} failed to load."
-                ) from e
+        parsed = None
+        try:
+            from .native import parse_delimited_ints
+
+            with open(docfile, "rb") as fb:
+                parsed = parse_delimited_ints(fb.read(), delim)
+        except Exception:
+            parsed = None  # fall back to the pure-Python parser below
+        if parsed is not None:
+            # native C++ byte-level parse (native/tmvb_native.cpp); doc
+            # blocks are sliced out of the CSR (values, line-offsets) form
+            vals, offs = parsed
+            n_lines = len(offs) - 1
+            for d in range(0, n_lines, block):
+                try:
+                    fields = {
+                        k: vals[offs[d + j] : offs[d + j + 1]].tolist()
+                        for j, k in enumerate(keys) if d + j < n_lines
+                    }
+                    corp.append(Document(**fields))
+                except Exception as e:
+                    raise CorpusError(
+                        f"document {d // block + 1} beginning on line {d + 1} failed to load."
+                    ) from e
+        else:
+            with open(docfile) as f:
+                lines = f.read().splitlines()
+            for d in range(0, len(lines), block):
+                doc_block = lines[d : d + block]
+                try:
+                    fields = {
+                        k: [int(p) for p in line.split(delim)] if line else []
+                        for k, line in zip(keys, doc_block)
+                    }
+                    corp.append(Document(**fields))
+                except Exception as e:
+                    raise CorpusError(
+                        f"document {d // block + 1} beginning on line {d + 1} failed to load."
+                    ) from e
     else:
         import warnings as _w
 

@@ -209,20 +209,17 @@ def bucketize(
             b1 += 1
         L = int(blk_L[b0])
         nb = b1 - b0
-        seg_t = np.zeros((n_shards * nb * chunk, L), dtype=terms.dtype)
-        seg_c = np.zeros((n_shards * nb * chunk, L), dtype=counts.dtype)
-        seg_m = np.zeros(n_shards * nb * chunk, dtype=doc_mask.dtype)
-        for b in range(b0, b1):
-            sel = order[b * block : (b + 1) * block]  # [n_shards · chunk]
-            for s in range(n_shards):
-                rows = sel[s * chunk : (s + 1) * chunk]
-                dst = s * nb * chunk + (b - b0) * chunk
-                for j, r in enumerate(rows):
-                    if r >= 0:
-                        n = int(N[r])
-                        seg_t[dst + j, :n] = terms[r, :n]
-                        seg_c[dst + j, :n] = counts[r, :n]
-                        seg_m[dst + j] = doc_mask[r]
+        # rows for this segment, shard-major: [n_shards, nb, chunk]
+        sel = order[b0 * block : b1 * block].reshape(nb, n_shards, chunk)
+        rows = np.ascontiguousarray(sel.transpose(1, 0, 2)).reshape(-1)
+        ok = rows >= 0
+        safe = np.where(ok, rows, 0)
+        Lc = min(L, terms.shape[1])
+        seg_t = np.zeros((rows.shape[0], L), dtype=terms.dtype)
+        seg_c = np.zeros((rows.shape[0], L), dtype=counts.dtype)
+        seg_t[:, :Lc] = np.where(ok[:, None], terms[safe, :Lc], 0)
+        seg_c[:, :Lc] = np.where(ok[:, None], counts[safe, :Lc], 0)
+        seg_m = np.where(ok, doc_mask[safe], 0).astype(doc_mask.dtype)
         segments.append(Segment(
             terms=seg_t, counts=seg_c, doc_mask=seg_m, L=L,
             n_local=nb * chunk, loc_start=b0 * chunk,
@@ -251,30 +248,28 @@ def bucketize_packed(
     )
     M_pad = n_shards * local_size
 
+    # packed row for (block b, shard s, slot j) holds order[b·block + s·chunk + j]
+    block = chunk * n_shards
+    n_blocks = local_size // chunk
+    # rows in packed order: transpose [nb, n_shards, chunk] → shard-major
+    rows_pk = np.ascontiguousarray(
+        order.reshape(n_blocks, n_shards, chunk).transpose(1, 0, 2)
+    ).reshape(-1)                           # [M_pad] source row per packed row
+    ok_pk = rows_pk >= 0
+    safe_pk = np.where(ok_pk, rows_pk, 0)
+
     def reorder(a, fill=0):
         if a is None:
             return None
         out = np.full((M_pad,) + a.shape[1:], fill, dtype=a.dtype)
-        # packed row for (block b, shard s, slot j) holds order[b·block + s·chunk + j]
-        block = chunk * n_shards
-        n_blocks = local_size // chunk
-        for b in range(n_blocks):
-            sel = order[b * block : (b + 1) * block]
-            for s in range(n_shards):
-                rows = sel[s * chunk : (s + 1) * chunk]
-                dst = s * local_size + b * chunk
-                ok = rows >= 0
-                out[dst + np.nonzero(ok)[0]] = a[rows[ok]]
+        sel = a[safe_pk]
+        mask = ok_pk.reshape((-1,) + (1,) * (a.ndim - 1))
+        out[:] = np.where(mask, sel, fill)
         return out
 
     inv_order = np.zeros(max(packed.M, 1), dtype=np.int64)
-    block = chunk * n_shards
-    for p_row in range(order.shape[0]):
-        r = order[p_row]
-        if 0 <= r < packed.M:
-            b, rem = divmod(p_row, block)
-            s, j = divmod(rem, chunk)
-            inv_order[r] = s * local_size + b * chunk + j
+    valid = ok_pk & (rows_pk < packed.M)
+    inv_order[rows_pk[valid]] = np.nonzero(valid)[0]
 
     return dataclasses.replace(
         packed,
