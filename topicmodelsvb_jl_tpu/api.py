@@ -477,6 +477,35 @@ class fLDA(TopicModel):
         return g / g.sum(axis=-1, keepdims=True)
 
 
+class _LazyRecs:
+    """Sequence view over ranked recommendations (reference drecs/urecs,
+    CTPF.jl:377-400) — each row is ranked on first access instead of
+    materialising the full M·U ranking."""
+
+    def __init__(self, model, kind: str, n: int):
+        self._model = model
+        self._kind = kind
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self._n))]
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        return self._model._rec_row(self._kind, i)
+
+    def __iter__(self):
+        return (self[i] for i in range(self._n))
+
+    def __repr__(self):
+        return f"<lazy {'doc' if self._kind == 'd' else 'user'} recs, {self._n} rows>"
+
+
 class CTPF(TopicModel):
     """Collaborative topic Poisson factorization (reference src/CTPF.jl).
 
@@ -497,16 +526,76 @@ class CTPF(TopicModel):
         for d, doc in enumerate(self.corp.docs, start=1):
             for u in doc.readers:
                 self.libs[u - 1].append(d)
-        self.scores = np.zeros((self.M, self.U))
-        # pre-training recs default to unranked complements (CTPF.jl:67-79)
-        self.urecs = [
-            [d for d in range(1, self.M + 1) if d not in set(self.libs[u])]
-            for u in range(self.U)
-        ]
-        self.drecs = [
-            [u for u in range(1, self.U + 1) if u not in set(doc.readers)]
-            for doc in self.corp.docs
-        ]
+        # scores live on DEVICE ([M, U] is 100s of MB at scale; the
+        # host here may be a single weak core), fetched to host lazily;
+        # recs (unranked complements pre-train, score-ranked post-train,
+        # CTPF.jl:67-79/389-400) are lazy per-row sequence views — the
+        # reference materialises all M·U ranks eagerly (CTPF.jl:389-400)
+        self._scores_dev = None
+        self._scores_np = None
+        self._urecs = None
+        self._drecs = None
+        self._ranked = False
+
+    @property
+    def scores(self) -> np.ndarray:
+        if self._scores_np is None:
+            if self._scores_dev is not None:
+                self._scores_np = np.asarray(self._scores_dev)
+            else:
+                self._scores_np = np.zeros((self.M, self.U))
+        return self._scores_np
+
+    @scores.setter
+    def scores(self, v):
+        self._scores_np = np.asarray(v)
+        self._scores_dev = None
+
+    def _score_slice(self, kind: str, i: int) -> np.ndarray:
+        if self._scores_np is not None:
+            return self._scores_np[i] if kind == "d" else self._scores_np[:, i]
+        if self._scores_dev is not None:
+            sl = self._scores_dev[i] if kind == "d" else self._scores_dev[:, i]
+            return np.asarray(sl)
+        n = self.U if kind == "d" else self.M
+        return np.zeros(n)
+
+    def _rec_row(self, kind: str, i: int) -> list:
+        """Ranked recommendation row (0-based i), computed on demand."""
+        if kind == "d":   # users for document i
+            n = self.U
+            excl = np.asarray(self.corp.docs[i].readers, dtype=np.int64)
+        else:             # documents for user i
+            n = self.M
+            excl = np.asarray(self.libs[i], dtype=np.int64)
+        if self._ranked and n:
+            order = np.argsort(-self._score_slice(kind, i), kind="stable")
+        else:
+            order = np.arange(n, dtype=np.int64)
+        mask = np.ones(n, dtype=bool)
+        if excl.size:
+            mask[excl - 1] = False
+        return (order[mask[order]] + 1).tolist()
+
+    @property
+    def urecs(self):
+        if self._urecs is None:
+            self._urecs = _LazyRecs(self, "u", self.U)
+        return self._urecs
+
+    @urecs.setter
+    def urecs(self, v):
+        self._urecs = v
+
+    @property
+    def drecs(self):
+        if self._drecs is None:
+            self._drecs = _LazyRecs(self, "d", self.M)
+        return self._drecs
+
+    @drecs.setter
+    def drecs(self, v):
+        self._drecs = v
 
     def __repr__(self):
         return f"Collaborative topic Poisson factorization model with {self.K} topics."
@@ -548,21 +637,16 @@ class CTPF(TopicModel):
 
     def _finalize(self):
         super()._finalize()
-        # scores + ranked recs (CTPF.jl:381-400)
-        s = np.asarray(ctpf_mod.scores(self.state))[: self.M, : self.U]
-        self.scores = s
-        self.urecs = []
-        for u in range(self.U):
-            lib = set(self.libs[u])
-            cand = np.array([d for d in range(1, self.M + 1) if d not in lib], dtype=np.int64)
-            order = np.argsort(s[cand - 1, u], kind="stable")[::-1]
-            self.urecs.append(cand[order].tolist())
-        self.drecs = []
-        for d, doc in enumerate(self.corp.docs):
-            readers = set(doc.readers)
-            cand = np.array([u for u in range(1, self.U + 1) if u not in readers], dtype=np.int64)
-            order = np.argsort(s[d, cand - 1], kind="stable")[::-1]
-            self.drecs.append(cand[order].tolist())
+        # scores Eeta'·(Etheta+Eepsilon) (CTPF.jl:381-386): one device
+        # matmul, kept on device — [M, U] is 100s of MB at CiteULike
+        # scale and the ranked recs only ever read a row at a time
+        s = ctpf_mod.scores(self.state)
+        rows = jnp.asarray(self._doc_rows())
+        self._scores_dev = s[rows][:, : self.U]
+        self._scores_np = None
+        self._ranked = True
+        self._urecs = None
+        self._drecs = None
 
     # ── Hebrew-letter parameter accessors ──
     @property
