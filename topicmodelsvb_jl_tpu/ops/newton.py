@@ -25,23 +25,42 @@ from ..utils.numerics import EPSILON, digamma, finite, l2norm, trigamma
 
 
 def _backtrack_rho(x: jax.Array, p: jax.Array, strict: bool) -> jax.Array:
-    """Largest ρ = 2^-m with x − ρ·p > 0 (strict) or ≥ 0, elementwise-min'd.
+    """Largest ρ = 2^-m with x − ρ·p > 0 (strict) or ≥ 0, elementwise.
 
-    Mirrors the reference's ``while minimum(x - rho*p) < 0: rho *= 0.5``
-    (LDA.jl:107-109) / ``while x - rho*p <= 0`` (CTM.jl:154-156) as a
-    scalar-per-lane while_loop.
+    Closed form of the reference's halving loop ``while x - rho*p <= 0:
+    rho *= 0.5`` (CTM.jl:154-156, LDA.jl:107-109): the exit value is the
+    largest power of two (from 1) below x/p for descending coordinates.
+    No inner while_loop — this sits inside viter loops inside the chunk
+    scan, where nested data-dependent loops are both slow and fragile.
     """
-    def cond(rho):
-        step = x - rho * p
-        bad = (step <= 0) if strict else (step < 0)
-        return jnp.any(bad & (rho > 1e-38))
+    ratio = jnp.where(p > 0, x / jnp.where(p > 0, p, 1.0), jnp.inf)
+    m = jnp.maximum(jnp.ceil(-jnp.log2(jnp.minimum(ratio, 1.0))), 0.0)
+    rho = jnp.exp2(-m)
+    if strict:  # need x − ρ·p strictly positive: halve exact ties
+        rho = jnp.where(x - rho * p <= 0, rho * 0.5, rho)
+    return jnp.where(jnp.isfinite(ratio), rho, jnp.ones_like(rho))
 
-    def body(rho):
-        step = x - rho * p
-        bad = (step <= 0) if strict else (step < 0)
-        return jnp.where(bad, rho * 0.5, rho)
 
-    return jax.lax.while_loop(cond, body, jnp.ones_like(x))
+def spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve by Gauss–Jordan elimination without pivoting.
+
+    The TPU-native twin of the reference's OpenCL ``LINSOLVE_c``
+    (utils.jl:60-90) — its own comment notes pivoting is unnecessary for
+    SPD systems (utils.jl:56-58).  Implemented with plain HLO ops (no
+    LAPACK-style custom call, which crashes some TPU runtimes when
+    nested inside scan/while loops).  A: [B, K, K], b: [B, K] → [B, K].
+    """
+    K = A.shape[-1]
+    M = jnp.concatenate([A, b[..., None]], axis=-1)    # [B, K, K+1]
+
+    def body(j, M):
+        piv_row = M[:, j, :] / M[:, j, j][:, None]      # [B, K+1]
+        factor = M[:, :, j]                             # [B, K]
+        M2 = M - factor[:, :, None] * piv_row[:, None, :]
+        return M2.at[:, j, :].set(piv_row)
+
+    M = jax.lax.fori_loop(0, K, body, M)
+    return M[:, :, K]
 
 
 def dirichlet_newton(
@@ -115,29 +134,38 @@ def ctm_lambda_newton(
     ‖grad‖ < ntol (masked, batch-synchronous).
     """
     dtype = lam.dtype
+    K = lam.shape[-1]
+    eye = jnp.eye(K, dtype=lam.dtype)
 
     def cond(carry):
-        i, _, act = carry
+        i, _, act, _ = carry
         return (i < niter) & jnp.any(act)
 
     def body(carry):
-        i, lam, act = carry
+        i, lam, act, prev_norm = carry
         expo = jnp.exp(lam + 0.5 * vsq - logzeta[:, None]) * C[:, None]  # [B, K]
         grad = (mu - lam) @ invsigma + phi_counts - expo
-        # neg hessian: invsigma + diag(expo), batched Cholesky solve
-        neg_hess = invsigma[None, :, :] + jax.vmap(jnp.diag)(expo)
-        chol = jax.lax.linalg.cholesky(neg_hess)
-        step = jax.lax.linalg.triangular_solve(
-            chol, grad[:, :, None], left_side=True, lower=True
-        )
-        step = jax.lax.linalg.triangular_solve(
-            chol, step, left_side=True, lower=True, transpose_a=True
-        )[:, :, 0]
+        # neg hessian: invsigma + diag(expo); solved by the batched
+        # in-HLO Gauss–Jordan (the reference's LINSOLVE_c analogue —
+        # SPD, so no pivoting; utils.jl:56-58)
+        neg_hess = invsigma[None, :, :] + expo[:, :, None] * eye[None, :, :]
+        step = spd_solve(neg_hess, grad)
         lam_new = jnp.where(act[:, None], lam + step, lam)
-        act_new = act & (l2norm(grad) >= ntol)
-        return i + 1, lam_new, act_new
+        # reference stop: ‖grad‖ < ntol (CTM.jl:140).  At f32 the noise
+        # floor of the C-scaled gradient can exceed ntol forever (the
+        # reference runs f64), so two numerical stops are added: step
+        # below f32 resolution of lambda, and a limit-cycle detector
+        # (steps no longer contracting after the quadratic phase).
+        sn = l2norm(step)
+        stagnant = sn <= 1e-5 * (l2norm(lam_new) + 1.0)
+        cycling = (i >= 8) & (sn >= prev_norm)
+        act_new = act & (l2norm(grad) >= ntol) & ~stagnant & ~cycling
+        return i + 1, lam_new, act_new, sn
 
-    _, lam, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), lam, active))
+    _, lam, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), lam, active,
+         jnp.full(lam.shape[:1], jnp.inf, lam.dtype)))
     return lam.astype(dtype)
 
 
@@ -153,21 +181,27 @@ def ctm_vsq_newton(
 ) -> jax.Array:
     """Batched per-coordinate CTM vsq Newton with back-tracking (CTM.jl:146-165)."""
     def cond(carry):
-        i, _, act = carry
+        i, _, act, _ = carry
         return (i < niter) & jnp.any(act)
 
     def body(carry):
-        i, vsq, act = carry
+        i, vsq, act, prev_norm = carry
         e = C[:, None] * jnp.exp(lam + 0.5 * vsq - logzeta[:, None])
         grad = -0.5 * (invsigma_diag[None, :] + e - 1.0 / vsq)
         invhess = -1.0 / (0.25 * e + 0.5 / vsq**2)
         p = invhess * grad
         rho = _backtrack_rho(vsq, p, strict=True)
         vsq_new = jnp.where(act, vsq - rho * p, vsq)
-        act_new = act & (rho * jnp.abs(grad) >= ntol)
-        return i + 1, vsq_new, act_new
+        # reference stop (CTM.jl:163) + f32 stagnation/limit-cycle stops
+        sn = rho * jnp.abs(p)
+        stagnant = sn <= 1e-5 * (jnp.abs(vsq_new) + 1e-12)
+        cycling = (i >= 8) & (sn >= prev_norm)
+        act_new = act & (rho * jnp.abs(grad) >= ntol) & ~stagnant & ~cycling
+        return i + 1, vsq_new, act_new, sn
 
     act0 = active[:, None] & jnp.ones_like(vsq, dtype=bool)
-    _, vsq, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), vsq, act0))
+    _, vsq, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), vsq, act0, jnp.full_like(vsq, jnp.inf)))
     # @positive model.vsq[d] (CTM.jl:164)
     return vsq + jnp.asarray(EPSILON, vsq.dtype)
