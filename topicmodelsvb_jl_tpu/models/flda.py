@@ -53,7 +53,8 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FLDAState:
     beta = jax.random.dirichlet(k_beta, jnp.ones((V,), jnp.float32), shape=(K,)).astype(dtype)
     kappa = jax.random.dirichlet(k_kappa, jnp.ones((V,), jnp.float32)).astype(dtype)
     eta = jnp.asarray(0.5, dtype)
-    el0 = -EULERGAMMA - float(jax.lax.digamma(jnp.asarray(float(K), jnp.float32)))
+    # ψ(K) = −γ + H_{K−1} ⇒ el0 = −H_{K−1} (host-side, no device fetch)
+    el0 = -sum(1.0 / i for i in range(1, K))
     El = jnp.full((M_pad, K), jnp.asarray(el0, dtype), dtype)
     tau = jnp.full((M_pad, L), eta, dtype)
     return FLDAState(

@@ -55,7 +55,9 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> LDAState:
     beta = jax.random.dirichlet(key, jnp.ones((V,), dtype=jnp.float32), shape=(K,))
     beta = beta.astype(dtype)
     # Elogtheta init: −γ_euler − ψ(K) (LDA.jl:38)
-    el0 = -EULERGAMMA - float(jax.lax.digamma(jnp.asarray(float(K), jnp.float64 if dtype == jnp.float64 else jnp.float32)))
+    # ψ(K) = −γ + H_{K−1} for integer K ⇒ el0 = −γ − ψ(K) = −H_{K−1};
+    # computed host-side (a device fetch here can stall on the tunnel)
+    el0 = -sum(1.0 / i for i in range(1, K))
     Elogtheta = jnp.full((M_pad, K), jnp.asarray(el0, dtype), dtype)
     return LDAState(
         alpha=jnp.ones((K,), dtype),
