@@ -143,3 +143,27 @@ def test_ctpf_warm_start(reader_corpus):
     np.testing.assert_allclose(np.asarray(ctpf.state.alef), np.exp(lda.beta), rtol=1e-12)
     ctpf.train(iter=3, checkelbo=1, printelbo=False)
     assert np.isfinite(ctpf.elbo)
+
+
+def test_check_model_catches_corruption():
+    """check_model (reference modelutils.jl:39-360) flags bad state."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    import topicmodelsvb_jl_tpu as tm
+
+    corp = tm.synth_corpus(M=40, V=30, K=3, seed=0)
+    m = tm.LDA(corp, 3)
+    tm.check_model(m)  # clean state passes
+
+    bad_beta = np.asarray(m.state.beta).copy()
+    bad_beta[0] *= 2.0  # rows no longer sum to 1
+    m.state = m.state._replace(beta=jnp.asarray(bad_beta))
+    with pytest.raises(tm.TopicModelError, match="stochastic"):
+        tm.check_model(m)
+
+    m.state = m.state._replace(beta=jnp.asarray(bad_beta / bad_beta.sum(1, keepdims=True)),
+                               gamma=m.state.gamma.at[0, 0].set(-1.0))
+    with pytest.raises(tm.TopicModelError, match="gamma"):
+        m.train(iter=1, printelbo=False)

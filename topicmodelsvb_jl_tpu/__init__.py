@@ -24,6 +24,7 @@ from .api import (
 )
 from .checkpoint import load as load_checkpoint
 from .checkpoint import save as save_checkpoint
+from .validate import check_model
 
 __version__ = "0.1.0"
 
@@ -34,5 +35,6 @@ __all__ = [
     "load_nsf", "load_citeu", "load_stopwords", "synth_corpus",
     "LDA", "fLDA", "CTM", "fCTM", "CTPF", "TopicModel",
     "predict", "gendoc", "gencorp", "save_checkpoint", "load_checkpoint",
+    "check_model",
     "TrainConfig", "RuntimeConfig",
 ]

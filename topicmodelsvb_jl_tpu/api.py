@@ -107,6 +107,11 @@ class TopicModel:
     def _topic_word_matrix(self) -> np.ndarray:
         return np.asarray(self.state.beta)
 
+    def _trainer_kw(self) -> dict:
+        return dict(metrics_path=self.runtime.metrics_path,
+                    profile_dir=self.runtime.profile_dir,
+                    profile_steps=self.runtime.profile_steps)
+
     # ── training (reference train!, LDA.jl:161-191) ──
     def train(
         self,
@@ -124,6 +129,10 @@ class TopicModel:
             vtol=vtol, checkelbo=checkelbo, printelbo=printelbo,
         ).resolved(self.K)
         cfg.validate()
+        # check_model: every train! entry validates the full variational
+        # state (reference modelutils.jl:39-360); on-device reductions
+        from .validate import check_model
+        check_model(self)
         self.trainer = self._build_trainer(cfg)
         all_empty = all(n == 0 for n in self.N)
         self.state = self.trainer.train(self.state, cfg, corpus_all_empty=all_empty)
@@ -243,7 +252,7 @@ class LDA(TopicModel):
             arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
                     jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
-        return Trainer(step, elbo, data, arrs, M=self.M)
+        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw())
 
     # alpha/beta/gamma accessors (reference field access)
     @property
@@ -296,7 +305,7 @@ class CTM(TopicModel):
         arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
                 jnp.asarray(p.C), jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
-        return Trainer(step, elbo, data, arrs, M=self.M)
+        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw())
 
     @property
     def mu(self) -> np.ndarray:
@@ -364,7 +373,7 @@ class fCTM(TopicModel):
         arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
                 jnp.asarray(p.C), jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
-        return Trainer(step, elbo, data, arrs, M=self.M)
+        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw())
 
     @property
     def eta(self) -> float:
@@ -444,7 +453,7 @@ class fLDA(TopicModel):
             jnp.asarray(float(self.M), self.dtype),
             jnp.asarray(float(sum(self.C)), self.dtype),
         )
-        return Trainer(step, elbo, data, arrs, M=self.M)
+        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw())
 
     @property
     def eta(self) -> float:
@@ -622,7 +631,7 @@ class CTPF(TopicModel):
         arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
                 jnp.asarray(p.readers), jnp.asarray(p.ratings),
                 jnp.asarray(p.doc_mask))
-        return Trainer(step, elbo, arrs, arrs, M=self.M)
+        return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw())
 
     def train(self, iter: int = 150, tol: float = 1.0, viter: int = 10,
               vtol: Optional[float] = None, checkelbo: float = 1,

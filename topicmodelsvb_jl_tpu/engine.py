@@ -19,6 +19,7 @@ per-model twins) around jitted, shard_map'd step functions:
 from __future__ import annotations
 
 import dataclasses
+import json
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -54,6 +55,9 @@ class Trainer:
         elbo_data: Optional[tuple] = None,
         M: int = 0,
         printer: Callable[[str], None] = print,
+        metrics_path: Optional[str] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: int = 3,
     ):
         self.step_fn = step_fn
         self.elbo_fn = elbo_fn
@@ -62,6 +66,11 @@ class Trainer:
         self.M = M
         self.printer = printer
         self.trace: List[IterationRecord] = []
+        # observability (SURVEY §5.1/§5.5): JSONL per-iteration metrics
+        # and an optional jax.profiler capture of the first steady steps
+        self.metrics_path = metrics_path
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
     def train(self, state, cfg: TrainConfig, corpus_all_empty: bool = False):
         cfg.validate()
@@ -72,11 +81,19 @@ class Trainer:
             e0 = self.elbo_fn(state, *self.elbo_data)
             state = state._replace(elbo=e0)
 
+        profiling = False
         for k in range(1, n_iter + 1):
+            if self.profile_dir and k == 2:  # skip the compile iteration
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
             t0 = time.perf_counter()
-            state = self.step_fn(state, *self.data)
+            with jax.profiler.StepTraceAnnotation("cavi_step", step_num=k):
+                state = self.step_fn(state, *self.data)
             jax.block_until_ready(state.beta if hasattr(state, "beta") else state)
             dt = time.perf_counter() - t0
+            if profiling and k >= 1 + self.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
             rec = IterationRecord(k=k, step_time_s=dt, docs_per_s=self.M / max(dt, 1e-12))
 
             # check_elbo! (modelutils.jl:574-585)
@@ -88,12 +105,22 @@ class Trainer:
                 if cfg.printelbo:
                     self.printer(f"{k} ∆elbo: {round(delta, 3)}")
                 self.trace.append(rec)
+                self._emit(rec)
                 if delta < cfg.tol:
                     break
             else:
                 self.trace.append(rec)
+                self._emit(rec)
 
+        if profiling:
+            jax.profiler.stop_trace()
         return state
+
+    def _emit(self, rec: IterationRecord) -> None:
+        if not self.metrics_path:
+            return
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(dataclasses.asdict(rec)) + "\n")
 
     def summary(self) -> Dict[str, float]:
         if not self.trace:

@@ -61,3 +61,6 @@ class RuntimeConfig:
     mesh_shape: Optional[tuple] = None  # None → all devices on data axis
     use_pallas: bool = True       # fused Pallas E-step where available
     donate: bool = True           # donate state buffers into jitted steps
+    metrics_path: Optional[str] = None  # JSONL per-iteration metrics sink
+    profile_dir: Optional[str] = None   # jax.profiler capture directory
+    profile_steps: int = 3              # steady steps to capture
