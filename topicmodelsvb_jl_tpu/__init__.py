@@ -19,7 +19,7 @@ from .datasets import load_citeu, load_nsf, load_stopwords, synth_corpus
 from .utils.config import RuntimeConfig, TrainConfig
 
 from .api import (
-    CTM, CTPF, LDA, TopicModel, TopicModelError, fCTM, fLDA,
+    CTM, CTPF, DTM, LDA, TopicModel, TopicModelError, fCTM, fLDA,
     gencorp, gendoc, predict,
 )
 from .checkpoint import load as load_checkpoint
@@ -33,7 +33,7 @@ __all__ = [
     "readcorp", "writecorp", "fixcorp", "check_corp", "check_doc",
     "showdocs", "showtitles", "getvocab", "getusers",
     "load_nsf", "load_citeu", "load_stopwords", "synth_corpus",
-    "LDA", "fLDA", "CTM", "fCTM", "CTPF", "TopicModel",
+    "LDA", "fLDA", "CTM", "fCTM", "CTPF", "DTM", "TopicModel",
     "predict", "gendoc", "gencorp", "save_checkpoint", "load_checkpoint",
     "check_model",
     "TrainConfig", "RuntimeConfig",

@@ -25,6 +25,7 @@ from .corpus import Corpus, CorpusError
 from .engine import Trainer
 from .models import ctm as ctm_mod
 from .models import ctpf as ctpf_mod
+from .models import dtm as dtm_mod
 from .models import fctm as fctm_mod
 from .models import flda as flda_mod
 from .models import lda as lda_mod
@@ -855,6 +856,158 @@ def predict(corp, train_model: TopicModel, iter: int = 10,
     new.state = frozen._replace(**{f: getattr(stepped, f) for f in per_doc_fields})
     new.topics = train_model.topics
     return new
+
+
+class DTM(TopicModel):
+    """Dynamic topic model (reference v0.6/src/DTM.jl).
+
+    Slices the corpus into T windows of width ``delta`` by document
+    timestamp (``Document.stamp``); topic-word distributions evolve over
+    slices via a variational Kalman smoother.  Warm-startable from any
+    trained LDA/fLDA/CTM/fCTM (DTM.jl:66-93).
+    """
+
+    def __init__(self, corp, K, delta: float, basemodel=None,
+                 runtime=None, mesh=None, seed: int = 0):
+        if not (np.isfinite(delta) and delta > 0):
+            raise ValueError("delta must be a positive finite number.")
+        stamps = [doc.stamp for doc in corp.docs]
+        if any(s is None or not np.isfinite(s) for s in stamps):
+            raise CorpusError("every document must carry a finite stamp.")
+        self.delta = float(delta)
+        self._basemodel = basemodel
+        super().__init__(corp, K, runtime=runtime, mesh=mesh, seed=seed)
+
+    def __repr__(self):
+        return (f"Dynamic topic model with {self.K} topics and "
+                f"{self.T} time slices.")
+
+    def _init_state(self):
+        stamps = np.array([doc.stamp for doc in self.corp.docs], dtype=np.float64)
+        t0, tM = float(stamps.min()), float(stamps.max())
+        self.T = max(1, int(math.ceil((tM - t0) / self.delta)))
+        # slice assignment (DTM.jl:58-63): docs with stamp ≤ t0 + t·delta
+        # land in slice t (1-based there; 0-based here)
+        sid = np.clip(np.ceil((stamps - t0) / self.delta).astype(np.int64),
+                      1, self.T) - 1
+        slice_full = np.zeros(self.packed.M_pad, dtype=np.int32)
+        slice_full[: self.M] = sid
+        self.slice_id = slice_full
+        self.S = [list(np.nonzero(sid == t)[0] + 1) for t in range(self.T)]
+
+        bh0 = a0 = g0 = None
+        base = self._basemodel
+        if base is not None:  # warm start (DTM.jl:66-93)
+            if base.K != self.K or base.corp.shape[0] != self.M:
+                raise TopicModelError(
+                    "basemodel must have matching number of topics and documents.")
+            rng = np.random.default_rng(self.seed)
+            if isinstance(base, (LDA, fLDA)):
+                logb = np.log(np.asarray(base.beta) + 1e-30)
+                a0 = np.tile(np.asarray(base.alpha), (self.T, 1))
+                g0 = np.zeros((self.packed.M_pad, self.K), np.float64)
+                g0[: self.M] = np.asarray(base.gamma)
+                g0[self.M:] = 1.0
+            elif isinstance(base, (CTM, fCTM)):
+                logb = np.log(np.asarray(base.beta) + 1e-30)
+                sm = np.exp(np.asarray(base.mu) - np.max(np.asarray(base.mu)))
+                a0 = np.tile(sm / sm.sum(), (self.T, 1))
+                lam = np.asarray(base.lam)
+                e = np.exp(lam - lam.max(axis=1, keepdims=True))
+                g0 = np.ones((self.packed.M_pad, self.K), np.float64)
+                g0[: self.M] = e / e.sum(axis=1, keepdims=True)
+            else:
+                raise TopicModelError(
+                    "basemodel must be an LDA, fLDA, CTM or fCTM model.")
+            bh0 = (logb[None, :, :]
+                   + rng.standard_normal((self.T, self.K, self.V)))
+        self.state = dtm_mod.init(self.key, self.packed, self.K, self.T,
+                                  self.dtype, betahat0=bh0, alpha0=a0,
+                                  gamma0=g0)
+
+    def _build_trainer(self, cfg: TrainConfig) -> Trainer:
+        p = self.packed
+        step_local = dtm_mod.make_step(
+            p, self.K, self.T, viter=cfg.viter, vtol=cfg.vtol,
+            niter=cfg.niter, ntol=cfg.ntol,
+            cgiter=self._cgiter, cgtol=self._cgtol,
+            chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis)
+        elbo_local = dtm_mod.make_elbo(
+            p, self.K, self.T, chunk_docs=self.chunk_docs,
+            axis_name=self.runtime.data_axis)
+        spec = dtm_mod.partition_spec(self.runtime.data_axis)
+        from jax.sharding import PartitionSpec as P
+
+        step = dp_jit(step_local, self.mesh, spec, n_data_args=4,
+                      data_axis=self.runtime.data_axis)
+        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=4,
+                      out_spec=P(), data_axis=self.runtime.data_axis)
+        arrs = (jnp.asarray(self.slice_id), jnp.asarray(p.terms),
+                jnp.asarray(p.counts), jnp.asarray(p.doc_mask))
+        return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw())
+
+    def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
+              ntol: Optional[float] = None, viter: int = 10,
+              vtol: Optional[float] = None, cgiter: int = 20,
+              cgtol: Optional[float] = None, checkelbo: float = 1,
+              printelbo: bool = True):
+        """train! (DTM.jl:311-335) — adds cgiter/cgtol for the betahat CG."""
+        if cgiter <= 0:
+            raise ValueError("iteration parameters must be positive integers.")
+        self._cgiter = int(cgiter)
+        self._cgtol = float(cgtol) if cgtol is not None else 1.0 / self.T**2
+        return super().train(iter=iter, tol=tol, niter=niter, ntol=ntol,
+                             viter=viter, vtol=vtol, checkelbo=checkelbo,
+                             printelbo=printelbo)
+
+    def _finalize(self):
+        # per-slice topic rankings (DTM.jl:336)
+        self.topics = dtm_mod.topics_ranking_by_slice(self.state.mbeta)
+
+    def _topic_word_matrix(self) -> np.ndarray:
+        return np.asarray(self.state.mbeta).mean(axis=0)
+
+    @property
+    def alpha(self) -> np.ndarray:
+        return np.asarray(self.state.alpha)
+
+    @property
+    def mbeta(self) -> np.ndarray:
+        return np.asarray(self.state.mbeta)
+
+    @property
+    def vbeta(self) -> np.ndarray:
+        return np.asarray(self.state.vbeta)
+
+    @property
+    def betahat(self) -> np.ndarray:
+        return np.asarray(self.state.betahat)
+
+    @property
+    def gamma(self) -> np.ndarray:
+        return np.asarray(self.state.gamma)[: self.M]
+
+    def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
+        g = np.asarray(self.state.gamma)[rows]
+        return g / g.sum(axis=-1, keepdims=True)
+
+    def showtopics(self, V: int = 15, topics=None, cols: int = 4,
+                   slices=None):
+        """Aligned top-terms per time slice (v0.6 display idiom)."""
+        if slices is None:
+            slices = range(1, self.T + 1)
+        if isinstance(slices, int):
+            slices = [slices]
+        rank_all = self.topics if self.topics is not None else             dtm_mod.topics_ranking_by_slice(self.state.mbeta)
+        for t in slices:
+            if not 1 <= t <= self.T:
+                raise ValueError("some time-slice indices are outside range.")
+            print(f"─ time slice {t} ─")
+            saved, self.topics = self.topics, rank_all[t - 1]
+            try:
+                super().showtopics(V=V, topics=topics, cols=cols)
+            finally:
+                self.topics = saved
 
 
 # ───────────────── generative sampling (gendoc / gencorp) ─────────────────

@@ -42,9 +42,10 @@ class Document:
     dicts, exactly like the reference.
     """
 
-    __slots__ = ("terms", "counts", "readers", "ratings", "title")
+    __slots__ = ("terms", "counts", "readers", "ratings", "title", "stamp")
 
-    def __init__(self, terms=None, counts=None, readers=None, ratings=None, title=""):
+    def __init__(self, terms=None, counts=None, readers=None, ratings=None,
+                 title="", stamp=None):
         self.terms: List[int] = [int(t) for t in (terms or [])]
         self.counts: List[int] = (
             [int(c) for c in counts] if counts is not None else [1] * len(self.terms)
@@ -54,6 +55,8 @@ class Document:
             [int(r) for r in ratings] if ratings is not None else [1] * len(self.readers)
         )
         self.title: str = title
+        # optional timestamp for the dynamic topic model (v0.6 Corpus.jl:10)
+        self.stamp = float(stamp) if stamp is not None else None
         check_doc(self)
 
     def __len__(self) -> int:
@@ -80,7 +83,8 @@ class Document:
     def copy(self) -> "Document":
         return Document(
             terms=list(self.terms), counts=list(self.counts),
-            readers=list(self.readers), ratings=list(self.ratings), title=self.title,
+            readers=list(self.readers), ratings=list(self.ratings),
+            title=self.title, stamp=self.stamp,
         )
 
 

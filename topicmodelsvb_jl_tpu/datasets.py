@@ -141,6 +141,8 @@ def synth_corpus(
     mean_readers: float = 4.0,
     alpha: float = 0.5,
     topic_concentration: float = 0.1,
+    n_slices: int = 0,
+    drift: float = 0.0,
 ) -> Corpus:
     """Sample a corpus from the LDA(+readers) generative model.
 
@@ -153,15 +155,30 @@ def synth_corpus(
     beta = rng.dirichlet(np.full(V, topic_concentration), size=K)  # [K, V]
     thetas = rng.dirichlet(np.full(K, alpha), size=M)              # [M, K]
 
+    # optional time structure (for DTM): per-slice drifting topics via a
+    # Gaussian random walk on log beta, and uniform stamps in [0, n_slices)
+    stamps = None
+    beta_t = None
+    if n_slices > 0:
+        stamps = rng.uniform(0, n_slices, size=M)
+        logb = np.log(beta + 1e-12)
+        beta_t = []
+        for _ in range(n_slices):
+            logb = logb + drift * rng.standard_normal((K, V))
+            e = np.exp(logb - logb.max(axis=1, keepdims=True))
+            beta_t.append(e / e.sum(axis=1, keepdims=True))
+
     docs = []
     n_terms = np.clip(rng.poisson(mean_terms, size=M), 1, V)
     extra = np.maximum(mean_tokens - mean_terms, 1.0)
     for d in range(M):
-        mix = thetas[d] @ beta  # [V]
+        bd = beta if beta_t is None else beta_t[min(int(stamps[d]), n_slices - 1)]
+        mix = thetas[d] @ bd  # [V]
         nt = int(n_terms[d])
         terms0 = rng.choice(V, size=nt, replace=False, p=mix)
         counts = 1 + rng.poisson(extra / nt, size=nt)
-        doc = Document(terms=(terms0 + 1).tolist(), counts=counts.tolist())
+        doc = Document(terms=(terms0 + 1).tolist(), counts=counts.tolist(),
+                       stamp=None if stamps is None else float(stamps[d]))
         if U > 0:
             nr = min(int(rng.poisson(mean_readers)) + 1, U)
             readers0 = rng.choice(U, size=nr, replace=False)

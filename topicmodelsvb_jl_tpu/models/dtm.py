@@ -1,0 +1,398 @@
+"""Dynamic topic model — Blei/Lafferty DTM by CAVI on TPU.
+
+TPU-native redesign of the reference's v0.6 dynamic topic model
+(``v0.6/src/DTM.jl``, 339 LoC).  The corpus is sliced into T windows of
+width ``delta`` by document timestamp (DTM.jl:52-63); topic-word
+log-probabilities evolve over slices as a Gaussian state-space model
+whose posterior is a variational Kalman smoother over ``betahat``
+(updateMbeta!/updateVbeta!, DTM.jl:209-242); documents follow the LDA
+E-step against their slice's smoothed ``mbeta`` with a logzeta softmax
+bound (updatePhi!/updateLzeta!, DTM.jl:204-309).
+
+Architectural moves (not a translation):
+
+* The forward-filter/backward-smoother recursions become two
+  ``lax.scan``s over the T axis with [K, V] elementwise carries — the
+  time axis is tiny, the state is wide; perfect VPU shape.
+* The reference's nonlinear conjugate-gradient update for ``betahat``
+  hand-derives T² Jacobian blocks of the smoother (``mgrad``/
+  ``mbetagrad``, DTM.jl:247-284).  Here the CG objective (Σ_t Elogpw +
+  Elogpbeta as a function of betahat through the smoother, DTM.jl:254)
+  is a closed JAX function of small [T, K, V] tensors once the per-slice
+  sufficient statistics A[t] = Σ_{d∈S_t} phi·counts (scattered by
+  slice·V+term) and w[t] = Σ_{d∈S_t} e^{−lzeta_d}·(phi@counts) are
+  accumulated — so the gradient is one ``jax.grad`` through the scan,
+  and Polak–Ribière CG with back-tracking (DTM.jl:286-301) runs entirely
+  on device.
+* Per-slice alpha Newtons (DTM.jl:176-197) are ``vmap``-ed over T around
+  the shared Dirichlet solver.
+
+State is a NamedTuple pytree; all update functions are pure.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.newton import dirichlet_newton
+from ..ops.segment import count_scatter
+from ..utils.numerics import (
+    EPSILON, categorical_entropy, digamma, dirichlet_entropy, finite,
+    l2norm, lgamma,
+)
+
+
+class DTMState(NamedTuple):
+    alpha: jax.Array       # [T, K]  per-slice Dirichlet hyperparameter
+    betahat: jax.Array     # [T, K, V] variational pseudo-observations
+    mbeta: jax.Array       # [T, K, V] smoothed means
+    vbeta: jax.Array       # [T, K, V] smoothed variances (betahat-free)
+    v_filt: jax.Array      # [T, K, V] filtered variances (for the smoother)
+    gamma: jax.Array       # [M_pad, K]
+    Elogtheta: jax.Array   # [M_pad, K]
+    lzeta: jax.Array       # [M_pad]   per-doc softmax bound variable
+    elbo: jax.Array
+
+
+# fixed hyperparameters (DTM.jl:98-103)
+SIGMASQ = 1.0   # state-transition variance
+BSQ = 1.0       # pseudo-observation variance
+V0 = 1.0        # prior variance
+M0 = 0.0        # prior mean
+
+
+def variance_smoother(T: int, K: int, V: int, dtype=jnp.float32):
+    """Filtered + smoothed variances (updateVbeta!, DTM.jl:231-242).
+
+    Independent of betahat — computed once.  Returns (v_filt, vbeta).
+    """
+    eps = jnp.asarray(EPSILON, dtype)
+    ones = jnp.ones((K, V), dtype)
+
+    def fwd(v_prev, _):
+        v_t = (BSQ / (v_prev + SIGMASQ + BSQ)) * (v_prev + SIGMASQ) + eps
+        return v_t, v_t
+
+    _, v_filt = jax.lax.scan(fwd, V0 * ones, None, length=T)
+
+    def bwd(vb_next, v_t):
+        vb = v_t + (v_t / (v_t + SIGMASQ)) ** 2 * (vb_next - v_t - SIGMASQ) + eps
+        return vb, vb
+
+    _, vbeta_rev = jax.lax.scan(bwd, v_filt[-1], v_filt[:-1], reverse=True)
+    vbeta = jnp.concatenate([vbeta_rev, v_filt[-1:]], axis=0)
+    return v_filt, vbeta
+
+
+def mean_smoother(betahat: jax.Array, v_filt: jax.Array) -> jax.Array:
+    """Smoothed means mbeta(betahat) (updateMbeta!, DTM.jl:209-223).
+
+    Forward filter m_t = q·m_{t−1} + (1−q)·betahat_t with
+    q = bsq/(v_{t−1}+σ²+bsq), then backward smoothing.  Differentiable —
+    the CG gradient flows through both scans.
+    """
+    T = betahat.shape[0]
+    m0 = jnp.full_like(betahat[0], M0)
+    v_prev = jnp.concatenate(
+        [jnp.full_like(v_filt[:1], V0), v_filt[:-1]], axis=0)
+
+    def fwd(m_prev, xs):
+        bh_t, v_pm = xs
+        q = BSQ / (v_pm + SIGMASQ + BSQ)
+        m_t = q * m_prev + (1.0 - q) * bh_t
+        return m_t, m_t
+
+    _, m = jax.lax.scan(fwd, m0, (betahat, v_prev))
+
+    def bwd(mb_next, xs):
+        m_t, v_t = xs
+        q = SIGMASQ / (v_t + SIGMASQ)
+        mb = q * m_t + (1.0 - q) * mb_next
+        return mb, mb
+
+    _, mbeta_rev = jax.lax.scan(bwd, m[-1], (m[:-1], v_filt[:-1]),
+                                reverse=True)
+    return jnp.concatenate([mbeta_rev, m[-1:]], axis=0)
+
+
+def init(key: jax.Array, packed, K: int, T: int, dtype=jnp.float32,
+         betahat0: Optional[np.ndarray] = None,
+         alpha0: Optional[np.ndarray] = None,
+         gamma0: Optional[np.ndarray] = None) -> DTMState:
+    """Constructor state (DTM.jl:89-118); optional warm-start arrays."""
+    M_pad, V = packed.M_pad, packed.V
+    if betahat0 is None:
+        betahat = jax.random.normal(key, (T, K, V), dtype)
+    else:
+        betahat = jnp.asarray(betahat0, dtype)
+    alpha = (jnp.ones((T, K), dtype) if alpha0 is None
+             else jnp.asarray(alpha0, dtype))
+    gamma = (jnp.ones((M_pad, K), dtype) if gamma0 is None
+             else jnp.asarray(gamma0, dtype))
+    v_filt, vbeta = variance_smoother(T, K, V, dtype)
+    mbeta = mean_smoother(betahat, v_filt)
+    el = digamma(gamma) - digamma(jnp.sum(gamma, -1, keepdims=True))
+    return DTMState(
+        alpha=alpha, betahat=betahat, mbeta=mbeta, vbeta=vbeta,
+        v_filt=v_filt, gamma=gamma, Elogtheta=el,
+        lzeta=jnp.ones((M_pad,), dtype), elbo=jnp.zeros((), dtype),
+    )
+
+
+def _phi(mbeta_d, decay, El):
+    """phi ∝ softmax_K(mbeta[t][:,terms] − decay_k + Elogtheta)
+    (updatePhi!, DTM.jl:204-207); decay = e^{maxl−lzeta}·Σ_v e^{x−maxl}."""
+    return jax.nn.softmax(mbeta_d - decay[:, None, :] + El[:, None, :], axis=-1)
+
+
+def _estep_chunk(mbeta_flat, alpha, rowsum_ovfl, maxl,
+                 slice_id, terms, counts, doc_mask,
+                 gamma, El, lzeta, viter, vtol):
+    """Per-chunk E-step fixpoint (train! inner loop, DTM.jl:317-328).
+
+    mbeta_flat: [T·V, K] (slice-major) so one gather serves every doc's
+    slice; rowsum_ovfl/maxl: per-slice [T, K]/[T] overflow-safe pieces of
+    Σ_v exp(mbeta + vbeta/2) (DTM.jl:225-228).
+    """
+    eps = jnp.asarray(EPSILON, gamma.dtype)
+    flat_idx = slice_id[:, None] * (mbeta_flat.shape[0] // rowsum_ovfl.shape[0]) + terms
+    mbeta_d = mbeta_flat[flat_idx]                   # [B, L, K]
+    rs_d = rowsum_ovfl[slice_id]                     # [B, K]
+    maxl_d = maxl[slice_id]                          # [B]
+    alpha_d = alpha[slice_id]                        # [B, K]
+    active0 = doc_mask > 0
+
+    def body(_, carry):
+        gamma, El, lzeta, active = carry
+        decay = jnp.exp(maxl_d - lzeta)[:, None] * rs_d          # [B, K]
+        p = _phi(mbeta_d, decay, El)
+        pc = jnp.einsum("bl,blk->bk", counts, p,
+                        preferred_element_type=gamma.dtype)
+        # updateGamma! (DTM.jl:199-202)
+        gamma_new = alpha_d + pc + eps
+        El_new = digamma(gamma_new) - digamma(
+            jnp.sum(gamma_new, -1, keepdims=True))
+        # updateLzeta! (DTM.jl:306-309)
+        lzeta_new = maxl_d + jnp.log(jnp.sum(pc * rs_d, -1) + eps)
+        upd = active[:, None]
+        gamma2 = jnp.where(upd, gamma_new, gamma)
+        El2 = jnp.where(upd, El_new, El)
+        lzeta2 = jnp.where(active, lzeta_new, lzeta)
+        # break: ‖Δgamma‖ < vtol (DTM.jl:324)
+        active2 = active & (l2norm(gamma2 - gamma) >= vtol)
+        return gamma2, El2, lzeta2, active2
+
+    gamma, El, lzeta, _ = jax.lax.fori_loop(
+        0, viter, body, (gamma, El, lzeta, active0))
+
+    # sufficient stats with the final phi
+    decay = jnp.exp(maxl_d - lzeta)[:, None] * rs_d
+    p = _phi(mbeta_d, decay, El)
+    w = p * counts[..., None]
+    pc = jnp.sum(w, axis=1)                                   # [B, K]
+    # A[t·V + v, k] = Σ phi·counts  (per-slice Elogpw linear term)
+    A = count_scatter(w.reshape(-1, w.shape[-1]), flat_idx.reshape(-1),
+                      mbeta_flat.shape[0])
+    # wz[t, k] = Σ_{d∈S_t} e^{−lzeta_d}·(phi@counts)_k  (exp term weight)
+    wz_rows = jnp.exp(-lzeta)[:, None] * pc * doc_mask[:, None]
+    wz = count_scatter(wz_rows, slice_id, maxl.shape[0])
+    # per-slice Elogtheta sums + doc counts (alpha Newton inputs)
+    els = count_scatter(El * doc_mask[:, None], slice_id, maxl.shape[0])
+    nd = count_scatter(doc_mask[:, None], slice_id, maxl.shape[0])[:, 0]
+    return gamma, El, lzeta, A, wz, els, nd
+
+
+def cg_objective(betahat, v_filt, vbeta, A, wz, n_slices_const):
+    """Σ_t Elogpw + Elogpbeta as a function of betahat (calcstep,
+    DTM.jl:254), with phi/lzeta frozen in the sufficient statistics."""
+    T, K, V = betahat.shape
+    mbeta = mean_smoother(betahat, v_filt)
+    # Elogpw linear + exp terms (DTM.jl:139-143), constants dropped
+    lin = jnp.sum(A.reshape(T, V, K) * jnp.transpose(mbeta, (0, 2, 1)))
+    rowsum = jnp.sum(jnp.exp(mbeta + 0.5 * vbeta), axis=2)   # [T, K]
+    expterm = jnp.sum(wz * rowsum)
+    # Elogpbeta (DTM.jl:119-126), vbeta terms constant — dropped
+    prev = jnp.concatenate([jnp.full_like(mbeta[:1], M0), mbeta[:-1]], 0)
+    pbeta = -(0.5 / SIGMASQ) * jnp.sum((mbeta - prev) ** 2)
+    return lin - expterm + pbeta
+
+
+def make_step(packed, K: int, T: int, viter: int, vtol: float,
+              niter: int, ntol: float, cgiter: int, cgtol: float,
+              chunk_docs: int, axis_name: Optional[str] = None):
+    """One full CAVI sweep (train!, DTM.jl:311-335): per-doc fixpoints,
+    per-slice alpha Newtons, then the betahat CG update."""
+    V = packed.V
+
+    def step(state: DTMState, slice_id, terms, counts, doc_mask):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.betahat.dtype
+
+        # overflow-safe Σ_v exp(mbeta + vbeta/2) pieces (DTM.jl:225-228)
+        x = state.mbeta + 0.5 * state.vbeta                    # [T, K, V]
+        maxl = jnp.max(x, axis=(1, 2))                         # [T]
+        rowsum_ovfl = jnp.sum(jnp.exp(x - maxl[:, None, None]), axis=2)
+        mbeta_flat = jnp.transpose(state.mbeta, (0, 2, 1)).reshape(T * V, K)
+
+        def scan_body(carry, xs):
+            A, wz, els, nd = carry
+            sid, t, c, dm, g, el, lz = xs
+            g2, el2, lz2, Ai, wzi, elsi, ndi = _estep_chunk(
+                mbeta_flat, state.alpha, rowsum_ovfl, maxl,
+                sid, t, c, dm, g, el, lz, viter, vtol)
+            return (A + Ai, wz + wzi, els + elsi, nd + ndi), (g2, el2, lz2)
+
+        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+        (A, wz, els, nd), (gamma, El, lzeta) = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((T * V, K), dt), jnp.zeros((T, K), dt),
+             jnp.zeros((T, K), dt), jnp.zeros((T,), dt)),
+            (sh(slice_id), sh(terms), sh(counts), sh(doc_mask),
+             sh(state.gamma), sh(state.Elogtheta), sh(state.lzeta)),
+        )
+        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
+        gamma, El, lzeta = unsh(gamma), unsh(El), unsh(lzeta)
+
+        if axis_name is not None:
+            A = jax.lax.psum(A, axis_name)
+            wz = jax.lax.psum(wz, axis_name)
+            els = jax.lax.psum(els, axis_name)
+            nd = jax.lax.psum(nd, axis_name)
+
+        # per-slice alpha Newton (updateAlpha!, DTM.jl:176-197)
+        alpha_new = jax.vmap(
+            lambda a, e, n: dirichlet_newton(a, e, jnp.maximum(n, 1.0),
+                                             niter, ntol)
+        )(state.alpha, els, nd)
+
+        # betahat nonlinear CG with Polak–Ribière + back-tracking
+        # (updateBetahat!, DTM.jl:244-304); gradient via jax.grad
+        obj = lambda bh: cg_objective(bh, state.v_filt, state.vbeta, A, wz, nd)
+        grad_fn = jax.grad(obj)
+
+        def cg_body(carry, _):
+            bh, p_dir, g_old, rho = carry
+            g = grad_fn(bh)
+            denom = jnp.sum(g_old * g_old)
+            pr = jnp.clip(jnp.sum(g * (g - g_old)) / jnp.maximum(denom, 1e-30),
+                          0.0, 1.0)
+            p_dir = g + pr * p_dir            # ascent direction
+            f0 = obj(bh)
+            slope = jnp.sum(g * p_dir)
+
+            def ls_body(carry2):
+                r, _, it = carry2
+                return r * 0.5, obj(bh + r * 0.5 * p_dir), it + 1
+
+            def ls_cond(carry2):
+                r, f, it = carry2
+                return (f <= f0 + 1e-4 * r * slope) & (it < 10)
+
+            r0 = rho
+            f_try = obj(bh + r0 * p_dir)
+            r_fin, _, _ = jax.lax.while_loop(
+                ls_cond, ls_body, (r0, f_try, jnp.asarray(0)))
+            bh_new = bh + r_fin * p_dir
+            return (bh_new, p_dir, g, jnp.minimum(r_fin * 2.0, 1.0)), None
+
+        g0 = jnp.ones_like(state.betahat)
+        (betahat_new, _, _, _), _ = jax.lax.scan(
+            cg_body,
+            (state.betahat, jnp.zeros_like(state.betahat), g0,
+             jnp.asarray(1.0, dt)),
+            None, length=cgiter)
+        mbeta_new = mean_smoother(betahat_new, state.v_filt)
+
+        return DTMState(
+            alpha=alpha_new, betahat=betahat_new, mbeta=mbeta_new,
+            vbeta=state.vbeta, v_filt=state.v_filt,
+            gamma=gamma, Elogtheta=El, lzeta=lzeta, elbo=state.elbo,
+        )
+
+    return step
+
+
+def make_elbo(packed, K: int, T: int, chunk_docs: int,
+              axis_name: Optional[str] = None):
+    """Full ELBO (updateELBO!, DTM.jl:161-174)."""
+    V = packed.V
+
+    def elbo(state: DTMState, slice_id, terms, counts, doc_mask):
+        M_pad = terms.shape[0]
+        B = min(chunk_docs, M_pad)
+        n_chunks = M_pad // B
+        dt = state.betahat.dtype
+        x = state.mbeta + 0.5 * state.vbeta
+        maxl = jnp.max(x, axis=(1, 2))
+        rowsum_ovfl = jnp.sum(jnp.exp(x - maxl[:, None, None]), axis=2)
+        mbeta_flat = jnp.transpose(state.mbeta, (0, 2, 1)).reshape(T * V, K)
+        a = state.alpha
+
+        def scan_body(acc, xs):
+            sid, t, c, dm, g, el, lz = xs
+            flat_idx = sid[:, None] * V + t
+            mbeta_d = mbeta_flat[flat_idx]
+            rs_d = rowsum_ovfl[sid]
+            maxl_d = maxl[sid]
+            decay = jnp.exp(maxl_d - lz)[:, None] * rs_d
+            p = _phi(mbeta_d, decay, el)
+            a_d = a[sid]
+            # Elogptheta (DTM.jl:128-131)
+            e_pt = (finite(lgamma(jnp.sum(a_d, -1)))
+                    - jnp.sum(finite(lgamma(a_d)), -1)
+                    + jnp.sum((a_d - 1.0) * el, -1))
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
+            # Elogpz (DTM.jl:133-137)
+            e_pz = jnp.sum(pc * el, -1)
+            # Elogpw (DTM.jl:139-143)
+            e_pw = (jnp.sum(p * mbeta_d * c[..., None], axis=(1, 2))
+                    - jnp.sum(pc * rs_d, -1) * jnp.exp(maxl_d - lz)
+                    - lz + 1.0)
+            # −Elogqtheta, −Elogqz (DTM.jl:150-159)
+            e_qt = dirichlet_entropy(g)
+            e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
+            return acc + jnp.sum(dm * (e_pt + e_pz + e_pw + e_qt + e_qz)), None
+
+        sh = lambda a_: a_.reshape((n_chunks, B) + a_.shape[1:])
+        total, _ = jax.lax.scan(
+            scan_body, jnp.zeros((), dt),
+            (sh(slice_id), sh(terms), sh(counts), sh(doc_mask),
+             sh(state.gamma), sh(state.Elogtheta), sh(state.lzeta)))
+
+        # slice-level Elogpbeta − Elogqbeta (DTM.jl:119-126, 145-148)
+        prev_m = jnp.concatenate([jnp.full_like(state.mbeta[:1], M0),
+                                  state.mbeta[:-1]], 0)
+        prev_v = jnp.concatenate([jnp.full_like(state.vbeta[:1], V0),
+                                  state.vbeta[:-1]], 0)
+        e_pb = (-0.5 * T * K * V * jnp.log(2 * jnp.pi * SIGMASQ)
+                - (0.5 / SIGMASQ) * jnp.sum(
+                    (state.mbeta - prev_m) ** 2 + state.vbeta + prev_v))
+        # +entropy of N(mbeta, vbeta) per coordinate
+        e_qb = 0.5 * jnp.sum(jnp.log(2 * jnp.pi * jnp.e * state.vbeta))
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
+        return total + e_pb + e_qb
+
+    return elbo
+
+
+def partition_spec(data_axis: str = "data"):
+    from jax.sharding import PartitionSpec as P
+
+    return DTMState(
+        alpha=P(), betahat=P(), mbeta=P(), vbeta=P(), v_filt=P(),
+        gamma=P(data_axis), Elogtheta=P(data_axis), lzeta=P(data_axis),
+        elbo=P(),
+    )
+
+
+def topics_ranking_by_slice(mbeta) -> np.ndarray:
+    """Top-terms permutation per (slice, topic) (DTM.jl:336), 1-based."""
+    mb = np.asarray(mbeta)
+    return np.argsort(-mb, axis=2, kind="stable") + 1

@@ -57,7 +57,7 @@ def _run(checks: _Checks) -> Dict[str, bool]:
 
 def state_violations(model) -> list:
     """Names of violated invariants for a model's current state."""
-    from .api import CTM, CTPF, LDA, fCTM, fLDA
+    from .api import CTM, CTPF, DTM, LDA, fCTM, fLDA
 
     s = model.state
     c = _Checks()
@@ -81,6 +81,13 @@ def state_violations(model) -> list:
             c.unit_interval("eta", s.eta)
             c.stochastic("kappa", s.kappa, axis=0)
             c.unit_interval("tau", s.tau)
+    elif isinstance(model, DTM):                # v0.6 fixmodel! analogue
+        c.positive("alpha", s.alpha)
+        c.finite("betahat", s.betahat)
+        c.finite("mbeta", s.mbeta)
+        c.positive("vbeta", s.vbeta)
+        c.positive("gamma", s.gamma)
+        c.finite("lzeta", s.lzeta)
     elif isinstance(model, CTPF):               # modelutils.jl:181-253
         for name in ("alef", "bet", "gimel", "dalet", "he", "vav",
                      "zayin", "het"):
