@@ -77,11 +77,11 @@ def dirichlet_newton(
     nu0 = jnp.asarray(float(K), dtype)
 
     def cond(carry):
-        i, _, _, done = carry
+        i, _, _, done, _ = carry
         return (i < niter) & (~done)
 
     def body(carry):
-        i, alpha, nu, _ = carry
+        i, alpha, nu, _, prev_norm = carry
         a0 = jnp.sum(alpha)
         grad = nu / alpha + M * (digamma(a0) - digamma(alpha)) + Elogtheta_sum
         h_inv = -1.0 / (M * trigamma(alpha) + nu / alpha**2)
@@ -103,12 +103,18 @@ def dirichlet_newton(
         # of alpha, further iterations cannot make progress (the
         # reference runs f64 on CPU where ntol is reachable; at f32 the
         # M-scaled gradient's noise floor can exceed ntol).
-        stagnant = rho * l2norm(p) <= 1e-6 * (l2norm(alpha) + 1.0)
-        done = ((rho * l2norm(grad) < ntol) & (nu / K < ntol)) | stagnant
-        return i + 1, alpha_new, nu * 0.5, done
+        sn = rho * l2norm(p)
+        stagnant = sn <= 1e-6 * (l2norm(alpha) + 1.0)
+        # limit-cycle stop: once the barrier has annealed away (nu tiny)
+        # and steps stop contracting, f32 can make no further progress
+        cycling = (nu / K < ntol) & (i >= 20) & (sn >= prev_norm)
+        done = ((rho * l2norm(grad) < ntol) & (nu / K < ntol)) | stagnant | cycling
+        return i + 1, alpha_new, nu * 0.5, done, sn
 
-    _, alpha, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), alpha, nu0, jnp.asarray(False))
+    _, alpha, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), alpha, nu0, jnp.asarray(False),
+         jnp.asarray(jnp.inf, dtype))
     )
     # @positive model.alpha (LDA.jl:117)
     return alpha + jnp.asarray(EPSILON, dtype)
