@@ -108,10 +108,16 @@ class TopicModel:
     def _topic_word_matrix(self) -> np.ndarray:
         return np.asarray(self.state.beta)
 
-    def _trainer_kw(self) -> dict:
-        return dict(metrics_path=self.runtime.metrics_path,
-                    profile_dir=self.runtime.profile_dir,
-                    profile_steps=self.runtime.profile_steps)
+    def _trainer_kw(self, spec=None) -> dict:
+        kw = dict(metrics_path=self.runtime.metrics_path,
+                  profile_dir=self.runtime.profile_dir,
+                  profile_steps=self.runtime.profile_steps)
+        if spec is not None:
+            from jax.sharding import NamedSharding
+
+            kw["state_sharding"] = jax.tree_util.tree_map(
+                lambda s: NamedSharding(self.mesh, s), spec)
+        return kw
 
     # ── training (reference train!, LDA.jl:161-191) ──
     def train(
@@ -253,7 +259,7 @@ class LDA(TopicModel):
             arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
                     jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
-        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw())
+        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
     # alpha/beta/gamma accessors (reference field access)
     @property
@@ -306,7 +312,7 @@ class CTM(TopicModel):
         arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
                 jnp.asarray(p.C), jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
-        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw())
+        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
     @property
     def mu(self) -> np.ndarray:
@@ -374,7 +380,7 @@ class fCTM(TopicModel):
         arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
                 jnp.asarray(p.C), jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
-        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw())
+        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
     @property
     def eta(self) -> float:
@@ -454,7 +460,7 @@ class fLDA(TopicModel):
             jnp.asarray(float(self.M), self.dtype),
             jnp.asarray(float(sum(self.C)), self.dtype),
         )
-        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw())
+        return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
     @property
     def eta(self) -> float:
@@ -632,7 +638,7 @@ class CTPF(TopicModel):
         arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
                 jnp.asarray(p.readers), jnp.asarray(p.ratings),
                 jnp.asarray(p.doc_mask))
-        return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw())
+        return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw(spec))
 
     def train(self, iter: int = 150, tol: float = 1.0, viter: int = 10,
               vtol: Optional[float] = None, checkelbo: float = 1,
@@ -944,7 +950,7 @@ class DTM(TopicModel):
                       out_spec=P(), data_axis=self.runtime.data_axis)
         arrs = (jnp.asarray(self.slice_id), jnp.asarray(p.terms),
                 jnp.asarray(p.counts), jnp.asarray(p.doc_mask))
-        return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw())
+        return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw(spec))
 
     def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
               ntol: Optional[float] = None, viter: int = 10,

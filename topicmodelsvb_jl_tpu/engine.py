@@ -58,6 +58,7 @@ class Trainer:
         metrics_path: Optional[str] = None,
         profile_dir: Optional[str] = None,
         profile_steps: int = 3,
+        state_sharding=None,
     ):
         self.step_fn = step_fn
         self.elbo_fn = elbo_fn
@@ -71,9 +72,15 @@ class Trainer:
         self.metrics_path = metrics_path
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
+        # placing the initial state with the step's output shardings up
+        # front avoids a silent second compile on iteration 2 (the first
+        # step's outputs otherwise change the arg shardings)
+        self.state_sharding = state_sharding
 
     def train(self, state, cfg: TrainConfig, corpus_all_empty: bool = False):
         cfg.validate()
+        if self.state_sharding is not None:
+            state = jax.device_put(state, self.state_sharding)
         n_iter = 0 if corpus_all_empty else cfg.iter
 
         # initial bound (reference: `(checkelbo <= iter) && update_elbo!(model)`)
