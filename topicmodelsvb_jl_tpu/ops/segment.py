@@ -6,7 +6,7 @@ sorted token permutation (``terms_sortperm``/``J_cumsum`` built at
 modelutils.jl:371-397, consumed at gpuLDA.jl:170-175).  Under XLA the
 same reduction is a ``segment_sum`` over vocab ids, which lowers to a
 deterministic sorted scatter on TPU — same-seed runs produce bitwise
-identical sufficient statistics (tested in tests/test_determinism.py).
+identical sufficient statistics (tested in tests/test_lda.py (test_lda_deterministic)).
 """
 
 from __future__ import annotations
