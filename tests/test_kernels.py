@@ -89,3 +89,30 @@ def test_lda_estep_padded_doc_rows_frozen():
     np.testing.assert_array_equal(np.asarray(el)[-3:, :K],
                                   np.asarray(state.Elogtheta)[-3:])
     assert np.all(np.asarray(w)[-3:] == 0.0)
+
+
+@pytest.mark.parametrize("K", [7, 16])
+def test_flda_estep_kernel_matches_xla(K):
+    from topicmodelsvb_jl_tpu.models import flda as flda_mod
+
+    packed = _small_packed()
+    state = flda_mod.init(jax.random.PRNGKey(1), packed, K, jnp.float32)
+    data = (
+        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+        jnp.asarray(packed.doc_mask),
+        jnp.asarray(float(packed.M), jnp.float32),
+        jnp.asarray(float(packed.C.sum()), jnp.float32),
+    )
+    kw = dict(viter=6, vtol=1.0 / K**2, niter=50, ntol=1.0 / K**2,
+              chunk_docs=16, axis_name=None)
+    step_x = jax.jit(flda_mod.make_step(packed, K, use_pallas=False, **kw))
+    step_p = jax.jit(flda_mod.make_step(packed, K, use_pallas=True,
+                                        pallas_interpret=True, **kw))
+    sx, sp = state, state
+    for _ in range(3):
+        sx = step_x(sx, *data)
+        sp = step_p(sp, *data)
+    for f in ("alpha", "beta", "kappa", "gamma", "Elogtheta", "tau", "eta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sx, f)), np.asarray(getattr(sp, f)),
+            rtol=5e-3, atol=1e-5, err_msg=f"{f} diverged")

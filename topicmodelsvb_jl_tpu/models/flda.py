@@ -118,8 +118,14 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
 
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
-              chunk_docs: int, axis_name: Optional[str] = None):
+              chunk_docs: int, axis_name: Optional[str] = None,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
     V = packed.V
+    if use_pallas is None:
+        # the kernel pads the topic axis to 128 lanes; below K=64 the
+        # padding waste outweighs the fused fixpoint's IO win
+        use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
+    Kp = ((K + 127) // 128) * 128
 
     def step(state: FLDAState, terms, counts, doc_mask, M_total, C_total):
         M_pad = terms.shape[0]
@@ -128,14 +134,45 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         eps = jnp.asarray(EPSILON, state.beta.dtype)
         logbetaT = jnp.log(state.beta + eps).T
 
-        def scan_body(carry, xs):
-            bt, kt, es, tc = carry
-            t, c, dm, g, el, elo, ta, tao = xs
-            g2, el2, elo2, ta2, tao2, bti, kti, esi, tci = _estep_chunk(
-                logbetaT, state.kappa, state.eta, state.alpha,
-                t, c, dm, g, el, elo, ta, tao, viter, vtol, V
-            )
-            return (bt + bti, kt + kti, es + esi, tc + tci), (g2, el2, elo2, ta2, tao2)
+        if use_pallas and B % 8 == 0:
+            from ..kernels.flda_estep import flda_estep
+
+            logbetaT_p = jnp.pad(logbetaT, ((0, 0), (0, Kp - K)))
+            alpha_p = jnp.pad(state.alpha, (0, Kp - K))
+            # Elogtheta pad lanes pinned to −1e30 so the in-kernel
+            # softmax zeroes padded topics (see kernels/flda_estep.py)
+            padel = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)),
+                                      constant_values=-1e30)
+            padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
+
+            def scan_body(carry, xs):
+                bt, kt, es, tc = carry
+                t, c, dm, g, el, elo, ta, tao = xs
+                lb = logbetaT_p[t]
+                kd = state.kappa[t]
+                g2, el2, elo2, ta2, tao2, wb, wk = flda_estep(
+                    lb, kd, c, dm, alpha_p, state.eta,
+                    padk(g), padel(el), padel(elo), ta, tao,
+                    viter=viter, vtol=vtol, n_topics=K,
+                    interpret=pallas_interpret,
+                )
+                g2, el2, elo2 = g2[:, :K], el2[:, :K], elo2[:, :K]
+                bti = count_scatter(wb[..., :K].reshape(-1, K),
+                                    t.reshape(-1), V)
+                kti = count_scatter(wk.reshape(-1, 1), t.reshape(-1), V)[:, 0]
+                esi = jnp.sum(el2 * dm[:, None], axis=0)
+                tci = jnp.sum(ta2 * c)
+                return (bt + bti, kt + kti, es + esi, tc + tci), \
+                    (g2, el2, elo2, ta2, tao2)
+        else:
+            def scan_body(carry, xs):
+                bt, kt, es, tc = carry
+                t, c, dm, g, el, elo, ta, tao = xs
+                g2, el2, elo2, ta2, tao2, bti, kti, esi, tci = _estep_chunk(
+                    logbetaT, state.kappa, state.eta, state.alpha,
+                    t, c, dm, g, el, elo, ta, tao, viter, vtol, V
+                )
+                return (bt + bti, kt + kti, es + esi, tc + tci), (g2, el2, elo2, ta2, tao2)
 
         sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
         dt = state.beta.dtype

@@ -176,7 +176,9 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     V = packed.V
     segments = packed.segments
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # the kernel pads the topic axis to 128 lanes; below K=64 the
+        # padding waste outweighs the fused fixpoint's IO win
+        use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
     if seq_axis is not None:
         use_pallas = False
         assert segments is None, "token-axis sharding requires dense packing"
