@@ -98,3 +98,24 @@ def test_lda_bucketed_matches_dense():
     # topicdist consistency through the permutation
     td = m_b.topicdist(list(range(1, corp.shape[0] + 1)))
     np.testing.assert_allclose(np.sum(td, axis=1), 1.0, rtol=1e-5)
+
+
+def test_ctm_bucketed_matches_dense():
+    import numpy as np
+
+    import topicmodelsvb_jl_tpu as tm
+    import topicmodelsvb_jl_tpu.api as apimod
+
+    corp = tm.synth_corpus(M=100, V=50, K=3, seed=6)
+    m_b = tm.CTM(corp, 3, seed=4)
+    assert m_b.packed.segments is not None
+
+    class CTMPlain(apimod.CTM):
+        _bucketed = False
+
+    m_d = CTMPlain(corp, 3, seed=4)
+    m_b.train(iter=4, checkelbo=4, printelbo=False)
+    m_d.train(iter=4, checkelbo=4, printelbo=False)
+    np.testing.assert_allclose(m_b.beta, m_d.beta, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(m_b.lam, m_d.lam, rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(m_b.elbo, m_d.elbo, rtol=1e-4)

@@ -286,6 +286,8 @@ class LDA(TopicModel):
 class CTM(TopicModel):
     """Correlated topic model (reference src/CTM.jl, src/gpuCTM.jl)."""
 
+    _bucketed = True
+
     def __repr__(self):
         return f"Correlated topic model with {self.K} topics."
 
@@ -305,12 +307,19 @@ class CTM(TopicModel):
         spec = ctm_mod.partition_spec(self.runtime.data_axis)
         from jax.sharding import PartitionSpec as P
 
-        step = dp_jit(step_local, self.mesh, spec, n_data_args=4, n_repl_args=1,
+        step = dp_jit(step_local, self.mesh, spec, n_data_args=3, n_repl_args=1,
                       data_axis=self.runtime.data_axis)
-        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=4, out_spec=P(),
+        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
-        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
-                jnp.asarray(p.C), jnp.asarray(p.doc_mask))
+        if p.segments is not None:
+            arrs = (
+                tuple(jnp.asarray(s.terms) for s in p.segments),
+                tuple(jnp.asarray(s.counts) for s in p.segments),
+                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
+            )
+        else:
+            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                    jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
@@ -332,18 +341,18 @@ class CTM(TopicModel):
 
     @property
     def lam(self) -> np.ndarray:
-        return np.asarray(self.state.lam)[: self.M]
+        return np.asarray(self.state.lam)[self._doc_rows()]
 
     # Julia field name
     lambda_ = lam
 
     @property
     def vsq(self) -> np.ndarray:
-        return np.asarray(self.state.vsq)[: self.M]
+        return np.asarray(self.state.vsq)[self._doc_rows()]
 
     @property
     def logzeta(self) -> np.ndarray:
-        return np.asarray(self.state.logzeta)[: self.M]
+        return np.asarray(self.state.logzeta)[self._doc_rows()]
 
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         x = np.asarray(self.state.lam)[rows] + 0.5 * np.asarray(self.state.vsq)[rows]
@@ -533,6 +542,7 @@ class CTPF(TopicModel):
     """
 
     _uses_readers = True
+    _bucketed = True
 
     def __init__(self, corp, K, runtime=None, mesh=None, seed: int = 0):
         super().__init__(corp, K, runtime=runtime, mesh=mesh, seed=seed)
@@ -635,9 +645,17 @@ class CTPF(TopicModel):
                       data_axis=self.runtime.data_axis)
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=5, out_spec=P(),
                       data_axis=self.runtime.data_axis)
-        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+        if p.segments is not None:
+            arrs = (
+                tuple(jnp.asarray(s.terms) for s in p.segments),
+                tuple(jnp.asarray(s.counts) for s in p.segments),
                 jnp.asarray(p.readers), jnp.asarray(p.ratings),
-                jnp.asarray(p.doc_mask))
+                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
+            )
+        else:
+            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                    jnp.asarray(p.readers), jnp.asarray(p.ratings),
+                    jnp.asarray(p.doc_mask))
         return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw(spec))
 
     def train(self, iter: int = 150, tol: float = 1.0, viter: int = 10,
@@ -675,7 +693,7 @@ class CTPF(TopicModel):
 
     @property
     def gimel(self) -> np.ndarray:
-        return np.asarray(self.state.gimel)[: self.M]
+        return np.asarray(self.state.gimel)[self._doc_rows()]
 
     @property
     def dalet(self) -> np.ndarray:
@@ -691,7 +709,7 @@ class CTPF(TopicModel):
 
     @property
     def zayin(self) -> np.ndarray:
-        return np.asarray(self.state.zayin)[: self.M]
+        return np.asarray(self.state.zayin)[self._doc_rows()]
 
     @property
     def het(self) -> np.ndarray:

@@ -65,9 +65,10 @@ def _phi(logbeta_d, lam):
     return jax.nn.softmax(logbeta_d + lam[:, None, :], axis=-1)
 
 
-def _estep_chunk(logbetaT, mu, invsigma, terms, counts, C, doc_mask,
+def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
                  lam, lam_old, vsq, logzeta, viter, vtol, niter, ntol, V):
     dtype = lam.dtype
+    C = jnp.sum(counts, axis=-1)  # per-doc token totals (CTM.jl C field)
     # zero-count (padded) slots may gather an all-zero beta column (unused
     # vocab id 0) whose raw log is -inf for every k; the K-softmax would be
     # NaN. Every use of phi is count-weighted, so neutralising those logits
@@ -114,34 +115,53 @@ def _estep_chunk(logbetaT, mu, invsigma, terms, counts, C, doc_mask,
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name: Optional[str] = None):
     V = packed.V
+    segments = packed.segments
 
-    def step(state: CTMState, terms, counts, C, doc_mask, M_total):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
+    def step(state: CTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
         logbetaT = jnp.log(state.beta).T  # raw log, matching CTM.jl:177
 
         def scan_body(carry, xs):
             bt, vs, ls, lo = carry
-            t, c, cd, dm, la, lao, v, lz = xs
+            t, c, dm, la, lao, v, lz = xs
             la2, lao2, v2, lz2, bti, vsi, lsi, loi = _estep_chunk(
-                logbetaT, state.mu, state.invsigma, t, c, cd, dm,
+                logbetaT, state.mu, state.invsigma, t, c, dm,
                 la, lao, v, lz, viter, vtol, niter, ntol, V
             )
             return (bt + bti, vs + vsi, ls + lsi, lo + loi), (la2, lao2, v2, lz2)
 
-        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
-        (beta_temp, vsq_sum, lam_sum, lam_outer), ys = jax.lax.scan(
-            scan_body,
-            (jnp.zeros((V, K), dt), jnp.zeros((K,), dt), jnp.zeros((K,), dt),
-             jnp.zeros((K, K), dt)),
-            (sh(terms), sh(counts), sh(C), sh(doc_mask),
-             sh(state.lam), sh(state.lam_old), sh(state.vsq), sh(state.logzeta)),
-        )
-        lam, lam_old, vsq, logzeta = ys
-        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
-        lam, lam_old, vsq, logzeta = unsh(lam), unsh(lam_old), unsh(vsq), unsh(logzeta)
+        def sweep(t_arr, c_arr, dm_arr, la_a, lao_a, v_a, lz_a, carry):
+            n_rows = t_arr.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+            carry, ys = jax.lax.scan(
+                scan_body, carry,
+                (sh(t_arr), sh(c_arr), sh(dm_arr),
+                 sh(la_a), sh(lao_a), sh(v_a), sh(lz_a)),
+            )
+            unsh = lambda a: a.reshape((n_rows,) + a.shape[2:])
+            return carry, tuple(unsh(y) for y in ys)
+
+        carry = (jnp.zeros((V, K), dt), jnp.zeros((K,), dt),
+                 jnp.zeros((K,), dt), jnp.zeros((K, K), dt))
+        if segments is None:
+            carry, (lam, lam_old, vsq, logzeta) = sweep(
+                terms, counts, doc_mask, state.lam, state.lam_old,
+                state.vsq, state.logzeta, carry)
+        else:
+            parts = []
+            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
+                lo_, hi_ = seg.loc_start, seg.loc_start + t_arr.shape[0]
+                carry, ys = sweep(
+                    t_arr, c_arr, dm_arr, state.lam[lo_:hi_],
+                    state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
+                    state.logzeta[lo_:hi_], carry)
+                parts.append(ys)
+            lam, lam_old, vsq, logzeta = (
+                jnp.concatenate([p_[i] for p_ in parts], axis=0)
+                for i in range(4))
+        beta_temp, vsq_sum, lam_sum, lam_outer = carry
 
         if axis_name is not None:
             beta_temp = jax.lax.psum(beta_temp, axis_name)
@@ -178,11 +198,9 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     """ELBO (CTM.jl:55-98): phi recomputed from (beta_old, lambda_old)."""
     V = packed.V
+    segments = packed.segments
 
-    def elbo(state: CTMState, terms, counts, C, doc_mask):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
+    def elbo(state: CTMState, terms, counts, doc_mask):
         dt = state.beta.dtype
         eps = jnp.asarray(EPSILON, dt)
         logbeta_oldT = jnp.log(state.beta_old).T       # CTM.jl:93 (raw)
@@ -195,7 +213,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
         isd = jnp.diagonal(invsigma)
 
         def scan_body(acc, xs):
-            t, c, cd, dm, la, lao, v, lz = xs
+            t, c, dm, la, lao, v, lz = xs
+            cd = jnp.sum(c, axis=-1)
             # phi from (beta_old, lambda_old) (CTM.jl:93); terms below use
             # the *current* lambda (CTM.jl:56-66). Zero-count slots masked as
             # in _estep_chunk.
@@ -217,12 +236,28 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
             contrib = dm * (e_peta + e_pz + e_pw + e_qeta + e_qz)
             return acc + jnp.sum(contrib), None
 
-        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
-        total, _ = jax.lax.scan(
-            scan_body, jnp.zeros((), dt),
-            (sh(terms), sh(counts), sh(C), sh(doc_mask),
-             sh(state.lam), sh(state.lam_old), sh(state.vsq), sh(state.logzeta)),
-        )
+        def sweep(t_arr, c_arr, dm_arr, la_a, lao_a, v_a, lz_a, acc):
+            n_rows = t_arr.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+            acc, _ = jax.lax.scan(
+                scan_body, acc,
+                (sh(t_arr), sh(c_arr), sh(dm_arr),
+                 sh(la_a), sh(lao_a), sh(v_a), sh(lz_a)),
+            )
+            return acc
+
+        total = jnp.zeros((), dt)
+        if segments is None:
+            total = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
+                          state.vsq, state.logzeta, total)
+        else:
+            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
+                lo_, hi_ = seg.loc_start, seg.loc_start + t_arr.shape[0]
+                total = sweep(t_arr, c_arr, dm_arr, state.lam[lo_:hi_],
+                              state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
+                              state.logzeta[lo_:hi_], total)
         if axis_name is not None:
             total = jax.lax.psum(total, axis_name)
         return total

@@ -165,10 +165,9 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
     a, b, c, d = hyper["a"], hyper["b"], hyper["c"], hyper["d"]
     e, f, g, h = hyper["e"], hyper["f"], hyper["g"], hyper["h"]
 
+    segments = packed.segments
+
     def step(state: CTPFState, terms, counts, readers, ratings, doc_mask):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
         dt = state.alef.dtype
         dg_alefT = digamma(state.alef).T       # [V, K]
         dg_heT = digamma(state.he).T           # [U_seg, K]
@@ -185,19 +184,41 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
             )
             return (at + ati, ht + hti, gs + gsi, zs + zsi), (gi2, gio2, za2, zao2)
 
-        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
-        (alef_temp, he_temp, gimel_sum, zayin_sum), ys = jax.lax.scan(
-            scan_body,
-            (jnp.zeros((V, K), dt), jnp.zeros((U_seg, K), dt),
-             jnp.zeros((K,), dt), jnp.zeros((K,), dt)),
-            (sh(terms), sh(counts), sh(readers), sh(ratings), sh(doc_mask),
-             sh(state.gimel), sh(state.gimel_old),
-             sh(state.zayin), sh(state.zayin_old)),
-        )
-        gimel, gimel_old, zayin, zayin_old = ys
-        unsh = lambda x: x.reshape((M_pad,) + x.shape[2:])
-        gimel, gimel_old = unsh(gimel), unsh(gimel_old)
-        zayin, zayin_old = unsh(zayin), unsh(zayin_old)
+        def sweep(t_a, c_a, rd_a, rt_a, dm_a, gi_a, gio_a, za_a, zao_a, carry):
+            n_rows = t_a.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+            carry, ys = jax.lax.scan(
+                scan_body, carry,
+                (sh(t_a), sh(c_a), sh(rd_a), sh(rt_a), sh(dm_a),
+                 sh(gi_a), sh(gio_a), sh(za_a), sh(zao_a)),
+            )
+            unsh = lambda x: x.reshape((n_rows,) + x.shape[2:])
+            return carry, tuple(unsh(y) for y in ys)
+
+        carry = (jnp.zeros((V, K), dt), jnp.zeros((U_seg, K), dt),
+                 jnp.zeros((K,), dt), jnp.zeros((K,), dt))
+        if segments is None:
+            carry, (gimel, gimel_old, zayin, zayin_old) = sweep(
+                terms, counts, readers, ratings, doc_mask,
+                state.gimel, state.gimel_old, state.zayin, state.zayin_old,
+                carry)
+        else:
+            # token axis bucketed per segment; reader arrays stay dense
+            # [local, Rmax] and are row-sliced per segment
+            parts = []
+            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
+                lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
+                carry, ys = sweep(
+                    t_a, c_a, readers[lo_:hi_], ratings[lo_:hi_], dm_a,
+                    state.gimel[lo_:hi_], state.gimel_old[lo_:hi_],
+                    state.zayin[lo_:hi_], state.zayin_old[lo_:hi_], carry)
+                parts.append(ys)
+            gimel, gimel_old, zayin, zayin_old = (
+                jnp.concatenate([p_[i] for p_ in parts], axis=0)
+                for i in range(4))
+        alef_temp, he_temp, gimel_sum, zayin_sum = carry
 
         if axis_name is not None:
             alef_temp = jax.lax.psum(alef_temp, axis_name)
@@ -245,10 +266,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None,
     def _xlogx(p):
         return jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0)
 
+    segments = packed.segments
+
     def elbo(state: CTPFState, terms, counts, readers, ratings, doc_mask):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
         dt = state.alef.dtype
 
         # old-param responsibilities (CTPF.jl:240-241)
@@ -328,13 +348,31 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None,
             )
             return acc + jnp.sum(contrib), None
 
-        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
-        per_doc, _ = jax.lax.scan(
-            scan_body, jnp.zeros((), dt),
-            (sh(terms), sh(counts), sh(readers), sh(ratings), sh(doc_mask),
-             sh(state.gimel), sh(state.gimel_old),
-             sh(state.zayin), sh(state.zayin_old)),
-        )
+        def sweep(t_a, c_a, rd_a, rt_a, dm_a, gi_a, gio_a, za_a, zao_a, acc):
+            n_rows = t_a.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+            acc, _ = jax.lax.scan(
+                scan_body, acc,
+                (sh(t_a), sh(c_a), sh(rd_a), sh(rt_a), sh(dm_a),
+                 sh(gi_a), sh(gio_a), sh(za_a), sh(zao_a)),
+            )
+            return acc
+
+        per_doc = jnp.zeros((), dt)
+        if segments is None:
+            per_doc = sweep(terms, counts, readers, ratings, doc_mask,
+                            state.gimel, state.gimel_old,
+                            state.zayin, state.zayin_old, per_doc)
+        else:
+            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
+                lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
+                per_doc = sweep(t_a, c_a, readers[lo_:hi_], ratings[lo_:hi_],
+                                dm_a, state.gimel[lo_:hi_],
+                                state.gimel_old[lo_:hi_],
+                                state.zayin[lo_:hi_],
+                                state.zayin_old[lo_:hi_], per_doc)
         if axis_name is not None:
             per_doc = jax.lax.psum(per_doc, axis_name)
         return e_pbeta + e_qbeta_ent + e_peta + e_qeta_ent + per_doc
