@@ -116,3 +116,31 @@ def test_flda_estep_kernel_matches_xla(K):
         np.testing.assert_allclose(
             np.asarray(getattr(sx, f)), np.asarray(getattr(sp, f)),
             rtol=5e-3, atol=1e-5, err_msg=f"{f} diverged")
+
+
+def test_ctpf_estep_kernel_matches_xla():
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.models import ctpf as ctpf_mod
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+
+    K = 9
+    corp = tm.synth_corpus(M=48, V=60, K=4, U=20, seed=5,
+                           mean_terms=12, mean_tokens=20)
+    packed = pack_corpus(corp, pad_multiple=8, docs_multiple=16,
+                         with_readers=True)
+    state = ctpf_mod.init(jax.random.PRNGKey(2), packed, K, jnp.float32)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.readers), jnp.asarray(packed.ratings),
+            jnp.asarray(packed.doc_mask))
+    kw = dict(viter=5, vtol=1.0 / K**2, chunk_docs=16, axis_name=None)
+    step_x = jax.jit(ctpf_mod.make_step(packed, K, use_pallas=False, **kw))
+    step_p = jax.jit(ctpf_mod.make_step(packed, K, use_pallas=True,
+                                        pallas_interpret=True, **kw))
+    sx, sp = state, state
+    for _ in range(3):
+        sx = step_x(sx, *data)
+        sp = step_p(sp, *data)
+    for f in ("alef", "bet", "gimel", "dalet", "he", "vav", "zayin", "het"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sx, f)), np.asarray(getattr(sp, f)),
+            rtol=2e-2, atol=1e-5, err_msg=f"{f} diverged")

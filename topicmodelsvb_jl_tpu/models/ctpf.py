@@ -158,12 +158,16 @@ def _estep_chunk(dg_alefT, dg_heT, log_bet, log_vav,
 
 
 def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
-              axis_name: Optional[str] = None, hyper: dict = HYPER):
+              axis_name: Optional[str] = None, hyper: dict = HYPER,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
     V = packed.V
     U = packed.U
     U_seg = max(U, 1)
     a, b, c, d = hyper["a"], hyper["b"], hyper["c"], hyper["d"]
     e, f, g, h = hyper["e"], hyper["f"], hyper["g"], hyper["h"]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
+    Kp = ((K + 127) // 128) * 128
 
     segments = packed.segments
 
@@ -174,15 +178,49 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
         log_bet = jnp.log(state.bet)
         log_vav = jnp.log(state.vav)
 
-        def scan_body(carry, xs):
-            at, ht, gs, zs = carry
-            t, cnt, rd, rt, dm, gi, gio, za, zao = xs
-            gi2, gio2, za2, zao2, ati, hti, gsi, zsi = _estep_chunk(
-                dg_alefT, dg_heT, log_bet, log_vav,
-                c, g, t, cnt, rd, rt, dm, gi, gio, za, zao,
-                viter, vtol, V, U_seg, state.dalet, state.het,
-            )
-            return (at + ati, ht + hti, gs + gsi, zs + zsi), (gi2, gio2, za2, zao2)
+        if use_pallas:
+            from ..kernels.ctpf_estep import ctpf_estep
+
+            ealefT = jnp.pad(jnp.exp(dg_alefT), ((0, 0), (0, Kp - K)))
+            eheT = jnp.pad(jnp.exp(dg_heT), ((0, 0), (0, Kp - K)))
+            padk = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
+            padv = lambda x: jnp.pad(x, (0, Kp - K))
+            inv_db = padv(1.0 / (state.dalet * state.bet))
+            inv_dv = padv(1.0 / (state.dalet * state.vav))
+            inv_hv = padv(1.0 / (state.het * state.vav))
+
+            def scan_body(carry, xs):
+                at, ht, gs, zs = carry
+                t, cnt, rd, rt, dm, gi, gio, za, zao = xs
+                gi2, gio2, za2, zao2, wa, wh = ctpf_estep(
+                    ealefT[t], eheT[rd], cnt, rt, dm,
+                    inv_db, inv_dv, inv_hv,
+                    padk(gi), padk(gio), padk(za), padk(zao),
+                    viter=viter, vtol=vtol, n_topics=K,
+                    c_hyper=float(c), g_hyper=float(g),
+                    interpret=pallas_interpret,
+                )
+                gi2, gio2 = gi2[:, :K], gio2[:, :K]
+                za2, zao2 = za2[:, :K], zao2[:, :K]
+                ati = count_scatter(wa[..., :K].reshape(-1, K),
+                                    t.reshape(-1), V)
+                hti = count_scatter(wh[..., :K].reshape(-1, K),
+                                    rd.reshape(-1), U_seg)
+                dmc = dm[:, None]
+                gsi = jnp.sum(gi2 * dmc, axis=0)
+                zsi = jnp.sum(za2 * dmc, axis=0)
+                return (at + ati, ht + hti, gs + gsi, zs + zsi), \
+                    (gi2, gio2, za2, zao2)
+        else:
+            def scan_body(carry, xs):
+                at, ht, gs, zs = carry
+                t, cnt, rd, rt, dm, gi, gio, za, zao = xs
+                gi2, gio2, za2, zao2, ati, hti, gsi, zsi = _estep_chunk(
+                    dg_alefT, dg_heT, log_bet, log_vav,
+                    c, g, t, cnt, rd, rt, dm, gi, gio, za, zao,
+                    viter, vtol, V, U_seg, state.dalet, state.het,
+                )
+                return (at + ati, ht + hti, gs + gsi, zs + zsi), (gi2, gio2, za2, zao2)
 
         def sweep(t_a, c_a, rd_a, rt_a, dm_a, gi_a, gio_a, za_a, zao_a, carry):
             n_rows = t_a.shape[0]
