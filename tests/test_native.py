@@ -72,3 +72,16 @@ def test_readcorp_native_matches_python(tmp_path):
     assert len(corp_n) == len(corp_p) == M
     for a, b in zip(corp_n.docs, corp_p.docs):
         assert a.terms == b.terms and a.counts == b.counts
+
+
+@needs_native
+def test_parse_strict_matches_python_rejections():
+    """Inputs Python's int() rejects must also fail natively, so corpus
+    loading is toolchain-independent."""
+    for bad in (b"1,,2\n", b"1,\n", b"3 4\n", b"-\n", b"1,-,2\n", b"+5\n"):
+        with pytest.raises(ValueError):
+            parse_delimited_ints(bad)
+    # lone \r is a line break (splitlines semantics)
+    vals, offs = parse_delimited_ints(b"1\r2\n")
+    assert offs.tolist() == [0, 1, 2]
+    assert vals.tolist() == [1, 2]

@@ -48,6 +48,11 @@ class TopicModel:
 
     _uses_readers = False
     _bucketed = False   # length-bucketed token packing (SURVEY §5.7a)
+    _per_doc_fields: tuple = ()   # state fields with a leading doc axis
+
+    def _ctor_kwargs(self) -> dict:
+        """Extra constructor kwargs a checkpoint must replay."""
+        return {}
 
     def __init__(
         self,
@@ -224,6 +229,7 @@ class LDA(TopicModel):
     """Latent Dirichlet allocation (reference src/LDA.jl, src/gpuLDA.jl)."""
 
     _bucketed = True
+    _per_doc_fields = ("gamma", "Elogtheta", "Elogtheta_old")
 
     def __repr__(self):
         return f"Latent Dirichlet allocation model with {self.K} topics."
@@ -237,6 +243,7 @@ class LDA(TopicModel):
             p, self.K, viter=cfg.viter, vtol=cfg.vtol, niter=cfg.niter,
             ntol=cfg.ntol, chunk_docs=self.chunk_docs,
             axis_name=self.runtime.data_axis,
+            use_pallas=None if self.runtime.use_pallas else False,
         )
         elbo_local = lda_mod.make_elbo(
             p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
@@ -287,6 +294,7 @@ class CTM(TopicModel):
     """Correlated topic model (reference src/CTM.jl, src/gpuCTM.jl)."""
 
     _bucketed = True
+    _per_doc_fields = ("lam", "lam_old", "vsq", "logzeta")
 
     def __repr__(self):
         return f"Correlated topic model with {self.K} topics."
@@ -362,6 +370,8 @@ class CTM(TopicModel):
 
 class fCTM(TopicModel):
     """Filtered correlated topic model (reference src/fCTM.jl)."""
+
+    _per_doc_fields = ("lam", "lam_old", "vsq", "logzeta", "tau", "tau_old")
 
     def __repr__(self):
         return f"Filtered correlated topic model with {self.K} topics."
@@ -441,6 +451,8 @@ class fCTM(TopicModel):
 class fLDA(TopicModel):
     """Filtered LDA (reference src/fLDA.jl)."""
 
+    _per_doc_fields = ("gamma", "Elogtheta", "Elogtheta_old", "tau", "tau_old")
+
     def __repr__(self):
         return f"Filtered latent Dirichlet allocation model with {self.K} topics."
 
@@ -453,6 +465,7 @@ class fLDA(TopicModel):
             p, self.K, viter=cfg.viter, vtol=cfg.vtol, niter=cfg.niter,
             ntol=cfg.ntol, chunk_docs=self.chunk_docs,
             axis_name=self.runtime.data_axis,
+            use_pallas=None if self.runtime.use_pallas else False,
         )
         elbo_local = flda_mod.make_elbo(
             p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
@@ -543,6 +556,7 @@ class CTPF(TopicModel):
 
     _uses_readers = True
     _bucketed = True
+    _per_doc_fields = ("gimel", "gimel_old", "zayin", "zayin_old")
 
     def __init__(self, corp, K, runtime=None, mesh=None, seed: int = 0):
         super().__init__(corp, K, runtime=runtime, mesh=mesh, seed=seed)
@@ -634,6 +648,7 @@ class CTPF(TopicModel):
         step_local = ctpf_mod.make_step(
             p, self.K, viter=cfg.viter, vtol=cfg.vtol,
             chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis,
+            use_pallas=None if self.runtime.use_pallas else False,
         )
         elbo_local = ctpf_mod.make_elbo(
             p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
@@ -770,12 +785,13 @@ class CTPF(TopicModel):
             raise ValueError("some document indices are outside range.")
         U = min(U, self.U)
         for n, d in enumerate(docs):
-            if not self.drecs[d - 1]:
+            row = self.drecs[d - 1]
+            if not row:
                 continue
             juliadots(f"Document {d}\n")
             if self.corp.docs[d - 1].title:
                 juliadots(f"{self.corp.docs[d - 1].title}\n")
-            for rank, u in enumerate(self.drecs[d - 1][:U], start=1):
+            for rank, u in enumerate(row[:U], start=1):
                 print(f"{rank}. {self.corp.users.get(u, f'#user{u}')}")
             if n < len(docs) - 1:
                 print()
@@ -795,13 +811,14 @@ class CTPF(TopicModel):
             raise ValueError("some user indices are outside range.")
         M = min(M, self.M)
         for n, u in enumerate(users):
-            if not self.urecs[u - 1]:
+            row = self.urecs[u - 1]
+            if not row:
                 continue
             juliadots(f"User {u}\n")
             name = self.corp.users.get(u, "")
             if name and not name.startswith("#user"):
                 juliadots(f"{name}\n")
-            for rank, d in enumerate(self.urecs[u - 1][:M], start=1):
+            for rank, d in enumerate(row[:M], start=1):
                 title = self.corp.docs[d - 1].title or f"Document {d}"
                 print(f"{rank}. {title}")
             if n < len(users) - 1:
@@ -835,6 +852,8 @@ def predict(corp, train_model: TopicModel, iter: int = 10,
         raise ValueError("iteration parameter must be nonnegative.")
     if isinstance(train_model, CTPF):
         raise TopicModelError("predict is not defined for CTPF models (as in the reference).")
+    if isinstance(train_model, DTM):
+        raise TopicModelError("predict is not defined for DTM models.")
 
     cls = type(train_model)
     new = cls(corp, train_model.K, runtime=train_model.runtime,
@@ -890,6 +909,11 @@ class DTM(TopicModel):
     slices via a variational Kalman smoother.  Warm-startable from any
     trained LDA/fLDA/CTM/fCTM (DTM.jl:66-93).
     """
+
+    _per_doc_fields = ("gamma", "Elogtheta", "lzeta")
+
+    def _ctor_kwargs(self) -> dict:
+        return {"delta": self.delta}
 
     def __init__(self, corp, K, delta: float, basemodel=None,
                  runtime=None, mesh=None, seed: int = 0):
@@ -1061,7 +1085,8 @@ def gendoc(model: TopicModel, laplace_smooth: float = 0.0, rng=None):
         e = np.exp(x - x.max())
         theta = e / e.sum()
     else:
-        raise TopicModelError("gendoc is not defined for CTPF models (as in the reference).")
+        raise TopicModelError(
+            f"gendoc is not defined for {type(model).__name__} models.")
 
     C = rng.poisson(np.mean(model.C))
     beta = np.asarray(model.beta, np.float64)

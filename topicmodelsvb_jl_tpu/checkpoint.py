@@ -44,8 +44,22 @@ def corpus_fingerprint(corp: Corpus) -> str:
 
 
 def save(path: str, model) -> None:
-    """Save an api.TopicModel's state + metadata."""
-    leaves, treedef = jax.tree_util.tree_flatten(model.state)
+    """Save an api.TopicModel's state + metadata.
+
+    Per-document state fields are stored in **original document order**
+    (de-permuted through the packing), so a checkpoint is portable
+    across mesh shapes / chunk sizes whose bucketed row permutations
+    differ.
+    """
+    fields = list(model.state._fields)
+    doc_fields = set(getattr(model, "_per_doc_fields", ()))
+    rows = model._doc_rows()
+    arrays = {}
+    for i, name in enumerate(fields):
+        arr = np.asarray(getattr(model.state, name))
+        if name in doc_fields:
+            arr = arr[rows]              # packed rows → original doc order
+        arrays[f"leaf_{i}"] = arr
     meta = dict(
         format=_FORMAT_VERSION,
         model=type(model).__name__,
@@ -53,10 +67,11 @@ def save(path: str, model) -> None:
         seed=model.seed,
         dtype=str(model.dtype),
         corpus=corpus_fingerprint(model.corp),
-        n_leaves=len(leaves),
-        fields=list(model.state._fields),
+        n_leaves=len(fields),
+        fields=fields,
+        doc_fields=sorted(doc_fields),
+        ctor=getattr(model, "_ctor_kwargs", lambda: {})(),
     )
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), np.uint8),
              **arrays)
 
@@ -82,23 +97,27 @@ def load(path: str, corp: Corpus, strict_corpus: bool = True):
     from .utils.config import RuntimeConfig
 
     model = cls(corp, meta["K"], runtime=RuntimeConfig(dtype=meta["dtype"]),
-                seed=meta["seed"])
-    # M_pad depends on mesh/chunking and may differ between save and load
-    # environments; doc-major leaves are re-padded (init rows) or truncated.
-    init_leaves = jax.tree_util.tree_leaves(model.state)
+                seed=meta["seed"], **meta.get("ctor", {}))
+    # per-doc fields were saved in original doc order; scatter them into
+    # the load environment's (possibly different) packed row permutation,
+    # leaving padding rows at their init values
+    doc_fields = set(meta.get("doc_fields", []))
+    rows = model._doc_rows()
     fixed = []
-    for saved, ref in zip(leaves, init_leaves):
+    for name, saved in zip(meta["fields"], leaves):
         saved = np.asarray(saved)
-        ref = np.asarray(ref)
-        if saved.shape != ref.shape:
-            if saved.shape[1:] != ref.shape[1:]:
+        ref = np.asarray(getattr(model.state, name))
+        if name in doc_fields:
+            if saved.shape[1:] != ref.shape[1:] or saved.shape[0] != len(rows):
                 raise ValueError(
-                    f"checkpoint leaf shape {saved.shape} incompatible with {ref.shape}"
-                )
+                    f"checkpoint field {name} shape {saved.shape} incompatible "
+                    f"with {ref.shape} over {len(rows)} documents")
             out = ref.copy()
-            n = min(saved.shape[0], ref.shape[0])
-            out[:n] = saved[:n]
+            out[rows] = saved
             saved = out
+        elif saved.shape != ref.shape:
+            raise ValueError(
+                f"checkpoint field {name} shape {saved.shape} != {ref.shape}")
         fixed.append(saved.astype(ref.dtype))
     state_cls = type(model.state)
     model.state = state_cls(*fixed)

@@ -215,8 +215,12 @@ def cg_objective(betahat, v_filt, vbeta, A, wz, n_slices_const):
     lin = jnp.sum(A.reshape(T, V, K) * jnp.transpose(mbeta, (0, 2, 1)))
     rowsum = jnp.sum(jnp.exp(mbeta + 0.5 * vbeta), axis=2)   # [T, K]
     expterm = jnp.sum(wz * rowsum)
-    # Elogpbeta (DTM.jl:119-126), vbeta terms constant — dropped
-    prev = jnp.concatenate([jnp.full_like(mbeta[:1], M0), mbeta[:-1]], 0)
+    # Elogpbeta (DTM.jl:119-126), vbeta terms constant — dropped.  The
+    # t=1 anchor is the SMOOTHED time-0 mean mbeta0 = q·m0 + (1−q)·mbeta[1]
+    # with q = σ²/(v0+σ²) (updateMbeta!, DTM.jl:222-223), not the raw m0.
+    q0 = SIGMASQ / (V0 + SIGMASQ)
+    mbeta0 = q0 * M0 + (1.0 - q0) * mbeta[:1]
+    prev = jnp.concatenate([mbeta0, mbeta[:-1]], 0)
     pbeta = -(0.5 / SIGMASQ) * jnp.sum((mbeta - prev) ** 2)
     return lin - expterm + pbeta
 
@@ -365,11 +369,15 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
             (sh(slice_id), sh(terms), sh(counts), sh(doc_mask),
              sh(state.gamma), sh(state.Elogtheta), sh(state.lzeta)))
 
-        # slice-level Elogpbeta − Elogqbeta (DTM.jl:119-126, 145-148)
-        prev_m = jnp.concatenate([jnp.full_like(state.mbeta[:1], M0),
-                                  state.mbeta[:-1]], 0)
-        prev_v = jnp.concatenate([jnp.full_like(state.vbeta[:1], V0),
-                                  state.vbeta[:-1]], 0)
+        # slice-level Elogpbeta − Elogqbeta (DTM.jl:119-126, 145-148);
+        # t=1 anchors on the smoothed time-0 posterior mbeta0/vbeta0
+        # (updateMbeta!/updateVbeta!, DTM.jl:222-223, 241)
+        q0 = SIGMASQ / (V0 + SIGMASQ)
+        mbeta0 = q0 * M0 + (1.0 - q0) * state.mbeta[:1]
+        vbeta0 = V0 + (V0 / (V0 + SIGMASQ)) ** 2 * (
+            state.vbeta[:1] - V0 - SIGMASQ)
+        prev_m = jnp.concatenate([mbeta0, state.mbeta[:-1]], 0)
+        prev_v = jnp.concatenate([vbeta0, state.vbeta[:-1]], 0)
         e_pb = (-0.5 * T * K * V * jnp.log(2 * jnp.pi * SIGMASQ)
                 - (0.5 / SIGMASQ) * jnp.sum(
                     (state.mbeta - prev_m) ** 2 + state.vbeta + prev_v))

@@ -21,28 +21,23 @@ extern "C" {
 void tmvb_count(const char* buf, int64_t n, char delim,
                 int64_t* n_lines, int64_t* n_vals) {
     int64_t lines = 0, vals = 0;
-    bool in_tok = false, line_open = false;
-    for (int64_t i = 0; i < n; ++i) {
+    bool in_tok = false;
+    int64_t i = 0;
+    while (i < n) {
         char c = buf[i];
-        if (c == '\n') {
+        if (c == '\n' || c == '\r') {
             if (in_tok) { ++vals; in_tok = false; }
             ++lines;
-            line_open = false;
-        } else if (c == '\r') {
-            if (in_tok) { ++vals; in_tok = false; }
+            if (c == '\r' && i + 1 < n && buf[i + 1] == '\n') ++i;
         } else if (c == delim) {
             if (in_tok) { ++vals; in_tok = false; }
-            line_open = true;
         } else {
             in_tok = true;
-            line_open = true;
         }
+        ++i;
     }
     if (in_tok) ++vals;
-    if (line_open || (n > 0 && buf[n - 1] != '\n')) {
-        // unterminated final line (splitlines semantics)
-        if (n > 0 && buf[n - 1] != '\n') ++lines;
-    }
+    if (n > 0 && buf[n - 1] != '\n' && buf[n - 1] != '\r') ++lines;
     *n_lines = lines;
     *n_vals = vals;
 }
@@ -50,38 +45,48 @@ void tmvb_count(const char* buf, int64_t n, char delim,
 // Parse every integer in the buffer.  Fills vals[n_vals] and
 // line_off[n_lines + 1] (value-offset of each line; CSR layout).
 // Returns 0 on success, or 1 + byte index of the first bad character.
+//
+// Strict by design — exactly the strings Python's
+// ``[int(p) for p in line.split(delim)]`` accepts: a non-empty line is
+// delim-separated decimal integers (optional leading '-'); empty tokens
+// (",," / trailing ","), bare '-', whitespace, and any other byte are
+// errors, so corpus loading behaves identically with or without the
+// native library.
 int64_t tmvb_parse(const char* buf, int64_t n, char delim,
                    int64_t* vals, int64_t* line_off) {
     int64_t vi = 0, li = 0;
     line_off[0] = 0;
     int64_t cur = 0;
-    bool in_tok = false, neg = false;
+    bool digits = false, neg = false, pending = false;
     for (int64_t i = 0; i < n; ++i) {
         char c = buf[i];
         if (c >= '0' && c <= '9') {
             cur = cur * 10 + (c - '0');
-            in_tok = true;
-        } else if (c == '-' && !in_tok) {
+            digits = true;
+        } else if (c == '-' && !digits && !neg) {
             neg = true;
-            in_tok = true;
-        } else if (c == delim || c == '\n' || c == '\r') {
-            if (in_tok) {
+        } else if (c == delim) {
+            if (!digits) return 1 + i;          // empty token or bare '-'
+            vals[vi++] = neg ? -cur : cur;
+            cur = 0; digits = false; neg = false;
+            pending = true;
+        } else if (c == '\n' || c == '\r') {
+            if (digits) {
                 vals[vi++] = neg ? -cur : cur;
-                cur = 0; in_tok = false; neg = false;
+                cur = 0; digits = false; neg = false;
+            } else if (pending || neg) {
+                return 1 + i;                   // trailing delim / bare '-'
             }
-            if (c == '\n') line_off[++li] = vi;
-        } else if (c == ' ' || c == '\t') {
-            // tolerate stray whitespace between tokens
-            if (in_tok) {
-                vals[vi++] = neg ? -cur : cur;
-                cur = 0; in_tok = false; neg = false;
-            }
+            pending = false;
+            line_off[++li] = vi;                // \r, \n, \r\n: one break
+            if (c == '\r' && i + 1 < n && buf[i + 1] == '\n') ++i;
         } else {
-            return 1 + i;  // bad character
+            return 1 + i;                       // bad character
         }
     }
-    if (in_tok) vals[vi++] = neg ? -cur : cur;
-    if (n > 0 && buf[n - 1] != '\n') line_off[++li] = vi;
+    if (digits) vals[vi++] = neg ? -cur : cur;
+    else if (pending || neg) return 1 + n - 1;
+    if (n > 0 && buf[n - 1] != '\n' && buf[n - 1] != '\r') line_off[++li] = vi;
     return 0;
 }
 

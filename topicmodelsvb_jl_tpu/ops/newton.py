@@ -96,6 +96,10 @@ def dirichlet_newton(
         r_star = jnp.min(ratio)
         m = jnp.maximum(jnp.ceil(-jnp.log2(jnp.minimum(r_star, 1.0))), 0.0)
         rho = jnp.exp2(-m)
+        # f32 division can round alpha/p up across the power-of-two
+        # boundary; validate the actual fp step like the reference's
+        # explicit while-condition does and halve once if needed
+        rho = jnp.where(jnp.min(alpha - rho * p) < 0, rho * 0.5, rho)
 
         alpha_new = finite(alpha - rho * p)
         # reference stopping rule (LDA.jl:113-115) — plus a numerical-

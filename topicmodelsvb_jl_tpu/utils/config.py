@@ -59,8 +59,9 @@ class RuntimeConfig:
     data_axis: str = "data"       # mesh axis docs are sharded over
     vocab_axis: str = "vocab"     # mesh axis beta may be sharded over (TP)
     mesh_shape: Optional[tuple] = None  # None → all devices on data axis
-    use_pallas: bool = True       # fused Pallas E-step where available
-    donate: bool = True           # donate state buffers into jitted steps
+    # fused Pallas E-step: True = auto (TPU backend and K >= 64),
+    # False = force the pure-XLA body everywhere
+    use_pallas: bool = True
     metrics_path: Optional[str] = None  # JSONL per-iteration metrics sink
     profile_dir: Optional[str] = None   # jax.profiler capture directory
     profile_steps: int = 3              # steady steps to capture
