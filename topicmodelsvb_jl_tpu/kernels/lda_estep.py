@@ -43,6 +43,17 @@ from ..utils.numerics import EPSILON
 # well inside the ~16 MB/core VMEM budget.
 _MAX_TILE_ELEMS = 32 * 128 * 128
 
+# smallest tile is 8 docs; beyond this token-axis extent even that tile
+# (input + stat output, double-buffered) would blow the VMEM budget —
+# callers fall back to the XLA body (very long documents should use
+# token-axis sharding instead, models/lda.py seq_axis)
+_VMEM_BUDGET_BYTES = 12_500_000
+
+
+def fits_vmem(l_elems: int, Kp: int) -> bool:
+    """True when an 8-doc tile with ``l_elems`` token slots fits VMEM."""
+    return 8 * l_elems * Kp * 4 * 4 <= _VMEM_BUDGET_BYTES
+
 
 def digamma_series(x: jax.Array) -> jax.Array:
     """ψ(x) for x > 0 via recurrence + asymptotic series (f32-accurate).

@@ -167,11 +167,13 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
     e, f, g, h = hyper["e"], hyper["f"], hyper["g"], hyper["h"]
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
-    # the fused kernel needs doc tiles of >= 8 (f32 sublane); odd chunk
-    # sizes fall back to the XLA body like LDA/fLDA do
-    if chunk_docs % 8 != 0:
-        use_pallas = False
     Kp = ((K + 127) // 128) * 128
+    # the fused kernel needs doc tiles of >= 8 (f32 sublane) whose token+
+    # reader extent fits VMEM; otherwise fall back to the XLA body
+    from ..kernels.lda_estep import fits_vmem
+
+    if chunk_docs % 8 != 0 or not fits_vmem(packed.L + packed.Rmax, Kp):
+        use_pallas = False
 
     segments = packed.segments
 

@@ -151,7 +151,7 @@ def _phi(mbeta_d, decay, El):
 
 def _estep_chunk(mbeta_flat, alpha, rowsum_ovfl, maxl,
                  slice_id, terms, counts, doc_mask,
-                 gamma, El, lzeta, viter, vtol):
+                 gamma, El, lzeta, viter, vtol, V):
     """Per-chunk E-step fixpoint (train! inner loop, DTM.jl:317-328).
 
     mbeta_flat: [T·V, K] (slice-major) so one gather serves every doc's
@@ -159,7 +159,7 @@ def _estep_chunk(mbeta_flat, alpha, rowsum_ovfl, maxl,
     Σ_v exp(mbeta + vbeta/2) (DTM.jl:225-228).
     """
     eps = jnp.asarray(EPSILON, gamma.dtype)
-    flat_idx = slice_id[:, None] * (mbeta_flat.shape[0] // rowsum_ovfl.shape[0]) + terms
+    flat_idx = slice_id[:, None] * V + terms
     mbeta_d = mbeta_flat[flat_idx]                   # [B, L, K]
     rs_d = rowsum_ovfl[slice_id]                     # [B, K]
     maxl_d = maxl[slice_id]                          # [B]
@@ -206,7 +206,7 @@ def _estep_chunk(mbeta_flat, alpha, rowsum_ovfl, maxl,
     return gamma, El, lzeta, A, wz, els, nd
 
 
-def cg_objective(betahat, v_filt, vbeta, A, wz, n_slices_const):
+def cg_objective(betahat, v_filt, vbeta, A, wz):
     """Σ_t Elogpw + Elogpbeta as a function of betahat (calcstep,
     DTM.jl:254), with phi/lzeta frozen in the sufficient statistics."""
     T, K, V = betahat.shape
@@ -249,7 +249,7 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
             sid, t, c, dm, g, el, lz = xs
             g2, el2, lz2, Ai, wzi, elsi, ndi = _estep_chunk(
                 mbeta_flat, state.alpha, rowsum_ovfl, maxl,
-                sid, t, c, dm, g, el, lz, viter, vtol)
+                sid, t, c, dm, g, el, lz, viter, vtol, V)
             return (A + Ai, wz + wzi, els + elsi, nd + ndi), (g2, el2, lz2)
 
         sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
@@ -277,18 +277,23 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
 
         # betahat nonlinear CG with Polak–Ribière + back-tracking
         # (updateBetahat!, DTM.jl:244-304); gradient via jax.grad
-        obj = lambda bh: cg_objective(bh, state.v_filt, state.vbeta, A, wz, nd)
-        grad_fn = jax.grad(obj)
+        obj = lambda bh: cg_objective(bh, state.v_filt, state.vbeta, A, wz)
+        vg_fn = jax.value_and_grad(obj)
 
         def cg_body(carry, _):
-            bh, p_dir, g_old, rho = carry
-            g = grad_fn(bh)
+            bh, p_dir, g_old, rho, f0, done = carry
+            f0_new, g = vg_fn(bh)
+            f0 = jnp.where(jnp.isfinite(f0), f0, f0_new)  # first iteration
             denom = jnp.sum(g_old * g_old)
             pr = jnp.clip(jnp.sum(g * (g - g_old)) / jnp.maximum(denom, 1e-30),
                           0.0, 1.0)
             p_dir = g + pr * p_dir            # ascent direction
-            f0 = obj(bh)
             slope = jnp.sum(g * p_dir)
+            # a momentum-dominated direction can stop ascending; restart
+            # from steepest ascent (standard NCG safeguard)
+            bad_dir = slope <= 0.0
+            p_dir = jnp.where(bad_dir, g, p_dir)
+            slope = jnp.where(bad_dir, jnp.sum(g * g), slope)
 
             def ls_body(carry2):
                 r, _, it = carry2
@@ -300,16 +305,29 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
 
             r0 = rho
             f_try = obj(bh + r0 * p_dir)
-            r_fin, _, _ = jax.lax.while_loop(
+            r_fin, f_fin, it = jax.lax.while_loop(
                 ls_cond, ls_body, (r0, f_try, jnp.asarray(0)))
-            bh_new = bh + r_fin * p_dir
-            return (bh_new, p_dir, g, jnp.minimum(r_fin * 2.0, 1.0)), None
+            # reject the step when back-tracking exhausted without the
+            # sufficient-increase condition (keeps CAVI monotone)
+            ok = f_fin > f0 + 1e-4 * r_fin * slope
+            step_r = jnp.where(ok & ~done, r_fin, 0.0)
+            bh_new = bh + step_r * p_dir
+            f_acc = jnp.where(ok & ~done, f_fin, f0)
+            # cgtol convergence: stop once an ACCEPTED step improves the
+            # objective by less than cgtol; a rejected step alone doesn't
+            # end CG — the next iteration retries from a smaller rho with
+            # a fresh gradient (mirroring the reference's persistent rho,
+            # DTM.jl:291-301)
+            done_new = done | (ok & (f_acc - f0 < cgtol))
+            return (bh_new, p_dir, g, jnp.minimum(r_fin * 2.0, 1.0),
+                    f_acc, done_new), None
 
         g0 = jnp.ones_like(state.betahat)
-        (betahat_new, _, _, _), _ = jax.lax.scan(
+        (betahat_new, _, _, _, _, _), _ = jax.lax.scan(
             cg_body,
             (state.betahat, jnp.zeros_like(state.betahat), g0,
-             jnp.asarray(1.0, dt)),
+             jnp.asarray(1.0, dt), jnp.asarray(jnp.inf, dt),
+             jnp.asarray(False)),
             None, length=cgiter)
         mbeta_new = mean_smoother(betahat_new, state.v_filt)
 

@@ -134,7 +134,9 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         eps = jnp.asarray(EPSILON, state.beta.dtype)
         logbetaT = jnp.log(state.beta + eps).T
 
-        if use_pallas and B % 8 == 0:
+        from ..kernels.lda_estep import fits_vmem
+
+        if use_pallas and B % 8 == 0 and fits_vmem(terms.shape[1], Kp):
             from ..kernels.flda_estep import flda_estep
 
             logbetaT_p = jnp.pad(logbetaT, ((0, 0), (0, Kp - K)))

@@ -232,8 +232,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             n_rows = t_arr.shape[0]
             B = min(chunk_docs, n_rows)
             n_chunks = n_rows // B
-            # the fused kernel needs >= 8 docs per tile (f32 sublane)
-            body = (scan_body_pallas if use_pallas and B % 8 == 0
+            # the fused kernel needs >= 8 docs per tile (f32 sublane) and
+            # a token extent whose minimum tile still fits VMEM
+            from ..kernels.lda_estep import fits_vmem
+
+            body = (scan_body_pallas
+                    if use_pallas and B % 8 == 0
+                    and fits_vmem(t_arr.shape[1], _round_up_128(K))
                     else scan_body_xla)
             sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
             carry, (gamma, El, El_old) = jax.lax.scan(

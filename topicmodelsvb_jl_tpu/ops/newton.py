@@ -81,7 +81,7 @@ def dirichlet_newton(
         return (i < niter) & (~done)
 
     def body(carry):
-        i, alpha, nu, _, prev_norm = carry
+        i, alpha, nu, done, prev_norm = carry
         a0 = jnp.sum(alpha)
         grad = nu / alpha + M * (digamma(a0) - digamma(alpha)) + Elogtheta_sum
         h_inv = -1.0 / (M * trigamma(alpha) + nu / alpha**2)
@@ -112,8 +112,13 @@ def dirichlet_newton(
         # limit-cycle stop: once the barrier has annealed away (nu tiny)
         # and steps stop contracting, f32 can make no further progress
         cycling = (nu / K < ntol) & (i >= 20) & (sn >= prev_norm)
-        done = ((rho * l2norm(grad) < ntol) & (nu / K < ntol)) | stagnant | cycling
-        return i + 1, alpha_new, nu * 0.5, done, sn
+        done_new = done | ((rho * l2norm(grad) < ntol) & (nu / K < ntol)) \
+            | stagnant | cycling
+        # under vmap the while_loop runs until EVERY batch lane is done,
+        # so a finished lane must freeze its state (DTM's per-slice vmap)
+        alpha_new = jnp.where(done, alpha, alpha_new)
+        nu_new = jnp.where(done, nu, nu * 0.5)
+        return i + 1, alpha_new, nu_new, done_new, sn
 
     _, alpha, _, _, _ = jax.lax.while_loop(
         cond, body,
