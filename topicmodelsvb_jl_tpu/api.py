@@ -371,6 +371,7 @@ class CTM(TopicModel):
 class fCTM(TopicModel):
     """Filtered correlated topic model (reference src/fCTM.jl)."""
 
+    _bucketed = True
     _per_doc_fields = ("lam", "lam_old", "vsq", "logzeta", "tau", "tau_old")
 
     def __repr__(self):
@@ -392,12 +393,19 @@ class fCTM(TopicModel):
         spec = fctm_mod.partition_spec(self.runtime.data_axis)
         from jax.sharding import PartitionSpec as P
 
-        step = dp_jit(step_local, self.mesh, spec, n_data_args=4, n_repl_args=1,
+        step = dp_jit(step_local, self.mesh, spec, n_data_args=3, n_repl_args=1,
                       data_axis=self.runtime.data_axis)
-        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=4, out_spec=P(),
+        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
-        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
-                jnp.asarray(p.C), jnp.asarray(p.doc_mask))
+        if p.segments is not None:
+            arrs = (
+                tuple(jnp.asarray(s.terms) for s in p.segments),
+                tuple(jnp.asarray(s.counts) for s in p.segments),
+                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
+            )
+        else:
+            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                    jnp.asarray(p.doc_mask))
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
@@ -427,20 +435,21 @@ class fCTM(TopicModel):
 
     @property
     def lam(self) -> np.ndarray:
-        return np.asarray(self.state.lam)[: self.M]
+        return np.asarray(self.state.lam)[self._doc_rows()]
 
     @property
     def vsq(self) -> np.ndarray:
-        return np.asarray(self.state.vsq)[: self.M]
+        return np.asarray(self.state.vsq)[self._doc_rows()]
 
     @property
     def logzeta(self) -> np.ndarray:
-        return np.asarray(self.state.logzeta)[: self.M]
+        return np.asarray(self.state.logzeta)[self._doc_rows()]
 
     @property
     def tau(self):
         t = np.asarray(self.state.tau)
-        return [t[d, : self.N[d]] for d in range(self.M)]
+        rows = self._doc_rows()
+        return [t[rows[d], : self.N[d]] for d in range(self.M)]
 
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         x = np.asarray(self.state.lam)[rows] + 0.5 * np.asarray(self.state.vsq)[rows]
@@ -451,6 +460,7 @@ class fCTM(TopicModel):
 class fLDA(TopicModel):
     """Filtered LDA (reference src/fLDA.jl)."""
 
+    _bucketed = True
     _per_doc_fields = ("gamma", "Elogtheta", "Elogtheta_old", "tau", "tau_old")
 
     def __repr__(self):
@@ -477,7 +487,15 @@ class fLDA(TopicModel):
                       data_axis=self.runtime.data_axis)
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
-        arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts), jnp.asarray(p.doc_mask))
+        if p.segments is not None:
+            arrs = (
+                tuple(jnp.asarray(s.terms) for s in p.segments),
+                tuple(jnp.asarray(s.counts) for s in p.segments),
+                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
+            )
+        else:
+            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                    jnp.asarray(p.doc_mask))
         data = arrs + (
             jnp.asarray(float(self.M), self.dtype),
             jnp.asarray(float(sum(self.C)), self.dtype),
@@ -502,13 +520,18 @@ class fLDA(TopicModel):
 
     @property
     def gamma(self) -> np.ndarray:
-        return np.asarray(self.state.gamma)[: self.M]
+        return np.asarray(self.state.gamma)[self._doc_rows()]
+
+    @property
+    def Elogtheta(self) -> np.ndarray:
+        return np.asarray(self.state.Elogtheta)[self._doc_rows()]
 
     @property
     def tau(self):
         """Ragged view: list of per-doc tau vectors (reference fLDA.jl:25)."""
         t = np.asarray(self.state.tau)
-        return [t[d, : self.N[d]] for d in range(self.M)]
+        rows = self._doc_rows()
+        return [t[rows[d], : self.N[d]] for d in range(self.M)]
 
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         g = np.asarray(self.state.gamma)[rows]

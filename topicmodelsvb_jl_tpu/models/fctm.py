@@ -66,10 +66,11 @@ def _phi(logbeta_d, tau, lam):
     return jax.nn.softmax(tau[..., None] * logbeta_d + lam[:, None, :], axis=-1)
 
 
-def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts, C,
+def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
                  doc_mask, lam, lam_old, vsq, logzeta, tau, tau_old,
                  viter, vtol, niter, ntol, V):
     dtype = lam.dtype
+    C = jnp.sum(counts, axis=-1)  # per-doc token totals
     eps = jnp.asarray(EPSILON, dtype)
     logbeta_d = logbetaT[terms]    # log(beta+EPS) — @boink'd (fCTM.jl:232)
     kappa_d = kappa_full[terms]
@@ -122,38 +123,61 @@ def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts, C,
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name: Optional[str] = None):
     V = packed.V
+    segments = packed.segments
 
-    def step(state: FCTMState, terms, counts, C, doc_mask, M_total):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
+    def step(state: FCTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
         logbetaT = jnp.log(state.beta + jnp.asarray(EPSILON, dt)).T
 
         def scan_body(carry, xs):
             bt, kt, vs, ls, lo = carry
-            t, c, cd, dm, la, lao, v, lz, ta, tao = xs
+            t, c, dm, la, lao, v, lz, ta, tao = xs
             (la2, lao2, v2, lz2, ta2, tao2,
              bti, kti, vsi, lsi, loi) = _estep_chunk(
                 logbetaT, state.kappa, state.eta, state.mu, state.invsigma,
-                t, c, cd, dm, la, lao, v, lz, ta, tao, viter, vtol, niter, ntol, V
+                t, c, dm, la, lao, v, lz, ta, tao, viter, vtol, niter, ntol, V
             )
             return ((bt + bti, kt + kti, vs + vsi, ls + lsi, lo + loi),
                     (la2, lao2, v2, lz2, ta2, tao2))
 
-        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
-        (beta_temp, kappa_temp, vsq_sum, lam_sum, lam_outer), ys = jax.lax.scan(
-            scan_body,
-            (jnp.zeros((V, K), dt), jnp.zeros((V,), dt), jnp.zeros((K,), dt),
-             jnp.zeros((K,), dt), jnp.zeros((K, K), dt)),
-            (sh(terms), sh(counts), sh(C), sh(doc_mask),
-             sh(state.lam), sh(state.lam_old), sh(state.vsq), sh(state.logzeta),
-             sh(state.tau), sh(state.tau_old)),
-        )
-        lam, lam_old, vsq, logzeta, tau, tau_old = ys
-        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
-        lam, lam_old, vsq = unsh(lam), unsh(lam_old), unsh(vsq)
-        logzeta, tau, tau_old = unsh(logzeta), unsh(tau), unsh(tau_old)
+        def sweep(t_a, c_a, dm_a, la_a, lao_a, v_a, lz_a, ta_a, tao_a, carry):
+            n_rows = t_a.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+            carry, ys = jax.lax.scan(
+                scan_body, carry,
+                (sh(t_a), sh(c_a), sh(dm_a), sh(la_a), sh(lao_a),
+                 sh(v_a), sh(lz_a), sh(ta_a), sh(tao_a)),
+            )
+            unsh = lambda a: a.reshape((n_rows,) + a.shape[2:])
+            return carry, tuple(unsh(y) for y in ys)
+
+        carry = (jnp.zeros((V, K), dt), jnp.zeros((V,), dt), jnp.zeros((K,), dt),
+                 jnp.zeros((K,), dt), jnp.zeros((K, K), dt))
+        if segments is None:
+            carry, (lam, lam_old, vsq, logzeta, tau, tau_old) = sweep(
+                terms, counts, doc_mask, state.lam, state.lam_old,
+                state.vsq, state.logzeta, state.tau, state.tau_old, carry)
+        else:
+            Lmax = state.tau.shape[1]
+            parts = []
+            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
+                lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
+                Ls = t_a.shape[1]
+                carry, ys = sweep(
+                    t_a, c_a, dm_a, state.lam[lo_:hi_], state.lam_old[lo_:hi_],
+                    state.vsq[lo_:hi_], state.logzeta[lo_:hi_],
+                    state.tau[lo_:hi_, :Ls], state.tau_old[lo_:hi_, :Ls],
+                    carry)
+                la2, lao2, v2, lz2, ta2, tao2 = ys
+                padL = lambda a: jnp.pad(
+                    a, ((0, 0), (0, Lmax - Ls)), constant_values=0.5)
+                parts.append((la2, lao2, v2, lz2, padL(ta2), padL(tao2)))
+            lam, lam_old, vsq, logzeta, tau, tau_old = (
+                jnp.concatenate([p_[i] for p_ in parts], axis=0)
+                for i in range(6))
+        beta_temp, kappa_temp, vsq_sum, lam_sum, lam_outer = carry
 
         if axis_name is not None:
             beta_temp = jax.lax.psum(beta_temp, axis_name)
@@ -192,10 +216,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     """ELBO (fCTM.jl:67-124): phi from (tau_old, beta_old, lambda_old)."""
     V = packed.V
 
-    def elbo(state: FCTMState, terms, counts, C, doc_mask):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
+    segments = packed.segments
+
+    def elbo(state: FCTMState, terms, counts, doc_mask):
         dt = state.beta.dtype
         eps = jnp.asarray(EPSILON, dt)
         logbeta_oldT = jnp.log(state.beta_old + eps).T
@@ -209,7 +232,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
         log_eps = jnp.log(eps)
 
         def scan_body(acc, xs):
-            t, c, cd, dm, la, lao, v, lz, ta, tao = xs
+            t, c, dm, la, lao, v, lz, ta, tao = xs
+            cd = jnp.sum(c, axis=-1)
             p = _phi(logbeta_oldT[t], tao, lao)
             # Elogpeta (fCTM.jl:68-71)
             diff = la - mu
@@ -235,13 +259,31 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
             contrib = dm * (e_peta + e_pc + e_pz + e_pw + e_qeta + e_qc + e_qz)
             return acc + jnp.sum(contrib), None
 
-        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
-        total, _ = jax.lax.scan(
-            scan_body, jnp.zeros((), dt),
-            (sh(terms), sh(counts), sh(C), sh(doc_mask),
-             sh(state.lam), sh(state.lam_old), sh(state.vsq), sh(state.logzeta),
-             sh(state.tau), sh(state.tau_old)),
-        )
+        def sweep(t_a, c_a, dm_a, la_a, lao_a, v_a, lz_a, ta_a, tao_a, acc):
+            n_rows = t_a.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+            acc, _ = jax.lax.scan(
+                scan_body, acc,
+                (sh(t_a), sh(c_a), sh(dm_a), sh(la_a), sh(lao_a),
+                 sh(v_a), sh(lz_a), sh(ta_a), sh(tao_a)),
+            )
+            return acc
+
+        total = jnp.zeros((), dt)
+        if segments is None:
+            total = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
+                          state.vsq, state.logzeta, state.tau, state.tau_old,
+                          total)
+        else:
+            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
+                lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
+                Ls = t_a.shape[1]
+                total = sweep(t_a, c_a, dm_a, state.lam[lo_:hi_],
+                              state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
+                              state.logzeta[lo_:hi_], state.tau[lo_:hi_, :Ls],
+                              state.tau_old[lo_:hi_, :Ls], total)
         if axis_name is not None:
             total = jax.lax.psum(total, axis_name)
         return total

@@ -121,6 +121,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name: Optional[str] = None,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
     V = packed.V
+    segments = packed.segments
     if use_pallas is None:
         # the kernel pads the topic axis to 128 lanes; below K=64 the
         # padding waste outweighs the fused fixpoint's IO win
@@ -128,69 +129,95 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     Kp = ((K + 127) // 128) * 128
 
     def step(state: FLDAState, terms, counts, doc_mask, M_total, C_total):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
         eps = jnp.asarray(EPSILON, state.beta.dtype)
+        dt = state.beta.dtype
         logbetaT = jnp.log(state.beta + eps).T
 
         from ..kernels.lda_estep import fits_vmem
+        from ..kernels.flda_estep import flda_estep
 
-        if use_pallas and B % 8 == 0 and fits_vmem(terms.shape[1], Kp):
-            from ..kernels.flda_estep import flda_estep
+        logbetaT_p = jnp.pad(logbetaT, ((0, 0), (0, Kp - K)))
+        alpha_p = jnp.pad(state.alpha, (0, Kp - K))
+        # Elogtheta pad lanes pinned to −1e30 so the in-kernel
+        # softmax zeroes padded topics (see kernels/flda_estep.py)
+        padel = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)),
+                                  constant_values=-1e30)
+        padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
 
-            logbetaT_p = jnp.pad(logbetaT, ((0, 0), (0, Kp - K)))
-            alpha_p = jnp.pad(state.alpha, (0, Kp - K))
-            # Elogtheta pad lanes pinned to −1e30 so the in-kernel
-            # softmax zeroes padded topics (see kernels/flda_estep.py)
-            padel = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)),
-                                      constant_values=-1e30)
-            padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
+        def scan_body_pallas(carry, xs):
+            bt, kt, es, tc = carry
+            t, c, dm, g, el, elo, ta, tao = xs
+            lb = logbetaT_p[t]
+            kd = state.kappa[t]
+            g2, el2, elo2, ta2, tao2, wb, wk = flda_estep(
+                lb, kd, c, dm, alpha_p, state.eta,
+                padk(g), padel(el), padel(elo), ta, tao,
+                viter=viter, vtol=vtol, n_topics=K,
+                interpret=pallas_interpret,
+            )
+            g2, el2, elo2 = g2[:, :K], el2[:, :K], elo2[:, :K]
+            bti = count_scatter(wb[..., :K].reshape(-1, K),
+                                t.reshape(-1), V)
+            kti = count_scatter(wk.reshape(-1, 1), t.reshape(-1), V)[:, 0]
+            esi = jnp.sum(el2 * dm[:, None], axis=0)
+            tci = jnp.sum(ta2 * c)
+            return (bt + bti, kt + kti, es + esi, tc + tci), \
+                (g2, el2, elo2, ta2, tao2)
 
-            def scan_body(carry, xs):
-                bt, kt, es, tc = carry
-                t, c, dm, g, el, elo, ta, tao = xs
-                lb = logbetaT_p[t]
-                kd = state.kappa[t]
-                g2, el2, elo2, ta2, tao2, wb, wk = flda_estep(
-                    lb, kd, c, dm, alpha_p, state.eta,
-                    padk(g), padel(el), padel(elo), ta, tao,
-                    viter=viter, vtol=vtol, n_topics=K,
-                    interpret=pallas_interpret,
-                )
-                g2, el2, elo2 = g2[:, :K], el2[:, :K], elo2[:, :K]
-                bti = count_scatter(wb[..., :K].reshape(-1, K),
-                                    t.reshape(-1), V)
-                kti = count_scatter(wk.reshape(-1, 1), t.reshape(-1), V)[:, 0]
-                esi = jnp.sum(el2 * dm[:, None], axis=0)
-                tci = jnp.sum(ta2 * c)
-                return (bt + bti, kt + kti, es + esi, tc + tci), \
-                    (g2, el2, elo2, ta2, tao2)
+        def scan_body_xla(carry, xs):
+            bt, kt, es, tc = carry
+            t, c, dm, g, el, elo, ta, tao = xs
+            g2, el2, elo2, ta2, tao2, bti, kti, esi, tci = _estep_chunk(
+                logbetaT, state.kappa, state.eta, state.alpha,
+                t, c, dm, g, el, elo, ta, tao, viter, vtol, V
+            )
+            return (bt + bti, kt + kti, es + esi, tc + tci), (g2, el2, elo2, ta2, tao2)
+
+        def sweep(t_a, c_a, dm_a, g_a, el_a, elo_a, ta_a, tao_a, carry):
+            n_rows = t_a.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            body = (scan_body_pallas
+                    if use_pallas and B % 8 == 0
+                    and fits_vmem(t_a.shape[1], Kp)
+                    else scan_body_xla)
+            sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
+            carry, ys = jax.lax.scan(
+                body, carry,
+                (sh(t_a), sh(c_a), sh(dm_a), sh(g_a),
+                 sh(el_a), sh(elo_a), sh(ta_a), sh(tao_a)),
+            )
+            unsh = lambda a: a.reshape((n_rows,) + a.shape[2:])
+            return carry, tuple(unsh(y) for y in ys)
+
+        carry = (jnp.zeros((V, K), dt), jnp.zeros((V,), dt),
+                 jnp.zeros((K,), dt), jnp.zeros((), dt))
+        if segments is None:
+            carry, (gamma, El, El_old, tau, tau_old) = sweep(
+                terms, counts, doc_mask, state.gamma, state.Elogtheta,
+                state.Elogtheta_old, state.tau, state.tau_old, carry)
         else:
-            def scan_body(carry, xs):
-                bt, kt, es, tc = carry
-                t, c, dm, g, el, elo, ta, tao = xs
-                g2, el2, elo2, ta2, tao2, bti, kti, esi, tci = _estep_chunk(
-                    logbetaT, state.kappa, state.eta, state.alpha,
-                    t, c, dm, g, el, elo, ta, tao, viter, vtol, V
-                )
-                return (bt + bti, kt + kti, es + esi, tc + tci), (g2, el2, elo2, ta2, tao2)
+            # tau/tau_old stay dense [local, L_max]; each segment slices
+            # its rows AND its own token width (cols beyond a doc's
+            # segment width are never read — doc N ≤ segment L)
+            Lmax = state.tau.shape[1]
+            parts = []
+            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
+                lo, hi = seg.loc_start, seg.loc_start + t_a.shape[0]
+                Ls = t_a.shape[1]
+                carry, ys = sweep(
+                    t_a, c_a, dm_a, state.gamma[lo:hi],
+                    state.Elogtheta[lo:hi], state.Elogtheta_old[lo:hi],
+                    state.tau[lo:hi, :Ls], state.tau_old[lo:hi, :Ls], carry)
+                g2, el2, elo2, ta2, tao2 = ys
+                padL = lambda a: jnp.pad(
+                    a, ((0, 0), (0, Lmax - Ls)), constant_values=0.5)
+                parts.append((g2, el2, elo2, padL(ta2), padL(tao2)))
+            gamma, El, El_old, tau, tau_old = (
+                jnp.concatenate([p_[i] for p_ in parts], axis=0)
+                for i in range(5))
 
-        sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
-        dt = state.beta.dtype
-        (beta_temp, kappa_temp, El_sum, tau_counts), ys = jax.lax.scan(
-            scan_body,
-            (jnp.zeros((V, K), dt), jnp.zeros((V,), dt), jnp.zeros((K,), dt),
-             jnp.zeros((), dt)),
-            (sh(terms), sh(counts), sh(doc_mask), sh(state.gamma),
-             sh(state.Elogtheta), sh(state.Elogtheta_old),
-             sh(state.tau), sh(state.tau_old)),
-        )
-        gamma, El, El_old, tau, tau_old = ys
-        unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
-        gamma, El, El_old = unsh(gamma), unsh(El), unsh(El_old)
-        tau, tau_old = unsh(tau), unsh(tau_old)
-
+        beta_temp, kappa_temp, El_sum, tau_counts = carry
         if axis_name is not None:
             beta_temp = jax.lax.psum(beta_temp, axis_name)
             kappa_temp = jax.lax.psum(kappa_temp, axis_name)
@@ -216,10 +243,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     """ELBO with the reference's *_old recompute semantics (fLDA.jl:109-118)."""
     V = packed.V
 
+    segments = packed.segments
+
     def elbo(state: FLDAState, terms, counts, doc_mask):
-        M_pad = terms.shape[0]
-        B = min(chunk_docs, M_pad)
-        n_chunks = M_pad // B
         dt = state.beta.dtype
         eps = jnp.asarray(EPSILON, dt)
         logbeta_oldT = jnp.log(state.beta_old + eps).T
@@ -257,13 +283,32 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
             contrib = dm * (e_ptheta + e_pc + e_pz + e_pw + e_qtheta + e_qc + e_qz)
             return acc + jnp.sum(contrib), None
 
-        sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
-        total, _ = jax.lax.scan(
-            scan_body, jnp.zeros((), dt),
-            (sh(terms), sh(counts), sh(doc_mask), sh(state.gamma),
-             sh(state.Elogtheta), sh(state.Elogtheta_old),
-             sh(state.tau), sh(state.tau_old)),
-        )
+        def sweep(t_a, c_a, dm_a, g_a, el_a, elo_a, ta_a, tao_a, acc):
+            n_rows = t_a.shape[0]
+            B = min(chunk_docs, n_rows)
+            n_chunks = n_rows // B
+            sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
+            acc, _ = jax.lax.scan(
+                scan_body, acc,
+                (sh(t_a), sh(c_a), sh(dm_a), sh(g_a),
+                 sh(el_a), sh(elo_a), sh(ta_a), sh(tao_a)),
+            )
+            return acc
+
+        total = jnp.zeros((), dt)
+        if segments is None:
+            total = sweep(terms, counts, doc_mask, state.gamma,
+                          state.Elogtheta, state.Elogtheta_old,
+                          state.tau, state.tau_old, total)
+        else:
+            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
+                lo, hi = seg.loc_start, seg.loc_start + t_a.shape[0]
+                Ls = t_a.shape[1]
+                total = sweep(t_a, c_a, dm_a, state.gamma[lo:hi],
+                              state.Elogtheta[lo:hi],
+                              state.Elogtheta_old[lo:hi],
+                              state.tau[lo:hi, :Ls],
+                              state.tau_old[lo:hi, :Ls], total)
         if axis_name is not None:
             total = jax.lax.psum(total, axis_name)
         return total
