@@ -222,3 +222,33 @@ def test_checkpoint_portable_across_packing(tmp_path):
     m3.state = m3.state._replace(gamma=__import__("jax").numpy.asarray(g))
     np.testing.assert_allclose(m3.gamma, m.gamma, rtol=1e-6)
     np.testing.assert_allclose(m2.gamma, m.gamma, rtol=1e-6)
+
+
+def test_dtm_predict_and_gendoc_guards():
+    import pytest
+
+    import topicmodelsvb_jl_tpu as tm
+
+    corp = tm.synth_corpus(M=30, V=25, K=2, seed=0, n_slices=2, drift=0.1,
+                           mean_terms=8, mean_tokens=12)
+    m = tm.DTM(corp, 2, delta=1.0)
+    m.train(iter=1, checkelbo=float("inf"), printelbo=False, cgiter=2)
+    with pytest.raises(tm.TopicModelError, match="DTM"):
+        tm.predict(corp, m)
+    with pytest.raises(tm.TopicModelError, match="DTM"):
+        tm.gendoc(m)
+
+
+def test_runtime_use_pallas_false_forces_xla():
+    import jax
+
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.models import lda as lda_mod
+
+    # with use_pallas=None and K>=64 on TPU the kernel would be chosen;
+    # the RuntimeConfig switch must force the XLA body regardless.
+    corp = tm.synth_corpus(M=40, V=30, K=2, seed=0)
+    m = tm.LDA(corp, 2, runtime=tm.RuntimeConfig(use_pallas=False))
+    m.train(iter=2, checkelbo=1, printelbo=False)
+    deltas = [r.delta_elbo for r in m.trainer.trace if r.delta_elbo is not None]
+    assert all(d == d for d in deltas)  # finite, trained through XLA body
