@@ -97,14 +97,16 @@ def main():
     jax.block_until_ready(state.beta)
 
     # best-of-2 chained runs: robust to a transient stall of the shared
-    # device tunnel (observed ±40% between timeslices) without relying
-    # on per-iteration synchronisation
+    # device tunnel (observed ±40% between timeslices).  The end-of-run
+    # sync is a scalar VALUE fetch — on the tunnelled device
+    # block_until_ready can return before queued work completes, but a
+    # fetch cannot.
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(iters):
             state = step(state, *data)
-        jax.block_until_ready(state.beta)
+        float(jnp.sum(state.alpha))  # forces completion of the chain
         best = min(best, time.perf_counter() - t0)
 
     docs_per_s = packed.M * iters / best
