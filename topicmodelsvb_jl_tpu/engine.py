@@ -89,35 +89,51 @@ class Trainer:
             state = state._replace(elbo=e0)
 
         profiling = False
+        # Steps are dispatched asynchronously (good for throughput: the
+        # host never blocks the device between iterations).  Wall time is
+        # only meaningful at synchronisation points — the ELBO checks,
+        # whose float() fetch cannot return early — so per-iteration
+        # step_time_s is back-filled as the average over each sync span.
+        span_start = time.perf_counter()
+        span_recs = []
         for k in range(1, n_iter + 1):
             if self.profile_dir and k == 2:  # skip the compile iteration
                 jax.profiler.start_trace(self.profile_dir)
                 profiling = True
-            t0 = time.perf_counter()
             with jax.profiler.StepTraceAnnotation("cavi_step", step_num=k):
                 state = self.step_fn(state, *self.data)
-            jax.block_until_ready(state.beta if hasattr(state, "beta") else state)
-            dt = time.perf_counter() - t0
             if profiling and k >= 1 + self.profile_steps:
+                jax.block_until_ready(jax.tree_util.tree_leaves(state))
                 jax.profiler.stop_trace()
                 profiling = False
-            rec = IterationRecord(k=k, step_time_s=dt, docs_per_s=self.M / max(dt, 1e-12))
+            rec = IterationRecord(k=k, step_time_s=0.0, docs_per_s=0.0)
+            span_recs.append(rec)
 
             # check_elbo! (modelutils.jl:574-585)
-            if cfg.checkelbo != float("inf") and k % int(cfg.checkelbo) == 0:
-                new_elbo = self.elbo_fn(state, *self.elbo_data)
-                delta = float(new_elbo - state.elbo)
-                state = state._replace(elbo=new_elbo)
-                rec.elbo, rec.delta_elbo = float(new_elbo), delta
-                if cfg.printelbo:
-                    self.printer(f"{k} ∆elbo: {round(delta, 3)}")
-                self.trace.append(rec)
-                self._emit(rec)
-                if delta < cfg.tol:
-                    break
-            else:
-                self.trace.append(rec)
-                self._emit(rec)
+            sync = cfg.checkelbo != float("inf") and k % int(cfg.checkelbo) == 0
+            if sync or k == n_iter:
+                if sync:
+                    new_elbo = self.elbo_fn(state, *self.elbo_data)
+                    delta = float(new_elbo - state.elbo)  # fetch = real sync
+                else:
+                    # checkelbo=inf: best-effort sync for the final span
+                    jax.block_until_ready(jax.tree_util.tree_leaves(state))
+                span = time.perf_counter() - span_start
+                per = span / len(span_recs)
+                for r in span_recs:
+                    r.step_time_s = per
+                    r.docs_per_s = self.M / max(per, 1e-12)
+                span_recs = []
+                span_start = time.perf_counter()
+                if sync:
+                    state = state._replace(elbo=new_elbo)
+                    rec.elbo, rec.delta_elbo = float(new_elbo), delta
+                    if cfg.printelbo:
+                        self.printer(f"{k} ∆elbo: {round(delta, 3)}")
+            self.trace.append(rec)
+            self._emit(rec)
+            if rec.delta_elbo is not None and rec.delta_elbo < cfg.tol:
+                break
 
         if profiling:
             jax.profiler.stop_trace()
