@@ -117,3 +117,81 @@ def test_seq_axis_sp_matches_single_device():
                                rtol=1e-6)
     e = float(elbo_fn(state, *data[:3]))
     np.testing.assert_allclose(e, ref_elbo, rtol=1e-9)
+
+
+def test_ctm_vocab_axis_tp_matches_single_device():
+    """CTM with beta storage sharded over a vocab axis (TP)."""
+    from topicmodelsvb_jl_tpu.models import ctm as ctm_mod
+
+    K = 4
+    packed = _packed(M=32, V=256, L=16, seed=4)
+    # single-device reference
+    st = ctm_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    step1 = jax.jit(ctm_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=8, axis_name=None))
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float64))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    mesh = make_mesh(axis_names=("data", "vocab"), shape=(2, 4))
+    spec = ctm_mod.partition_spec(data_axis=("data", "vocab"), vocab_axis="vocab")
+    step_l = ctm_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=4, axis_name=("data", "vocab"), vocab_axis="vocab")
+    dspec = P(("data", "vocab"))
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec, P()),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    np.testing.assert_allclose(np.asarray(s.beta), np.asarray(ref.beta), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s.lam), np.asarray(ref.lam), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s.sigma), np.asarray(ref.sigma), rtol=1e-7)
+
+
+def test_ctpf_vocab_and_user_axis_tp_matches_single_device():
+    """CTPF with alef sharded over vocab and he sharded over users."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.models import ctpf as ctpf_mod
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+
+    K = 4
+    corp = tm.synth_corpus(M=32, V=256, K=3, U=16, seed=6,
+                           mean_terms=10, mean_tokens=16)
+    packed = pack_corpus(corp, pad_multiple=8, docs_multiple=8,
+                         with_readers=True)
+    st = ctpf_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.readers), jnp.asarray(packed.ratings),
+            jnp.asarray(packed.doc_mask))
+    step1 = jax.jit(ctpf_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, chunk_docs=8, axis_name=None,
+        use_pallas=False))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    # 2 data × 2 vocab × 2 user mesh; docs sharded over all three axes
+    mesh = make_mesh(axis_names=("data", "vocab", "user"), shape=(2, 2, 2))
+    axes = ("data", "vocab", "user")
+    spec = ctpf_mod.partition_spec(data_axis=axes, vocab_axis="vocab",
+                                   user_axis="user")
+    step_l = ctpf_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, chunk_docs=4, axis_name=axes,
+        use_pallas=False, vocab_axis="vocab", user_axis="user")
+    dspec = P(axes)
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh,
+        in_specs=(spec, dspec, dspec, dspec, dspec, dspec),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    for f in ("alef", "bet", "gimel", "dalet", "he", "vav", "zayin", "het"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-8, err_msg=f)

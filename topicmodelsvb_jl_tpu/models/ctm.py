@@ -113,13 +113,23 @@ def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
 
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
-              chunk_docs: int, axis_name: Optional[str] = None):
+              chunk_docs: int, axis_name=None,
+              vocab_axis: Optional[str] = None):
+    """One CAVI sweep.  ``vocab_axis`` shards beta *storage* over that
+    mesh axis exactly like LDA's TP mode (models/lda.py): all_gather in,
+    reduce_scatter + replicated row-sum psum out; include the vocab axis
+    in ``axis_name`` and shard docs over both axes."""
     V = packed.V
     segments = packed.segments
 
     def step(state: CTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
-        logbetaT = jnp.log(state.beta).T  # raw log, matching CTM.jl:177
+        if vocab_axis is not None:
+            beta_full = jax.lax.all_gather(state.beta, vocab_axis, axis=1,
+                                           tiled=True)
+        else:
+            beta_full = state.beta
+        logbetaT = jnp.log(beta_full).T  # raw log, matching CTM.jl:177
 
         def scan_body(carry, xs):
             bt, vs, ls, lo = carry
@@ -164,13 +174,24 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         beta_temp, vsq_sum, lam_sum, lam_outer = carry
 
         if axis_name is not None:
-            beta_temp = jax.lax.psum(beta_temp, axis_name)
             vsq_sum = jax.lax.psum(vsq_sum, axis_name)
             lam_sum = jax.lax.psum(lam_sum, axis_name)
             lam_outer = jax.lax.psum(lam_outer, axis_name)
 
         # update_beta! reset (CTM.jl:114-118)
-        beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+        if vocab_axis is not None:
+            bt_local = jax.lax.psum_scatter(
+                beta_temp, vocab_axis, scatter_dimension=0, tiled=True)
+            axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+            rest = tuple(a for a in axes if a != vocab_axis)
+            if rest:
+                bt_local = jax.lax.psum(bt_local, rest)
+            row_sum = jax.lax.psum(jnp.sum(bt_local, axis=0), vocab_axis)
+            beta_new = bt_local.T / row_sum[:, None]
+        else:
+            if axis_name is not None:
+                beta_temp = jax.lax.psum(beta_temp, axis_name)
+            beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
         # update_sigma! with previous mu (CTM.jl:108-111; order CTM.jl:206-208):
         # Σ_d (λ−μ)(λ−μ)ᵀ = Σλλᵀ − μΣλᵀ − Σλ μᵀ + M μμᵀ
         mu_old = state.mu
@@ -195,7 +216,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     return step
 
 
-def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
+def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
+              vocab_axis: Optional[str] = None):
     """ELBO (CTM.jl:55-98): phi recomputed from (beta_old, lambda_old)."""
     V = packed.V
     segments = packed.segments
@@ -203,8 +225,13 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     def elbo(state: CTMState, terms, counts, doc_mask):
         dt = state.beta.dtype
         eps = jnp.asarray(EPSILON, dt)
-        logbeta_oldT = jnp.log(state.beta_old).T       # CTM.jl:93 (raw)
-        logbetaT = jnp.log(state.beta + eps).T         # CTM.jl:71 (@boink)
+        if vocab_axis is not None:
+            beta_full = jax.lax.all_gather(state.beta, vocab_axis, axis=1, tiled=True)
+            beta_old_full = jax.lax.all_gather(state.beta_old, vocab_axis, axis=1, tiled=True)
+        else:
+            beta_full, beta_old_full = state.beta, state.beta_old
+        logbeta_oldT = jnp.log(beta_old_full).T        # CTM.jl:93 (raw)
+        logbetaT = jnp.log(beta_full + eps).T          # CTM.jl:71 (@boink)
         mu, invsigma = state.mu, state.invsigma
         # logdet(invsigma) via Cholesky (SPD)
         chol = jnp.linalg.cholesky(state.invsigma)
@@ -265,11 +292,12 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     return elbo
 
 
-def partition_spec(data_axis: str = "data"):
+def partition_spec(data_axis="data", vocab_axis: Optional[str] = None):
     from jax.sharding import PartitionSpec as P
 
+    beta_spec = P(None, vocab_axis) if vocab_axis is not None else P()
     return CTMState(
-        mu=P(), sigma=P(), invsigma=P(), beta=P(), beta_old=P(),
+        mu=P(), sigma=P(), invsigma=P(), beta=beta_spec, beta_old=beta_spec,
         lam=P(data_axis), lam_old=P(data_axis), vsq=P(data_axis),
         logzeta=P(data_axis), elbo=P(),
     )

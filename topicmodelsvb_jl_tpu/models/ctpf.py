@@ -158,8 +158,14 @@ def _estep_chunk(dg_alefT, dg_heT, log_bet, log_vav,
 
 
 def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
-              axis_name: Optional[str] = None, hyper: dict = HYPER,
-              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
+              axis_name=None, hyper: dict = HYPER,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
+              vocab_axis: Optional[str] = None, user_axis: Optional[str] = None):
+    """One CAVI sweep.  ``vocab_axis``/``user_axis`` shard alef [K, V]
+    and he [K, U] *storage* over those mesh axes (TP; SURVEY §2.3 notes
+    he is the natural U-axis shard): all_gather in, reduce_scatter +
+    psum'd row sums out; include the axes in ``axis_name`` and shard
+    docs over every mesh axis."""
     V = packed.V
     U = packed.U
     U_seg = max(U, 1)
@@ -179,8 +185,12 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
 
     def step(state: CTPFState, terms, counts, readers, ratings, doc_mask):
         dt = state.alef.dtype
-        dg_alefT = digamma(state.alef).T       # [V, K]
-        dg_heT = digamma(state.he).T           # [U_seg, K]
+        alef_full = (jax.lax.all_gather(state.alef, vocab_axis, axis=1, tiled=True)
+                     if vocab_axis is not None else state.alef)
+        he_full = (jax.lax.all_gather(state.he, user_axis, axis=1, tiled=True)
+                   if user_axis is not None else state.he)
+        dg_alefT = digamma(alef_full).T        # [V, K]
+        dg_heT = digamma(he_full).T            # [U_seg, K]
         log_bet = jnp.log(state.bet)
         log_vav = jnp.log(state.vav)
 
@@ -264,19 +274,37 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
                 for i in range(4))
         alef_temp, he_temp, gimel_sum, zayin_sum = carry
 
-        if axis_name is not None:
-            alef_temp = jax.lax.psum(alef_temp, axis_name)
-            he_temp = jax.lax.psum(he_temp, axis_name)
-            gimel_sum = jax.lax.psum(gimel_sum, axis_name)
-            zayin_sum = jax.lax.psum(zayin_sum, axis_name)
+        axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+        if axes:
+            gimel_sum = jax.lax.psum(gimel_sum, axes)
+            zayin_sum = jax.lax.psum(zayin_sum, axes)
+
+        def reduce_stat(temp, shard_axis):
+            """psum the [rows, K] statistic; keep only this shard's rows
+            when the parameter's storage is sharded over ``shard_axis``."""
+            if shard_axis is not None:
+                local = jax.lax.psum_scatter(
+                    temp, shard_axis, scatter_dimension=0, tiled=True)
+                rest = tuple(ax for ax in axes if ax != shard_axis)
+                return jax.lax.psum(local, rest) if rest else local
+            return jax.lax.psum(temp, axes) if axes else temp
+
+        alef_temp = reduce_stat(alef_temp, vocab_axis)
+        he_temp = reduce_stat(he_temp, user_axis)
 
         # global updates, reference order (CTPF.jl:366-371):
         # he (CTPF.jl:266-270), alef (CTPF.jl:251-255) — init-filled temps
         he_new = e + he_temp.T
         alef_new = a + alef_temp.T
-        # dalet (CTPF.jl:295-298): new alef/he, OLD bet/vav
+        # dalet (CTPF.jl:295-298): new alef/he, OLD bet/vav — row sums run
+        # over the full V/U, so sharded storage psums its local partials
         he_sum = jnp.sum(he_new, axis=1) if U > 0 else jnp.zeros((K,), dt)
-        dalet_new = d + jnp.sum(alef_new, axis=1) / state.bet + he_sum / state.vav
+        if user_axis is not None and U > 0:
+            he_sum = jax.lax.psum(he_sum, user_axis)
+        alef_sum = jnp.sum(alef_new, axis=1)
+        if vocab_axis is not None:
+            alef_sum = jax.lax.psum(alef_sum, vocab_axis)
+        dalet_new = d + alef_sum / state.bet + he_sum / state.vav
         # het (CTPF.jl:302-305): old vav
         het_new = h + he_sum / state.vav
         # bet (CTPF.jl:281-284): NEW dalet
@@ -436,13 +464,16 @@ def scores(state: CTPFState, doc_mask=None) -> jax.Array:
     return (Etheta + Eeps) @ Eeta
 
 
-def partition_spec(data_axis: str = "data"):
+def partition_spec(data_axis="data", vocab_axis: Optional[str] = None,
+                   user_axis: Optional[str] = None):
     from jax.sharding import PartitionSpec as P
 
+    alef_spec = P(None, vocab_axis) if vocab_axis is not None else P()
+    he_spec = P(None, user_axis) if user_axis is not None else P()
     return CTPFState(
-        alef=P(), alef_old=P(), bet=P(), bet_old=P(),
+        alef=alef_spec, alef_old=alef_spec, bet=P(), bet_old=P(),
         gimel=P(data_axis), gimel_old=P(data_axis), dalet=P(), dalet_old=P(),
-        he=P(), he_old=P(), vav=P(), vav_old=P(),
+        he=he_spec, he_old=he_spec, vav=P(), vav_old=P(),
         zayin=P(data_axis), zayin_old=P(data_axis), het=P(), het_old=P(),
         elbo=P(),
     )
