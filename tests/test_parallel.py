@@ -195,3 +195,77 @@ def test_ctpf_vocab_and_user_axis_tp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-8, err_msg=f)
+
+
+def test_flda_vocab_axis_tp_matches_single_device():
+    """fLDA with beta and kappa storage sharded over a vocab axis."""
+    from topicmodelsvb_jl_tpu.models import flda as flda_mod
+
+    K = 4
+    packed = _packed(M=32, V=256, L=16, seed=7)
+    st = flda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask),
+            jnp.asarray(float(packed.M), jnp.float64),
+            jnp.asarray(float(packed.C.sum()), jnp.float64))
+    step1 = jax.jit(flda_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=8, axis_name=None, use_pallas=False))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    mesh = make_mesh(axis_names=("data", "vocab"), shape=(2, 4))
+    spec = flda_mod.partition_spec(data_axis=("data", "vocab"),
+                                   vocab_axis="vocab")
+    step_l = flda_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=4, axis_name=("data", "vocab"), use_pallas=False,
+        vocab_axis="vocab")
+    dspec = P(("data", "vocab"))
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh,
+        in_specs=(spec, dspec, dspec, dspec, P(), P()),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    for f in ("beta", "kappa", "alpha", "eta", "gamma", "tau"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-8, err_msg=f)
+
+
+def test_fctm_vocab_axis_tp_matches_single_device():
+    from topicmodelsvb_jl_tpu.models import fctm as fctm_mod
+
+    K = 4
+    packed = _packed(M=32, V=256, L=16, seed=8)
+    st = fctm_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask),
+            jnp.asarray(float(packed.M), jnp.float64))
+    step1 = jax.jit(fctm_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=8, axis_name=None))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    mesh = make_mesh(axis_names=("data", "vocab"), shape=(2, 4))
+    spec = fctm_mod.partition_spec(data_axis=("data", "vocab"),
+                                   vocab_axis="vocab")
+    step_l = fctm_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=4, axis_name=("data", "vocab"), vocab_axis="vocab")
+    dspec = P(("data", "vocab"))
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec, P()),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    for f in ("beta", "kappa", "mu", "sigma", "lam", "tau"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-8, err_msg=f)

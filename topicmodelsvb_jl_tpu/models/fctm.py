@@ -121,20 +121,27 @@ def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
 
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
-              chunk_docs: int, axis_name: Optional[str] = None):
+              chunk_docs: int, axis_name=None,
+              vocab_axis: Optional[str] = None):
+    """``vocab_axis`` shards beta [K, V] and kappa [V] storage (TP)."""
     V = packed.V
     segments = packed.segments
 
     def step(state: FCTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
-        logbetaT = jnp.log(state.beta + jnp.asarray(EPSILON, dt)).T
+        if vocab_axis is not None:
+            beta_full = jax.lax.all_gather(state.beta, vocab_axis, axis=1, tiled=True)
+            kappa_full_v = jax.lax.all_gather(state.kappa, vocab_axis, axis=0, tiled=True)
+        else:
+            beta_full, kappa_full_v = state.beta, state.kappa
+        logbetaT = jnp.log(beta_full + jnp.asarray(EPSILON, dt)).T
 
         def scan_body(carry, xs):
             bt, kt, vs, ls, lo = carry
             t, c, dm, la, lao, v, lz, ta, tao = xs
             (la2, lao2, v2, lz2, ta2, tao2,
              bti, kti, vsi, lsi, loi) = _estep_chunk(
-                logbetaT, state.kappa, state.eta, state.mu, state.invsigma,
+                logbetaT, kappa_full_v, state.eta, state.mu, state.invsigma,
                 t, c, dm, la, lao, v, lz, ta, tao, viter, vtol, niter, ntol, V
             )
             return ((bt + bti, kt + kti, vs + vsi, ls + lsi, lo + loi),
@@ -179,15 +186,30 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                 for i in range(6))
         beta_temp, kappa_temp, vsq_sum, lam_sum, lam_outer = carry
 
-        if axis_name is not None:
-            beta_temp = jax.lax.psum(beta_temp, axis_name)
-            kappa_temp = jax.lax.psum(kappa_temp, axis_name)
-            vsq_sum = jax.lax.psum(vsq_sum, axis_name)
-            lam_sum = jax.lax.psum(lam_sum, axis_name)
-            lam_outer = jax.lax.psum(lam_outer, axis_name)
+        axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+        if axes:
+            vsq_sum = jax.lax.psum(vsq_sum, axes)
+            lam_sum = jax.lax.psum(lam_sum, axes)
+            lam_outer = jax.lax.psum(lam_outer, axes)
 
-        beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
-        kappa_new = kappa_temp / jnp.sum(kappa_temp)    # fCTM.jl:146-150
+        if vocab_axis is not None:
+            rest = tuple(ax for ax in axes if ax != vocab_axis)
+            bt_local = jax.lax.psum_scatter(
+                beta_temp, vocab_axis, scatter_dimension=0, tiled=True)
+            kt_local = jax.lax.psum_scatter(
+                kappa_temp, vocab_axis, scatter_dimension=0, tiled=True)
+            if rest:
+                bt_local = jax.lax.psum(bt_local, rest)
+                kt_local = jax.lax.psum(kt_local, rest)
+            row_sum = jax.lax.psum(jnp.sum(bt_local, axis=0), vocab_axis)
+            beta_new = bt_local.T / row_sum[:, None]
+            kappa_new = kt_local / jax.lax.psum(jnp.sum(kt_local), vocab_axis)
+        else:
+            if axes:
+                beta_temp = jax.lax.psum(beta_temp, axes)
+                kappa_temp = jax.lax.psum(kappa_temp, axes)
+            beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+            kappa_new = kappa_temp / jnp.sum(kappa_temp)    # fCTM.jl:146-150
         mu_old = state.mu
         centered = (
             lam_outer
@@ -212,7 +234,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     return step
 
 
-def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
+def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
+              vocab_axis: Optional[str] = None):
     """ELBO (fCTM.jl:67-124): phi from (tau_old, beta_old, lambda_old)."""
     V = packed.V
 
@@ -221,9 +244,16 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     def elbo(state: FCTMState, terms, counts, doc_mask):
         dt = state.beta.dtype
         eps = jnp.asarray(EPSILON, dt)
-        logbeta_oldT = jnp.log(state.beta_old + eps).T
-        logbetaT = jnp.log(state.beta + eps).T
-        logkappa = jnp.log(state.kappa + eps)
+        if vocab_axis is not None:
+            ag = lambda x, ax: jax.lax.all_gather(x, vocab_axis, axis=ax, tiled=True)
+            beta_full, beta_old_full = ag(state.beta, 1), ag(state.beta_old, 1)
+            kappa_full = ag(state.kappa, 0)
+        else:
+            beta_full, beta_old_full = state.beta, state.beta_old
+            kappa_full = state.kappa
+        logbeta_oldT = jnp.log(beta_old_full + eps).T
+        logbetaT = jnp.log(beta_full + eps).T
+        logkappa = jnp.log(kappa_full + eps)
         mu, invsigma, eta = state.mu, state.invsigma, state.eta
         chol = jnp.linalg.cholesky(state.invsigma)
         logdet_inv = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
@@ -291,12 +321,15 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     return elbo
 
 
-def partition_spec(data_axis: str = "data"):
+def partition_spec(data_axis="data", vocab_axis: Optional[str] = None):
     from jax.sharding import PartitionSpec as P
 
+    beta_spec = P(None, vocab_axis) if vocab_axis is not None else P()
+    kappa_spec = P(vocab_axis) if vocab_axis is not None else P()
     return FCTMState(
-        eta=P(), mu=P(), sigma=P(), invsigma=P(), kappa=P(), kappa_old=P(),
-        beta=P(), beta_old=P(),
+        eta=P(), mu=P(), sigma=P(), invsigma=P(),
+        kappa=kappa_spec, kappa_old=kappa_spec,
+        beta=beta_spec, beta_old=beta_spec,
         lam=P(data_axis), lam_old=P(data_axis), vsq=P(data_axis),
         logzeta=P(data_axis), tau=P(data_axis), tau_old=P(data_axis), elbo=P(),
     )

@@ -118,8 +118,11 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
 
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
-              chunk_docs: int, axis_name: Optional[str] = None,
-              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
+              chunk_docs: int, axis_name=None,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
+              vocab_axis: Optional[str] = None):
+    """``vocab_axis`` shards beta [K, V] and kappa [V] storage (TP, like
+    models/lda.py): all_gather in, reduce_scatter + psum'd sums out."""
     V = packed.V
     segments = packed.segments
     if use_pallas is None:
@@ -131,7 +134,12 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     def step(state: FLDAState, terms, counts, doc_mask, M_total, C_total):
         eps = jnp.asarray(EPSILON, state.beta.dtype)
         dt = state.beta.dtype
-        logbetaT = jnp.log(state.beta + eps).T
+        if vocab_axis is not None:
+            beta_full = jax.lax.all_gather(state.beta, vocab_axis, axis=1, tiled=True)
+            kappa_full_v = jax.lax.all_gather(state.kappa, vocab_axis, axis=0, tiled=True)
+        else:
+            beta_full, kappa_full_v = state.beta, state.kappa
+        logbetaT = jnp.log(beta_full + eps).T
 
         from ..kernels.lda_estep import fits_vmem
         from ..kernels.flda_estep import flda_estep
@@ -148,7 +156,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             bt, kt, es, tc = carry
             t, c, dm, g, el, elo, ta, tao = xs
             lb = logbetaT_p[t]
-            kd = state.kappa[t]
+            kd = kappa_full_v[t]
             g2, el2, elo2, ta2, tao2, wb, wk = flda_estep(
                 lb, kd, c, dm, alpha_p, state.eta,
                 padk(g), padel(el), padel(elo), ta, tao,
@@ -168,7 +176,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             bt, kt, es, tc = carry
             t, c, dm, g, el, elo, ta, tao = xs
             g2, el2, elo2, ta2, tao2, bti, kti, esi, tci = _estep_chunk(
-                logbetaT, state.kappa, state.eta, state.alpha,
+                logbetaT, kappa_full_v, state.eta, state.alpha,
                 t, c, dm, g, el, elo, ta, tao, viter, vtol, V
             )
             return (bt + bti, kt + kti, es + esi, tc + tci), (g2, el2, elo2, ta2, tao2)
@@ -218,14 +226,29 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                 for i in range(5))
 
         beta_temp, kappa_temp, El_sum, tau_counts = carry
-        if axis_name is not None:
-            beta_temp = jax.lax.psum(beta_temp, axis_name)
-            kappa_temp = jax.lax.psum(kappa_temp, axis_name)
-            El_sum = jax.lax.psum(El_sum, axis_name)
-            tau_counts = jax.lax.psum(tau_counts, axis_name)
+        axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+        if axes:
+            El_sum = jax.lax.psum(El_sum, axes)
+            tau_counts = jax.lax.psum(tau_counts, axes)
 
-        beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
-        kappa_new = kappa_temp / jnp.sum(kappa_temp)         # fLDA.jl:152-156
+        if vocab_axis is not None:
+            rest = tuple(ax for ax in axes if ax != vocab_axis)
+            bt_local = jax.lax.psum_scatter(
+                beta_temp, vocab_axis, scatter_dimension=0, tiled=True)
+            kt_local = jax.lax.psum_scatter(
+                kappa_temp, vocab_axis, scatter_dimension=0, tiled=True)
+            if rest:
+                bt_local = jax.lax.psum(bt_local, rest)
+                kt_local = jax.lax.psum(kt_local, rest)
+            row_sum = jax.lax.psum(jnp.sum(bt_local, axis=0), vocab_axis)
+            beta_new = bt_local.T / row_sum[:, None]
+            kappa_new = kt_local / jax.lax.psum(jnp.sum(kt_local), vocab_axis)
+        else:
+            if axes:
+                beta_temp = jax.lax.psum(beta_temp, axes)
+                kappa_temp = jax.lax.psum(kappa_temp, axes)
+            beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+            kappa_new = kappa_temp / jnp.sum(kappa_temp)     # fLDA.jl:152-156
         alpha_new = dirichlet_newton(state.alpha, El_sum, M_total, niter, ntol)
         eta_new = tau_counts / C_total                        # fLDA.jl:122-124
 
@@ -316,11 +339,14 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     return elbo
 
 
-def partition_spec(data_axis: str = "data"):
+def partition_spec(data_axis="data", vocab_axis: Optional[str] = None):
     from jax.sharding import PartitionSpec as P
 
+    beta_spec = P(None, vocab_axis) if vocab_axis is not None else P()
+    kappa_spec = P(vocab_axis) if vocab_axis is not None else P()
     return FLDAState(
-        eta=P(), alpha=P(), kappa=P(), kappa_old=P(), beta=P(), beta_old=P(),
+        eta=P(), alpha=P(), kappa=kappa_spec, kappa_old=kappa_spec,
+        beta=beta_spec, beta_old=beta_spec,
         gamma=P(data_axis), Elogtheta=P(data_axis), Elogtheta_old=P(data_axis),
         tau=P(data_axis), tau_old=P(data_axis), elbo=P(),
     )
