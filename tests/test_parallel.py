@@ -234,6 +234,16 @@ def test_flda_vocab_axis_tp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-8, err_msg=f)
+    # ELBO under vocab sharding must match the single-device bound
+    elbo1 = jax.jit(flda_mod.make_elbo(packed, K, chunk_docs=8))
+    ref_e = float(elbo1(ref, *data[:3]))
+    elbo_l = flda_mod.make_elbo(packed, K, chunk_docs=4,
+                                axis_name=("data", "vocab"),
+                                vocab_axis="vocab")
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec),
+        out_specs=P(), check_vma=False))
+    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
 
 
 def test_fctm_vocab_axis_tp_matches_single_device():
@@ -269,3 +279,12 @@ def test_fctm_vocab_axis_tp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-8, err_msg=f)
+    elbo1 = jax.jit(fctm_mod.make_elbo(packed, K, chunk_docs=8))
+    ref_e = float(elbo1(ref, *data[:3]))
+    elbo_l = fctm_mod.make_elbo(packed, K, chunk_docs=4,
+                                axis_name=("data", "vocab"),
+                                vocab_axis="vocab")
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec),
+        out_specs=P(), check_vma=False))
+    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)

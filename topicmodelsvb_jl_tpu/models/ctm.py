@@ -180,13 +180,10 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
         # update_beta! reset (CTM.jl:114-118)
         if vocab_axis is not None:
-            bt_local = jax.lax.psum_scatter(
-                beta_temp, vocab_axis, scatter_dimension=0, tiled=True)
+            from ..parallel.shard import tp_normalize_rows
+
             axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
-            rest = tuple(a for a in axes if a != vocab_axis)
-            if rest:
-                bt_local = jax.lax.psum(bt_local, rest)
-            row_sum = jax.lax.psum(jnp.sum(bt_local, axis=0), vocab_axis)
+            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes)
             beta_new = bt_local.T / row_sum[:, None]
         else:
             if axis_name is not None:

@@ -283,10 +283,10 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
             """psum the [rows, K] statistic; keep only this shard's rows
             when the parameter's storage is sharded over ``shard_axis``."""
             if shard_axis is not None:
-                local = jax.lax.psum_scatter(
-                    temp, shard_axis, scatter_dimension=0, tiled=True)
-                rest = tuple(ax for ax in axes if ax != shard_axis)
-                return jax.lax.psum(local, rest) if rest else local
+                from ..parallel.shard import tp_normalize_rows
+
+                local, _ = tp_normalize_rows(temp, shard_axis, axes)
+                return local
             return jax.lax.psum(temp, axes) if axes else temp
 
         alef_temp = reduce_stat(alef_temp, vocab_axis)

@@ -193,17 +193,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             lam_outer = jax.lax.psum(lam_outer, axes)
 
         if vocab_axis is not None:
-            rest = tuple(ax for ax in axes if ax != vocab_axis)
-            bt_local = jax.lax.psum_scatter(
-                beta_temp, vocab_axis, scatter_dimension=0, tiled=True)
-            kt_local = jax.lax.psum_scatter(
-                kappa_temp, vocab_axis, scatter_dimension=0, tiled=True)
-            if rest:
-                bt_local = jax.lax.psum(bt_local, rest)
-                kt_local = jax.lax.psum(kt_local, rest)
-            row_sum = jax.lax.psum(jnp.sum(bt_local, axis=0), vocab_axis)
+            from ..parallel.shard import tp_normalize_rows
+
+            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes)
+            kt_local, k_sum = tp_normalize_rows(
+                kappa_temp[:, None], vocab_axis, axes)
             beta_new = bt_local.T / row_sum[:, None]
-            kappa_new = kt_local / jax.lax.psum(jnp.sum(kt_local), vocab_axis)
+            kappa_new = kt_local[:, 0] / k_sum[0]
         else:
             if axes:
                 beta_temp = jax.lax.psum(beta_temp, axes)

@@ -232,17 +232,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             tau_counts = jax.lax.psum(tau_counts, axes)
 
         if vocab_axis is not None:
-            rest = tuple(ax for ax in axes if ax != vocab_axis)
-            bt_local = jax.lax.psum_scatter(
-                beta_temp, vocab_axis, scatter_dimension=0, tiled=True)
-            kt_local = jax.lax.psum_scatter(
-                kappa_temp, vocab_axis, scatter_dimension=0, tiled=True)
-            if rest:
-                bt_local = jax.lax.psum(bt_local, rest)
-                kt_local = jax.lax.psum(kt_local, rest)
-            row_sum = jax.lax.psum(jnp.sum(bt_local, axis=0), vocab_axis)
+            from ..parallel.shard import tp_normalize_rows
+
+            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes)
+            kt_local, k_sum = tp_normalize_rows(
+                kappa_temp[:, None], vocab_axis, axes)
             beta_new = bt_local.T / row_sum[:, None]
-            kappa_new = kt_local / jax.lax.psum(jnp.sum(kt_local), vocab_axis)
+            kappa_new = kt_local[:, 0] / k_sum[0]
         else:
             if axes:
                 beta_temp = jax.lax.psum(beta_temp, axes)
@@ -262,7 +258,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     return step
 
 
-def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
+def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
+              vocab_axis: Optional[str] = None):
     """ELBO with the reference's *_old recompute semantics (fLDA.jl:109-118)."""
     V = packed.V
 
@@ -271,9 +268,16 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None):
     def elbo(state: FLDAState, terms, counts, doc_mask):
         dt = state.beta.dtype
         eps = jnp.asarray(EPSILON, dt)
-        logbeta_oldT = jnp.log(state.beta_old + eps).T
-        logbetaT = jnp.log(state.beta + eps).T
-        logkappa = jnp.log(state.kappa + eps)
+        if vocab_axis is not None:
+            ag = lambda x, ax: jax.lax.all_gather(x, vocab_axis, axis=ax, tiled=True)
+            beta_full, beta_old_full = ag(state.beta, 1), ag(state.beta_old, 1)
+            kappa_full = ag(state.kappa, 0)
+        else:
+            beta_full, beta_old_full = state.beta, state.beta_old
+            kappa_full = state.kappa
+        logbeta_oldT = jnp.log(beta_old_full + eps).T
+        logbetaT = jnp.log(beta_full + eps).T
+        logkappa = jnp.log(kappa_full + eps)
         a = state.alpha
         eta = state.eta
         theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))

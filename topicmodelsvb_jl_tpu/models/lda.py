@@ -288,15 +288,10 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
         # update_beta! reset (LDA.jl:121-125)
         if vocab_axis is not None:
-            # reduce_scatter the statistic over the vocab axis (each shard
-            # keeps only its V/n rows), then all-reduce that shard over the
-            # remaining data axes — half the bytes of a full psum + slice
-            bt_local = jax.lax.psum_scatter(
-                beta_temp, vocab_axis, scatter_dimension=0, tiled=True)
-            rest = tuple(a for a in stat_axes_bt if a != vocab_axis)
-            if rest:
-                bt_local = jax.lax.psum(bt_local, rest)
-            row_sum = jax.lax.psum(jnp.sum(bt_local, axis=0), vocab_axis)  # [K]
+            from ..parallel.shard import tp_normalize_rows
+
+            bt_local, row_sum = tp_normalize_rows(
+                beta_temp, vocab_axis, stat_axes_bt)
             beta_new = bt_local.T / row_sum[:, None]
         else:
             if stat_axes_bt:

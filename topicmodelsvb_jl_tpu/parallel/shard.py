@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 try:  # JAX ≥ 0.6 exposes shard_map at top level
@@ -26,3 +27,23 @@ def dp_jit(fn, mesh, state_spec, n_data_args: int, data_axis: str = "data",
         mapped = shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out,
                            check_rep=False)
     return jax.jit(mapped)
+
+
+def tp_normalize_rows(stat, vocab_axis, axes):
+    """Reduce a [rows, K] sufficient statistic whose parameter storage is
+    sharded over ``vocab_axis``: reduce_scatter over the storage axis
+    (each shard keeps its rows), psum over the remaining data axes, and
+    return (local_stat [rows/n, K], psum'd per-topic row sums [K]).
+
+    The row-sum runs over the FULL row axis, so normalising by it yields
+    the same stochastic rows as the unsharded update.  Shared by the
+    LDA/fLDA/CTM/fCTM beta updates and CTPF's alef/he (SURVEY §2.3's
+    sufficient-statistics all-reduce under TP).
+    """
+    local = jax.lax.psum_scatter(stat, vocab_axis, scatter_dimension=0,
+                                 tiled=True)
+    rest = tuple(ax for ax in axes if ax != vocab_axis)
+    if rest:
+        local = jax.lax.psum(local, rest)
+    row_sum = jax.lax.psum(jnp.sum(local, axis=0), vocab_axis)
+    return local, row_sum
