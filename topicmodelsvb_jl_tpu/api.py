@@ -35,8 +35,7 @@ from .parallel.shard import dp_jit
 from .utils.config import RuntimeConfig, TrainConfig
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m if x > 0 else m
+from .ops.packing import _round_up  # shared with the packing layer
 
 
 class TopicModelError(Exception):
@@ -112,6 +111,19 @@ class TopicModel:
 
     def _topic_word_matrix(self) -> np.ndarray:
         return np.asarray(self.state.beta)
+
+    def _data_arrays(self) -> tuple:
+        """Device data args (terms, counts, doc_mask) — per-segment tuples
+        under bucketed packing, dense arrays otherwise."""
+        p = self.packed
+        if p.segments is not None:
+            return (
+                tuple(jnp.asarray(s.terms) for s in p.segments),
+                tuple(jnp.asarray(s.counts) for s in p.segments),
+                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
+            )
+        return (jnp.asarray(p.terms), jnp.asarray(p.counts),
+                jnp.asarray(p.doc_mask))
 
     def _trainer_kw(self, spec=None) -> dict:
         kw = dict(metrics_path=self.runtime.metrics_path,
@@ -256,15 +268,7 @@ class LDA(TopicModel):
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
 
-        if p.segments is not None:
-            arrs = (
-                tuple(jnp.asarray(s.terms) for s in p.segments),
-                tuple(jnp.asarray(s.counts) for s in p.segments),
-                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
-            )
-        else:
-            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
-                    jnp.asarray(p.doc_mask))
+        arrs = self._data_arrays()
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
@@ -319,15 +323,7 @@ class CTM(TopicModel):
                       data_axis=self.runtime.data_axis)
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
-        if p.segments is not None:
-            arrs = (
-                tuple(jnp.asarray(s.terms) for s in p.segments),
-                tuple(jnp.asarray(s.counts) for s in p.segments),
-                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
-            )
-        else:
-            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
-                    jnp.asarray(p.doc_mask))
+        arrs = self._data_arrays()
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
@@ -397,15 +393,7 @@ class fCTM(TopicModel):
                       data_axis=self.runtime.data_axis)
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
-        if p.segments is not None:
-            arrs = (
-                tuple(jnp.asarray(s.terms) for s in p.segments),
-                tuple(jnp.asarray(s.counts) for s in p.segments),
-                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
-            )
-        else:
-            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
-                    jnp.asarray(p.doc_mask))
+        arrs = self._data_arrays()
         data = arrs + (jnp.asarray(float(self.M), self.dtype),)
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
@@ -487,15 +475,7 @@ class fLDA(TopicModel):
                       data_axis=self.runtime.data_axis)
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
-        if p.segments is not None:
-            arrs = (
-                tuple(jnp.asarray(s.terms) for s in p.segments),
-                tuple(jnp.asarray(s.counts) for s in p.segments),
-                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
-            )
-        else:
-            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
-                    jnp.asarray(p.doc_mask))
+        arrs = self._data_arrays()
         data = arrs + (
             jnp.asarray(float(self.M), self.dtype),
             jnp.asarray(float(sum(self.C)), self.dtype),
@@ -613,6 +593,10 @@ class CTPF(TopicModel):
     def scores(self, v):
         self._scores_np = np.asarray(v)
         self._scores_dev = None
+        # externally assigned scores define the ranking
+        self._ranked = bool(np.any(self._scores_np))
+        self._urecs = None
+        self._drecs = None
 
     def _score_slice(self, kind: str, i: int) -> np.ndarray:
         if self._scores_np is not None:
@@ -913,13 +897,8 @@ def predict(corp, train_model: TopicModel, iter: int = 10,
     stepped = trainer.step_fn(frozen, *trainer.data)
 
     # keep per-doc fields from the step, restore every global from `frozen`
-    per_doc_fields = {
-        LDA: ("gamma", "Elogtheta", "Elogtheta_old"),
-        fLDA: ("gamma", "Elogtheta", "Elogtheta_old", "tau", "tau_old"),
-        CTM: ("lam", "lam_old", "vsq", "logzeta"),
-        fCTM: ("lam", "lam_old", "vsq", "logzeta", "tau", "tau_old"),
-    }[cls]
-    new.state = frozen._replace(**{f: getattr(stepped, f) for f in per_doc_fields})
+    new.state = frozen._replace(
+        **{f: getattr(stepped, f) for f in cls._per_doc_fields})
     new.topics = train_model.topics
     return new
 
@@ -1097,6 +1076,8 @@ def gendoc(model: TopicModel, laplace_smooth: float = 0.0, rng=None):
 
     if laplace_smooth < 0:
         raise ValueError("laplace_smooth parameter must be nonnegative.")
+    if model.M == 0:
+        raise TopicModelError("gendoc requires a model trained on a nonempty corpus.")
     rng = np.random.default_rng() if rng is None else rng
 
     if isinstance(model, (LDA, fLDA)):

@@ -71,9 +71,13 @@ def save(path: str, model) -> None:
         fields=fields,
         doc_fields=sorted(doc_fields),
         ctor=getattr(model, "_ctor_kwargs", lambda: {})(),
+        trained=model.topics is not None,
     )
-    np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), np.uint8),
-             **arrays)
+    # write through a file handle so the exact path is used (np.savez
+    # appends '.npz' to bare string paths, breaking the round trip)
+    with open(path, "wb") as f:
+        np.savez(f, __meta__=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+                 **arrays)
 
 
 def load(path: str, corp: Corpus, strict_corpus: bool = True):
@@ -121,6 +125,8 @@ def load(path: str, corp: Corpus, strict_corpus: bool = True):
         fixed.append(saved.astype(ref.dtype))
     state_cls = type(model.state)
     model.state = state_cls(*fixed)
-    # refresh derived artifacts (topics / scores / recs)
-    model._finalize()
+    # refresh derived artifacts (topics / scores / recs) — but only for a
+    # trained checkpoint: an untrained model's recs must stay unranked
+    if meta.get("trained", True):
+        model._finalize()
     return model

@@ -123,6 +123,7 @@ class Trainer:
                 for r in span_recs:
                     r.step_time_s = per
                     r.docs_per_s = self.M / max(per, 1e-12)
+                    self._emit(r)   # emit only once timings are real
                 span_recs = []
                 span_start = time.perf_counter()
                 if sync:
@@ -131,7 +132,6 @@ class Trainer:
                     if cfg.printelbo:
                         self.printer(f"{k} ∆elbo: {round(delta, 3)}")
             self.trace.append(rec)
-            self._emit(rec)
             if rec.delta_elbo is not None and rec.delta_elbo < cfg.tol:
                 break
 
