@@ -288,3 +288,51 @@ def test_fctm_vocab_axis_tp_matches_single_device():
         elbo_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec),
         out_specs=P(), check_vma=False))
     np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+
+
+def test_dtm_vocab_axis_tp_matches_single_device():
+    """DTM with the [T, K, V] state sharded over a vocab axis: the
+    Kalman smoother runs shard-local (elementwise over V); the CG
+    objective psums its scalar pieces."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.models import dtm as dtm_mod
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+
+    K = 3
+    corp = tm.synth_corpus(M=32, V=256, K=3, seed=9, n_slices=3, drift=0.2,
+                           mean_terms=10, mean_tokens=16)
+    packed = pack_corpus(corp, pad_multiple=8, docs_multiple=8)
+    stamps = np.array([d.stamp for d in corp.docs])
+    sid = np.clip(np.ceil((stamps - stamps.min())).astype(np.int64), 1, 3) - 1
+    slice_full = np.zeros(packed.M_pad, dtype=np.int32)
+    slice_full[: packed.M] = sid
+    T = 3
+    st = dtm_mod.init(jax.random.PRNGKey(0), packed, K, T, jnp.float64)
+    data = (jnp.asarray(slice_full), jnp.asarray(packed.terms),
+            jnp.asarray(packed.counts), jnp.asarray(packed.doc_mask))
+    step1 = jax.jit(dtm_mod.make_step(
+        packed, K, T, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        cgiter=4, cgtol=1e-9, chunk_docs=8, axis_name=None))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    mesh = make_mesh(axis_names=("data", "vocab"), shape=(2, 4))
+    spec = dtm_mod.partition_spec(data_axis=("data", "vocab"),
+                                  vocab_axis="vocab")
+    step_l = dtm_mod.make_step(
+        packed, K, T, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        cgiter=4, cgtol=1e-9, chunk_docs=4, axis_name=("data", "vocab"),
+        vocab_axis="vocab")
+    dspec = P(("data", "vocab"))
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh,
+        in_specs=(spec, dspec, dspec, dspec, dspec),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    for f in ("betahat", "mbeta", "alpha", "gamma", "lzeta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-7, atol=1e-10, err_msg=f)

@@ -208,7 +208,14 @@ def _estep_chunk(mbeta_flat, alpha, rowsum_ovfl, maxl,
 
 def cg_objective(betahat, v_filt, vbeta, A, wz):
     """Σ_t Elogpw + Elogpbeta as a function of betahat (calcstep,
-    DTM.jl:254), with phi/lzeta frozen in the sufficient statistics."""
+    DTM.jl:254), with phi/lzeta frozen in the sufficient statistics.
+
+    Every term is a sum over the vocab axis, so under TP (the [T, K, V]
+    tensors sharded on V) this returns the LOCAL contribution and the
+    caller psums the value — crucially, no collective sits inside the
+    differentiated function (under shard_map with replication checking
+    off, psum's transpose is psum, which would rescale the gradient).
+    """
     T, K, V = betahat.shape
     mbeta = mean_smoother(betahat, v_filt)
     # Elogpw linear + exp terms (DTM.jl:139-143), constants dropped
@@ -227,9 +234,16 @@ def cg_objective(betahat, v_filt, vbeta, A, wz):
 
 def make_step(packed, K: int, T: int, viter: int, vtol: float,
               niter: int, ntol: float, cgiter: int, cgtol: float,
-              chunk_docs: int, axis_name: Optional[str] = None):
+              chunk_docs: int, axis_name=None,
+              vocab_axis: Optional[str] = None):
     """One full CAVI sweep (train!, DTM.jl:311-335): per-doc fixpoints,
-    per-slice alpha Newtons, then the betahat CG update."""
+    per-slice alpha Newtons, then the betahat CG update.
+
+    ``vocab_axis`` shards the [T, K, V] state tensors' V axis (TP): the
+    Kalman smoother is elementwise over V so it runs shard-local; the
+    E-step gathers mbeta, the CG objective psums its scalar pieces, and
+    the A statistic reduce_scatters back to the shard.
+    """
     V = packed.V
 
     def step(state: DTMState, slice_id, terms, counts, doc_mask):
@@ -238,11 +252,24 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
         n_chunks = M_pad // B
         dt = state.betahat.dtype
 
-        # overflow-safe Σ_v exp(mbeta + vbeta/2) pieces (DTM.jl:225-228)
-        x = state.mbeta + 0.5 * state.vbeta                    # [T, K, V]
-        maxl = jnp.max(x, axis=(1, 2))                         # [T]
-        rowsum_ovfl = jnp.sum(jnp.exp(x - maxl[:, None, None]), axis=2)
-        mbeta_flat = jnp.transpose(state.mbeta, (0, 2, 1)).reshape(T * V, K)
+        if vocab_axis is not None:
+            mbeta_full = jax.lax.all_gather(state.mbeta, vocab_axis,
+                                            axis=2, tiled=True)
+        else:
+            mbeta_full = state.mbeta
+        # overflow-safe Σ_v exp(mbeta + vbeta/2) pieces (DTM.jl:225-228);
+        # maxl/rowsum must span the FULL vocab
+        if vocab_axis is not None:
+            x_loc = state.mbeta + 0.5 * state.vbeta
+            maxl = jax.lax.pmax(jnp.max(x_loc, axis=(1, 2)), vocab_axis)
+            rowsum_ovfl = jax.lax.psum(
+                jnp.sum(jnp.exp(x_loc - maxl[:, None, None]), axis=2),
+                vocab_axis)
+        else:
+            x = mbeta_full + 0.5 * state.vbeta                 # [T, K, V]
+            maxl = jnp.max(x, axis=(1, 2))                     # [T]
+            rowsum_ovfl = jnp.sum(jnp.exp(x - maxl[:, None, None]), axis=2)
+        mbeta_flat = jnp.transpose(mbeta_full, (0, 2, 1)).reshape(T * V, K)
 
         def scan_body(carry, xs):
             A, wz, els, nd = carry
@@ -263,11 +290,22 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
         unsh = lambda a: a.reshape((M_pad,) + a.shape[2:])
         gamma, El, lzeta = unsh(gamma), unsh(El), unsh(lzeta)
 
-        if axis_name is not None:
-            A = jax.lax.psum(A, axis_name)
-            wz = jax.lax.psum(wz, axis_name)
-            els = jax.lax.psum(els, axis_name)
-            nd = jax.lax.psum(nd, axis_name)
+        axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+        if axes:
+            wz = jax.lax.psum(wz, axes)
+            els = jax.lax.psum(els, axes)
+            nd = jax.lax.psum(nd, axes)
+        if vocab_axis is not None:
+            # keep only this shard's vocab rows of the A statistic
+            A3 = jax.lax.psum_scatter(
+                A.reshape(T, V, K), vocab_axis, scatter_dimension=1,
+                tiled=True)
+            rest = tuple(ax for ax in axes if ax != vocab_axis)
+            if rest:
+                A3 = jax.lax.psum(A3, rest)
+            A = A3.reshape(T * A3.shape[1], K)
+        elif axes:
+            A = jax.lax.psum(A, axes)
 
         # per-slice alpha Newton (updateAlpha!, DTM.jl:176-197)
         alpha_new = jax.vmap(
@@ -277,23 +315,32 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
 
         # betahat nonlinear CG with Polak–Ribière + back-tracking
         # (updateBetahat!, DTM.jl:244-304); gradient via jax.grad
-        obj = lambda bh: cg_objective(bh, state.v_filt, state.vbeta, A, wz)
-        vg_fn = jax.value_and_grad(obj)
+        obj_local = lambda bh: cg_objective(bh, state.v_filt, state.vbeta,
+                                            A, wz)
+        # global scalar reductions over the storage axis live OUTSIDE the
+        # differentiated function (see cg_objective docstring)
+        if vocab_axis is not None:
+            gsum = lambda x: jax.lax.psum(x, vocab_axis)
+        else:
+            gsum = lambda x: x
+        obj = lambda bh: gsum(obj_local(bh))
+        vg_local = jax.value_and_grad(obj_local)
+        vg_fn = lambda bh: (lambda fv_g: (gsum(fv_g[0]), fv_g[1]))(vg_local(bh))
 
         def cg_body(carry, _):
             bh, p_dir, g_old, rho, f0, done = carry
             f0_new, g = vg_fn(bh)
             f0 = jnp.where(jnp.isfinite(f0), f0, f0_new)  # first iteration
-            denom = jnp.sum(g_old * g_old)
-            pr = jnp.clip(jnp.sum(g * (g - g_old)) / jnp.maximum(denom, 1e-30),
-                          0.0, 1.0)
+            denom = gsum(jnp.sum(g_old * g_old))
+            pr = jnp.clip(gsum(jnp.sum(g * (g - g_old)))
+                          / jnp.maximum(denom, 1e-30), 0.0, 1.0)
             p_dir = g + pr * p_dir            # ascent direction
-            slope = jnp.sum(g * p_dir)
+            slope = gsum(jnp.sum(g * p_dir))
             # a momentum-dominated direction can stop ascending; restart
             # from steepest ascent (standard NCG safeguard)
             bad_dir = slope <= 0.0
             p_dir = jnp.where(bad_dir, g, p_dir)
-            slope = jnp.where(bad_dir, jnp.sum(g * g), slope)
+            slope = jnp.where(bad_dir, gsum(jnp.sum(g * g)), slope)
 
             def ls_body(carry2):
                 r, _, it = carry2
@@ -408,11 +455,12 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
     return elbo
 
 
-def partition_spec(data_axis: str = "data"):
+def partition_spec(data_axis="data", vocab_axis: Optional[str] = None):
     from jax.sharding import PartitionSpec as P
 
+    tkv = P(None, None, vocab_axis) if vocab_axis is not None else P()
     return DTMState(
-        alpha=P(), betahat=P(), mbeta=P(), vbeta=P(), v_filt=P(),
+        alpha=P(), betahat=tkv, mbeta=tkv, vbeta=tkv, v_filt=tkv,
         gamma=P(data_axis), Elogtheta=P(data_axis), lzeta=P(data_axis),
         elbo=P(),
     )
