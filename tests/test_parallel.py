@@ -195,6 +195,15 @@ def test_ctpf_vocab_and_user_axis_tp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-8, err_msg=f)
+    elbo1 = jax.jit(ctpf_mod.make_elbo(packed, K, chunk_docs=8))
+    ref_e = float(elbo1(ref, *data))
+    elbo_l = ctpf_mod.make_elbo(packed, K, chunk_docs=4, axis_name=axes,
+                                vocab_axis="vocab", user_axis="user")
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh,
+        in_specs=(spec, dspec, dspec, dspec, dspec, dspec),
+        out_specs=P(), check_vma=False))
+    np.testing.assert_allclose(float(elbo_fn(s, *data)), ref_e, rtol=1e-9)
 
 
 def test_flda_vocab_axis_tp_matches_single_device():

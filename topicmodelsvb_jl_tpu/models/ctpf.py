@@ -173,7 +173,8 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
     e, f, g, h = hyper["e"], hyper["f"], hyper["g"], hyper["h"]
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
-    Kp = ((K + 127) // 128) * 128
+    from .lda import _round_up_128
+    Kp = _round_up_128(K)
     # the fused kernel needs doc tiles of >= 8 (f32 sublane) whose token+
     # reader extent fits VMEM; otherwise fall back to the XLA body
     from ..kernels.lda_estep import fits_vmem
@@ -193,6 +194,16 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
         dg_heT = digamma(he_full).T            # [U_seg, K]
         log_bet = jnp.log(state.bet)
         log_vav = jnp.log(state.vav)
+
+        def scan_body_xla(carry, xs):
+            at, ht, gs, zs = carry
+            t, cnt, rd, rt, dm, gi, gio, za, zao = xs
+            gi2, gio2, za2, zao2, ati, hti, gsi, zsi = _estep_chunk(
+                dg_alefT, dg_heT, log_bet, log_vav,
+                c, g, t, cnt, rd, rt, dm, gi, gio, za, zao,
+                viter, vtol, V, U_seg, state.dalet, state.het,
+            )
+            return (at + ati, ht + hti, gs + gsi, zs + zsi), (gi2, gio2, za2, zao2)
 
         if use_pallas:
             from ..kernels.ctpf_estep import ctpf_estep
@@ -228,23 +239,17 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
                 return (at + ati, ht + hti, gs + gsi, zs + zsi), \
                     (gi2, gio2, za2, zao2)
         else:
-            def scan_body(carry, xs):
-                at, ht, gs, zs = carry
-                t, cnt, rd, rt, dm, gi, gio, za, zao = xs
-                gi2, gio2, za2, zao2, ati, hti, gsi, zsi = _estep_chunk(
-                    dg_alefT, dg_heT, log_bet, log_vav,
-                    c, g, t, cnt, rd, rt, dm, gi, gio, za, zao,
-                    viter, vtol, V, U_seg, state.dalet, state.het,
-                )
-                return (at + ati, ht + hti, gs + gsi, zs + zsi), (gi2, gio2, za2, zao2)
+            scan_body = scan_body_xla
 
         def sweep(t_a, c_a, rd_a, rt_a, dm_a, gi_a, gio_a, za_a, zao_a, carry):
             n_rows = t_a.shape[0]
             B = min(chunk_docs, n_rows)
             n_chunks = n_rows // B
+            # kernel tiles need >= 8 docs; odd sweep sizes use the XLA body
+            body = scan_body if not use_pallas or B % 8 == 0 else scan_body_xla
             sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
             carry, ys = jax.lax.scan(
-                scan_body, carry,
+                body, carry,
                 (sh(t_a), sh(c_a), sh(rd_a), sh(rt_a), sh(dm_a),
                  sh(gi_a), sh(gio_a), sh(za_a), sh(zao_a)),
             )
@@ -323,8 +328,9 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
     return step
 
 
-def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None,
-              hyper: dict = HYPER):
+def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
+              hyper: dict = HYPER,
+              vocab_axis: Optional[str] = None, user_axis: Optional[str] = None):
     """Closed-form ELBO (CTPF.jl:110-247 with the E[lnΓ(y+1)] cancellation).
 
     phi/xi recomputed from the *_old parameter set (CTPF.jl:240-241);
@@ -342,23 +348,38 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None,
 
     def elbo(state: CTPFState, terms, counts, readers, ratings, doc_mask):
         dt = state.alef.dtype
+        # under TP the alef/he storage is sharded; gather once and
+        # evaluate the bound on the full tensors (like the other models)
+        if vocab_axis is not None:
+            alef = jax.lax.all_gather(state.alef, vocab_axis, axis=1, tiled=True)
+            alef_old = jax.lax.all_gather(state.alef_old, vocab_axis,
+                                          axis=1, tiled=True)
+        else:
+            alef, alef_old = state.alef, state.alef_old
+        if user_axis is not None:
+            he = jax.lax.all_gather(state.he, user_axis, axis=1, tiled=True)
+            he_old = jax.lax.all_gather(state.he_old, user_axis,
+                                        axis=1, tiled=True)
+        else:
+            he, he_old = state.he, state.he_old
+        het, het_old = state.het, state.het_old
 
         # old-param responsibilities (CTPF.jl:240-241)
-        dg_alef_oT = digamma(state.alef_old).T
-        dg_he_oT = digamma(state.he_old).T
+        dg_alef_oT = digamma(alef_old).T
+        dg_he_oT = digamma(he_old).T
         log_bet_o = jnp.log(state.bet_old)
         log_vav_o = jnp.log(state.vav_old)
         log_dalet_o = jnp.log(state.dalet_old)
-        log_het_o = jnp.log(state.het_old)
+        log_het_o = jnp.log(het_old)
         # current params for the bound
-        dg_alef = digamma(state.alef)
-        dg_he = digamma(state.he)
+        dg_alef = digamma(alef)
+        dg_he = digamma(he)
         log_bet = jnp.log(state.bet)
         log_vav = jnp.log(state.vav)
         log_dalet = jnp.log(state.dalet)
-        log_het = jnp.log(state.het)
-        alef_sum = jnp.sum(state.alef, axis=1)                     # Σ_j alef [K]
-        he_sum = jnp.sum(state.he, axis=1) if U > 0 else jnp.zeros((K,), dt)
+        log_het = jnp.log(het)
+        alef_sum = jnp.sum(alef, axis=1)                     # Σ_j alef [K]
+        he_sum = jnp.sum(he, axis=1) if U > 0 else jnp.zeros((K,), dt)
         dg_alefT_cur = dg_alef.T
         dg_heT_cur = dg_he.T
 
@@ -366,14 +387,14 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None,
         # Elogpbeta (CTPF.jl:144-150) − Elogqbeta (CTPF.jl:198-204)
         e_pbeta = V * K * (a * jnp.log(jnp.asarray(b, dt)) - lgamma(jnp.asarray(a, dt))) \
             + jnp.sum((a - 1.0) * (dg_alef - log_bet[:, None])
-                      - b * state.alef / state.bet[:, None])
-        e_qbeta_ent = jnp.sum(gamma_entropy(state.alef, state.bet[:, None]))
+                      - b * alef / state.bet[:, None])
+        e_qbeta_ent = jnp.sum(gamma_entropy(alef, state.bet[:, None]))
         # Elogpeta (CTPF.jl:162-168) − Elogqeta (CTPF.jl:216-222)
         if U > 0:
             e_peta = U * K * (e * jnp.log(jnp.asarray(f, dt)) - lgamma(jnp.asarray(e, dt))) \
                 + jnp.sum((e - 1.0) * (dg_he - log_vav[:, None])
-                          - f * state.he / state.vav[:, None])
-            e_qeta_ent = jnp.sum(gamma_entropy(state.he, state.vav[:, None]))
+                          - f * he / state.vav[:, None])
+            e_qeta_ent = jnp.sum(gamma_entropy(he, state.vav[:, None]))
         else:
             e_peta = jnp.zeros((), dt)
             e_qeta_ent = jnp.zeros((), dt)
@@ -395,7 +416,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None,
             xi_ent = jnp.sum(_xlogx(xi_top) + _xlogx(xi_bot), axis=-1)   # Σ xi ln xi
             rate_q = jnp.sum(lgamma(rt + 1.0) + rt * xi_ent, axis=1)
             dot_ya = jnp.sum((gi / (state.dalet * state.vav)) * he_sum, -1)
-            dot_yb = jnp.sum((za / (state.het * state.vav)) * he_sum, -1)
+            dot_yb = jnp.sum((za / (het * state.vav)) * he_sum, -1)
 
             # Elogpz − Elogqz, E[lnΓ] cancelled (CTPF.jl:133-141, 189-195)
             lin_z = (dg_gi - log_dalet)[:, None, :] + dg_alefT_cur[t] - log_bet[None, None, :]
@@ -410,8 +431,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name: Optional[str] = None,
             e_qth = jnp.sum(gamma_entropy(gi, state.dalet[None, :]), -1)
             # Elogpepsilon (CTPF.jl:171-177) − Elogqepsilon (CTPF.jl:225-231)
             e_pep = K * (g * jnp.log(jnp.asarray(h, dt)) - lgamma(jnp.asarray(g, dt))) \
-                + jnp.sum((g - 1.0) * (dg_za - log_het) - h * za / state.het, -1)
-            e_qep = jnp.sum(gamma_entropy(za, state.het[None, :]), -1)
+                + jnp.sum((g - 1.0) * (dg_za - log_het) - h * za / het, -1)
+            e_qep = jnp.sum(gamma_entropy(za, het[None, :]), -1)
 
             contrib = dm * (
                 -dot_ya - dot_yb + rate_lin - rate_q

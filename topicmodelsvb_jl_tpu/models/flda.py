@@ -21,12 +21,11 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, EULERGAMMA, bernoulli_entropy, categorical_entropy, digamma,
+    EPSILON, bernoulli_entropy, categorical_entropy, digamma,
     dirichlet_entropy, finite, l2norm, lgamma,
 )
 
@@ -129,7 +128,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         # the kernel pads the topic axis to 128 lanes; below K=64 the
         # padding waste outweighs the fused fixpoint's IO win
         use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
-    Kp = ((K + 127) // 128) * 128
+    from .lda import _round_up_128
+    Kp = _round_up_128(K)
 
     def step(state: FLDAState, terms, counts, doc_mask, M_total, C_total):
         eps = jnp.asarray(EPSILON, state.beta.dtype)

@@ -34,7 +34,7 @@ import numpy as np
 from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, EULERGAMMA, categorical_entropy, digamma, dirichlet_entropy,
+    EPSILON, categorical_entropy, digamma, dirichlet_entropy,
     finite, l2norm, lgamma,
 )
 
