@@ -133,7 +133,7 @@ def test_fixcorp_pipeline():
     ]
     corp = Corpus(docs=docs, vocab={4: "b", 9: "a", 12: "rare"})
     fixcorp(corp, condense=True, abridge=2, trim=True, alphabetize=True,
-            remove_empty_docs_=True)
+            remove_empty_docs=True)
     check_corp(corp)
     assert set(corp.vocab.values()) == {"a", "b"}
     # alphabetized: a < b
@@ -145,3 +145,75 @@ def test_shared_doc_rewritten_once():
     corp = Corpus(docs=[doc, doc], vocab={1: "a"})
     condense_corp(corp)
     assert doc.counts == [2]  # not doubled
+
+
+def test_stopword_list_is_reference_exact():
+    """The bundled stop list must be the reference's exact 546-word
+    datasets/stopwords.txt (SURVEY §7.3: preprocessing differences
+    silently change every downstream number)."""
+    from topicmodelsvb_jl_tpu.datasets import load_stopwords
+
+    words = load_stopwords()
+    assert len(words) == 545
+    # spot-check entries characteristic of the reference list
+    for w in ("a's", "ain't", "the", "zero", "allows"):
+        assert w in words, w
+    assert "science" not in words
+
+
+def test_stop_fixcorp_matches_reference_pipeline():
+    """stop_corp + fixcorp on a small corpus reproduces a hand-computed
+    run of the reference pipeline (stop_corp!, Corpus.jl:622-634; fixcorp!
+    order, Corpus.jl:711-730)."""
+    # vocab: 1="the" (stop), 2="quantum" , 3="with" (stop), 4="physics"
+    docs = [
+        Document(terms=[1, 2, 3, 4], counts=[3, 2, 1, 1]),
+        Document(terms=[1, 3], counts=[1, 1]),     # all stop words
+        Document(terms=[2, 4], counts=[1, 2]),
+    ]
+    corp = Corpus(docs=docs, vocab={1: "the", 2: "quantum", 3: "with", 4: "physics"})
+    fixcorp(corp, stop=True, trim=True, alphabetize=True, remove_empty_docs=True)
+    check_corp(corp)
+    # reference-order result: stop removes keys {1,3}; trim drops them
+    # from vocab; alphabetize maps physics<quantum; doc 2 emptied and
+    # removed; compact relabels to 1..2
+    assert corp.vocab == {1: "physics", 2: "quantum"}
+    assert len(corp) == 2
+    assert corp.docs[0].terms == [2, 1] and corp.docs[0].counts == [2, 1]
+    assert corp.docs[1].terms == [2, 1] and corp.docs[1].counts == [1, 2]
+
+
+def test_readcorp_stamps_roundtrip(tmp_path):
+    """stamps doc-block line (v0.6 Corpus.jl:47-62) round-trips."""
+    corp = Corpus(
+        docs=[
+            Document(terms=[1, 2], counts=[2, 1], stamp=1984.25),
+            Document(terms=[2], counts=[3], stamp=1985.0),
+        ],
+        vocab={1: "mac", 2: "apple"},
+    )
+    doc = str(tmp_path / "docs.txt")
+    writecorp(corp, docfile=doc, counts=True, stamps=True)
+    corp2 = readcorp(docfile=doc, counts=True, stamps=True)
+    assert [d.stamp for d in corp2.docs] == [1984.25, 1985.0]
+    assert corp2.docs[0].terms == [1, 2] and corp2.docs[0].counts == [2, 1]
+
+
+def test_dataset_loaders_mac_and_englishwords():
+    from topicmodelsvb_jl_tpu.datasets import load_englishwords, load_mac
+
+    words = load_englishwords()
+    assert len(words) == 58_110
+    assert "aardvark" in words
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        corp = load_mac(subset=50)
+    check_corp(corp)
+    assert len(corp) == 50
+    # the mac corpus is the DTM dataset: every doc carries a timestamp
+    assert all(d.stamp is not None for d in corp.docs)
+    # real lexicon file present in this environment → real vocab names
+    assert len(corp.vocab) >= 50

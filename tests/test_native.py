@@ -78,10 +78,33 @@ def test_readcorp_native_matches_python(tmp_path):
 def test_parse_strict_matches_python_rejections():
     """Inputs Python's int() rejects must also fail natively, so corpus
     loading is toolchain-independent."""
-    for bad in (b"1,,2\n", b"1,\n", b"3 4\n", b"-\n", b"1,-,2\n", b"+5\n"):
+    for bad in (b"1,,2\n", b"1,\n", b"3 4\n", b"-\n", b"1,-,2\n"):
         with pytest.raises(ValueError):
             parse_delimited_ints(bad)
     # lone \r is a line break (splitlines semantics)
     vals, offs = parse_delimited_ints(b"1\r2\n")
     assert offs.tolist() == [0, 1, 2]
     assert vals.tolist() == [1, 2]
+
+
+@needs_native
+def test_parse_stricter_grammar_falls_back(tmp_path):
+    """The native grammar is a documented strict *subset* of Python's
+    int(): '+'-prefixed integers and >19-digit values fail natively, but
+    readcorp falls back to the pure-Python parser on any native error, so
+    corpus loading behaves identically with or without the library."""
+    from topicmodelsvb_jl_tpu.corpus import readcorp
+
+    with pytest.raises(ValueError):
+        parse_delimited_ints(b"+5\n")
+    # int64 overflow must be detected, not silently wrapped
+    with pytest.raises(ValueError):
+        parse_delimited_ints(b"99999999999999999999\n")  # 20 digits
+    # INT64_MAX itself still parses exactly
+    vals, _ = parse_delimited_ints(b"9223372036854775807\n")
+    assert vals.tolist() == [9223372036854775807]
+    # end-to-end: readcorp parses '+'-prefixed input via the fallback
+    f = tmp_path / "docs.txt"
+    f.write_text("+5,2\n")
+    corp = readcorp(docfile=str(f))
+    assert corp.docs[0].terms == [5, 2]

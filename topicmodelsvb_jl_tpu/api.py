@@ -125,8 +125,30 @@ class TopicModel:
         return (jnp.asarray(p.terms), jnp.asarray(p.counts),
                 jnp.asarray(p.doc_mask))
 
+    def _padded_tokens(self) -> int:
+        """Token slots actually processed per sweep (padding included)."""
+        p = self.packed
+        if p.segments is not None:
+            return int(sum(s.terms.size for s in p.segments))
+        return int(np.asarray(p.terms).size)
+
+    def _flops_per_step(self) -> float:
+        """Arithmetic estimate for one outer iteration (roofline/MFU figure).
+
+        E-step lower bound: each of the ``viter`` sweeps does ~6 flops per
+        (token-slot, topic) — exp(Elogtheta)·beta gather-multiply, the phi
+        normalisation, and the gamma/beta stat mult-adds (LDA.jl:129-154).
+        Model-specific extra work (CTM Newton, CTPF xi) is not counted, so
+        reported MFU is a lower bound.
+        """
+        viter = self._cfg.viter if getattr(self, "_cfg", None) else 10
+        return float(viter * self._padded_tokens() * 6 * self.K)
+
     def _trainer_kw(self, spec=None) -> dict:
-        kw = dict(metrics_path=self.runtime.metrics_path,
+        kw = dict(C=int(sum(self.C)),
+                  flops_per_step=self._flops_per_step(),
+                  peak_flops=self.runtime.peak_flops,
+                  metrics_path=self.runtime.metrics_path,
                   profile_dir=self.runtime.profile_dir,
                   profile_steps=self.runtime.profile_steps)
         if spec is not None:
@@ -157,6 +179,7 @@ class TopicModel:
         # state (reference modelutils.jl:39-360); on-device reductions
         from .validate import check_model
         check_model(self)
+        self._cfg = cfg
         self.trainer = self._build_trainer(cfg)
         all_empty = all(n == 0 for n in self.N)
         self.state = self.trainer.train(self.state, cfg, corpus_all_empty=all_empty)

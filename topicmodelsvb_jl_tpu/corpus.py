@@ -234,12 +234,14 @@ def readcorp(
     counts: bool = False,
     readers: bool = False,
     ratings: bool = False,
+    stamps: bool = False,
 ) -> Corpus:
     """Load a corpus from delimited text files (reference Corpus.jl:277-325).
 
-    Documents are blocks of 1–4 lines (terms / counts / readers / ratings);
-    vocab and user files are tab-delimited ``key\\tname`` pairs; the title
-    file is one title per line.
+    Documents are blocks of 1–5 lines (terms / counts / readers / ratings
+    / stamp); vocab and user files are tab-delimited ``key\\tname`` pairs;
+    the title file is one title per line.  ``stamps`` adds a per-document
+    timestamp line for the dynamic topic model (v0.6 Corpus.jl:47-62).
     """
     import warnings
 
@@ -251,19 +253,20 @@ def readcorp(
 
     corp = Corpus()
     if docfile:
-        block = 1 + counts + readers + ratings
+        block = 1 + counts + readers + ratings + stamps
         keys = [k for k, on in zip(
-            ("terms", "counts", "readers", "ratings"),
-            (True, counts, readers, ratings),
+            ("terms", "counts", "readers", "ratings", "stamp"),
+            (True, counts, readers, ratings, stamps),
         ) if on]
         parsed = None
-        try:
-            from .native import parse_delimited_ints
+        if not stamps:  # stamp lines are floats; the native parser is integer-only
+            try:
+                from .native import parse_delimited_ints
 
-            with open(docfile, "rb") as fb:
-                parsed = parse_delimited_ints(fb.read(), delim)
-        except Exception:
-            parsed = None  # fall back to the pure-Python parser below
+                with open(docfile, "rb") as fb:
+                    parsed = parse_delimited_ints(fb.read(), delim)
+            except Exception:
+                parsed = None  # fall back to the pure-Python parser below
         if parsed is not None:
             # native C++ byte-level parse (native/tmvb_native.cpp); doc
             # blocks are sliced out of the CSR (values, line-offsets) form
@@ -287,7 +290,8 @@ def readcorp(
                 doc_block = lines[d : d + block]
                 try:
                     fields = {
-                        k: [int(p) for p in line.split(delim)] if line else []
+                        k: (float(line) if k == "stamp"
+                            else [int(p) for p in line.split(delim)] if line else [])
                         for k, line in zip(keys, doc_block)
                     }
                     corp.append(Document(**fields))
@@ -345,8 +349,10 @@ def writecorp(
     counts: bool = False,
     readers: bool = False,
     ratings: bool = False,
+    stamps: bool = False,
 ) -> None:
-    """Write a corpus to text files (reference Corpus.jl:366-398)."""
+    """Write a corpus to text files (reference Corpus.jl:366-398;
+    ``stamps`` per v0.6 Corpus.jl:93-108)."""
     import warnings
 
     if ratings and not readers:
@@ -360,6 +366,8 @@ def writecorp(
                 f.write(delim.join(map(str, doc.terms)) + "\n")
                 for a in attrs:
                     f.write(delim.join(map(str, getattr(doc, a))) + "\n")
+                if stamps:
+                    f.write(f"{doc.stamp}\n")
 
     if vocabfile:
         with open(vocabfile, "w") as f:
@@ -537,6 +545,14 @@ def trim_docs(corp: Corpus, terms: bool = True, readers: bool = True) -> None:
             doc.ratings = [r for r, k in zip(doc.ratings, keep) if k]
 
 
+# module-function aliases: fixcorp's reference-spelled kwargs
+# (fixcorp!(corp, remove_empty_docs=true), Corpus.jl:711) shadow the
+# mutator functions of the same name inside its body
+_remove_empty_docs_fn = remove_empty_docs
+_remove_redundant_fn = remove_redundant
+_remove_terms_fn = remove_terms
+
+
 def fixcorp(
     corp: Corpus,
     vocab: bool = True,
@@ -545,9 +561,9 @@ def fixcorp(
     alphabetize: bool = False,
     condense: bool = False,
     pad: bool = False,
-    remove_empty_docs_: bool = False,
-    remove_redundant_: bool = False,
-    remove_terms_: Sequence[str] = (),
+    remove_empty_docs: bool = False,
+    remove_redundant: bool = False,
+    remove_terms: Sequence[str] = (),
     stop: bool = False,
     trim: bool = False,
 ) -> None:
@@ -569,22 +585,22 @@ def fixcorp(
     else:
         trim_docs(corp)
 
-    if remove_redundant_:
-        remove_redundant(corp)
+    if remove_redundant:
+        _remove_redundant_fn(corp)
     if condense:
         condense_corp(corp)
     if abridge > 0:
         abridge_corp(corp, abridge)
-    if remove_terms_:
-        remove_terms(corp, remove_terms_)
+    if remove_terms:
+        _remove_terms_fn(corp, remove_terms)
     if stop:
         stop_corp(corp)
     if trim:
         trim_corp(corp, vocab=vocab, users=users)
     if alphabetize:
         alphabetize_corp(corp, vocab=vocab, users=users)
-    if remove_empty_docs_:
-        remove_empty_docs(corp)
+    if remove_empty_docs:
+        _remove_empty_docs_fn(corp)
 
     compact_corp(corp)
 

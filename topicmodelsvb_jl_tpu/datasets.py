@@ -28,14 +28,25 @@ from .corpus import Corpus, Document, readcorp
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
-# Published corpus scales (reference README.md:34-41).
+# Published corpus scales (reference README.md:34-41; mac from the v0.6
+# dataset files — 75,011 titles / 15,113-term lexicon).
 NSF_SCALE = dict(M=128_804, V=25_319)
 CITEU_SCALE = dict(M=16_980, V=8_000, U=5_551)
+MAC_SCALE = dict(M=75_011, V=15_113, T=12)
 
 
 def load_stopwords() -> list:
-    """Bundled English stopword list (reference datasets/stopwords.txt analogue)."""
+    """The reference's exact 546-word stop list (datasets/stopwords.txt,
+    consumed by stop_corp!, Corpus.jl:622-634) — carried verbatim so the
+    preprocessing pipeline produces identical corpora (SURVEY §7.3)."""
     with open(os.path.join(_DATA_DIR, "stopwords.txt")) as f:
+        return [w for w in f.read().split() if w]
+
+
+def load_englishwords() -> list:
+    """The reference's 58,110-entry English word list
+    (datasets/englishwords.txt), bundled for vocabulary filtering."""
+    with open(os.path.join(_DATA_DIR, "englishwords.txt")) as f:
         return [w for w in f.read().split() if w]
 
 
@@ -127,6 +138,53 @@ def load_citeu(seed: int = 7, subset: Optional[int] = None) -> Corpus:
         corp.vocab = dict(vocab)
     if users:
         corp.users = dict(users)
+    return corp
+
+
+def load_mac(seed: int = 7, subset: Optional[int] = None) -> Corpus:
+    """Macintosh magazine corpus (v0.6 ``readcorp(:mac)``,
+    v0.6/src/Corpus.jl:429-434) — the time-stamped DTM dataset.
+
+    Reads the real files (maclex.txt vocab, mactitles.txt titles,
+    macdocs.txt doc blocks with counts+stamps) when a datasets directory
+    is available; the docfile is stripped from this mirror, in which case
+    a time-sliced synthetic corpus is generated at the published scale
+    against the real lexicon.
+    """
+    root = _datasets_root()
+    base = os.path.join(root, "mac") if root else ""
+    docfile = os.path.join(base, "macdocs.txt") if base else ""
+    vocabfile = os.path.join(base, "maclex.txt") if base else ""
+    titlefile = os.path.join(base, "mactitles.txt") if base else ""
+
+    if docfile and os.path.exists(docfile):
+        corp = readcorp(
+            docfile=docfile, vocabfile=vocabfile,
+            titlefile=titlefile if os.path.exists(titlefile) else "",
+            counts=True, stamps=True,
+        )
+        if subset:
+            corp.docs = corp.docs[:subset]
+        return corp
+
+    vocab = _read_kv_file(vocabfile) if vocabfile and os.path.exists(vocabfile) else None
+    titles = None
+    if titlefile and os.path.exists(titlefile):
+        with open(titlefile) as f:
+            titles = f.read().splitlines()
+    V = max(vocab) if vocab else MAC_SCALE["V"]
+    M = subset or (len(titles) if titles else MAC_SCALE["M"])
+    warnings.warn(
+        "mac docfile not available in this mirror; generating a synthetic "
+        f"time-sliced corpus at reference scale (M={M}, V={V}, seed={seed})."
+    )
+    corp = synth_corpus(M=M, V=V, K=20, seed=seed, mean_tokens=400,
+                        mean_terms=220, n_slices=MAC_SCALE["T"], drift=0.05)
+    if vocab:
+        corp.vocab = dict(vocab)
+    if titles:
+        for doc, title in zip(corp.docs, titles):
+            doc.title = title
     return corp
 
 

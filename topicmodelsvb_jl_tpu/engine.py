@@ -34,8 +34,10 @@ class IterationRecord:
     k: int
     step_time_s: float
     docs_per_s: float
+    tokens_per_s: float = 0.0
     elbo: Optional[float] = None
     delta_elbo: Optional[float] = None
+    host_sync_s: Optional[float] = None
 
 
 class Trainer:
@@ -54,6 +56,9 @@ class Trainer:
         data: tuple,
         elbo_data: Optional[tuple] = None,
         M: int = 0,
+        C: int = 0,
+        flops_per_step: float = 0.0,
+        peak_flops: float = 0.0,
         printer: Callable[[str], None] = print,
         metrics_path: Optional[str] = None,
         profile_dir: Optional[str] = None,
@@ -65,6 +70,11 @@ class Trainer:
         self.data = tuple(data)
         self.elbo_data = tuple(elbo_data) if elbo_data is not None else self.data
         self.M = M
+        # corpus token count (reference: model.C, LDA.jl:31) → tokens/sec;
+        # flops_per_step + peak_flops (chip peak, e.g. v5e f32) → MFU
+        self.C = C
+        self.flops_per_step = flops_per_step
+        self.peak_flops = peak_flops
         self.printer = printer
         self.trace: List[IterationRecord] = []
         # observability (SURVEY §5.1/§5.5): JSONL per-iteration metrics
@@ -114,23 +124,30 @@ class Trainer:
             if sync or k == n_iter:
                 if sync:
                     new_elbo = self.elbo_fn(state, *self.elbo_data)
+                    sync_t0 = time.perf_counter()
                     delta = float(new_elbo - state.elbo)  # fetch = real sync
+                    sync_wait = time.perf_counter() - sync_t0
+                    state = state._replace(elbo=new_elbo)
+                    # assign before the span backfill below so the JSONL
+                    # row for this iteration carries elbo/∆elbo too
+                    rec.elbo, rec.delta_elbo = float(new_elbo), delta
+                    rec.host_sync_s = sync_wait
+                    if cfg.printelbo:
+                        self.printer(f"{k} ∆elbo: {round(delta, 3)}")
                 else:
                     # checkelbo=inf: best-effort sync for the final span
+                    sync_t0 = time.perf_counter()
                     jax.block_until_ready(jax.tree_util.tree_leaves(state))
+                    rec.host_sync_s = time.perf_counter() - sync_t0
                 span = time.perf_counter() - span_start
                 per = span / len(span_recs)
                 for r in span_recs:
                     r.step_time_s = per
                     r.docs_per_s = self.M / max(per, 1e-12)
+                    r.tokens_per_s = self.C / max(per, 1e-12)
                     self._emit(r)   # emit only once timings are real
                 span_recs = []
                 span_start = time.perf_counter()
-                if sync:
-                    state = state._replace(elbo=new_elbo)
-                    rec.elbo, rec.delta_elbo = float(new_elbo), delta
-                    if cfg.printelbo:
-                        self.printer(f"{k} ∆elbo: {round(delta, 3)}")
             self.trace.append(rec)
             if rec.delta_elbo is not None and rec.delta_elbo < cfg.tol:
                 break
@@ -150,12 +167,22 @@ class Trainer:
             return {}
         times = np.array([r.step_time_s for r in self.trace])
         steady = times[1:] if len(times) > 1 else times  # drop compile iter
-        return {
+        mean_step = float(steady.mean()) if steady.size else 0.0
+        syncs = [r.host_sync_s for r in self.trace if r.host_sync_s is not None]
+        out = {
             "iterations": len(self.trace),
-            "mean_step_s": float(steady.mean()),
-            "docs_per_s": float(self.M / steady.mean()) if steady.size else 0.0,
+            "mean_step_s": mean_step,
+            "docs_per_s": float(self.M / mean_step) if mean_step else 0.0,
+            "tokens_per_s": float(self.C / mean_step) if mean_step else 0.0,
+            "host_sync_s_total": float(np.sum(syncs)) if syncs else 0.0,
             "total_s": float(times.sum()),
             "final_elbo": next(
                 (r.elbo for r in reversed(self.trace) if r.elbo is not None), None
             ),
         }
+        if self.flops_per_step and mean_step:
+            out["flops_per_step"] = self.flops_per_step
+            out["tflops_per_s"] = self.flops_per_step / mean_step / 1e12
+            if self.peak_flops:
+                out["mfu"] = self.flops_per_step / mean_step / self.peak_flops
+        return out

@@ -61,7 +61,10 @@ int64_t tmvb_parse(const char* buf, int64_t n, char delim,
     for (int64_t i = 0; i < n; ++i) {
         char c = buf[i];
         if (c >= '0' && c <= '9') {
-            cur = cur * 10 + (c - '0');
+            int64_t d = c - '0';
+            if (cur > (INT64_MAX - d) / 10)
+                return 1 + i;                   // int64 overflow: fail loudly
+            cur = cur * 10 + d;
             digits = true;
         } else if (c == '-' && !digits && !neg) {
             neg = true;

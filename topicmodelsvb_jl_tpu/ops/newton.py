@@ -102,18 +102,20 @@ def dirichlet_newton(
         rho = jnp.where(jnp.min(alpha - rho * p) < 0, rho * 0.5, rho)
 
         alpha_new = finite(alpha - rho * p)
-        # reference stopping rule (LDA.jl:113-115) — plus a numerical-
-        # stagnation stop: once the accepted step is below f32 resolution
-        # of alpha, further iterations cannot make progress (the
-        # reference runs f64 on CPU where ntol is reachable; at f32 the
-        # M-scaled gradient's noise floor can exceed ntol).
+        # reference stopping rule (LDA.jl:113-115) — plus, on the f32
+        # path only, two numerical stops: once the accepted step is
+        # below f32 resolution of alpha, further iterations cannot make
+        # progress, and once the barrier has annealed away and steps
+        # stop contracting f32 is in a limit cycle.  On f64 — where the
+        # reference's tolerances are reachable — only the reference's
+        # own rule applies, so a single transiently non-contracting step
+        # cannot end the Newton early.
         sn = rho * l2norm(p)
-        stagnant = sn <= 1e-6 * (l2norm(alpha) + 1.0)
-        # limit-cycle stop: once the barrier has annealed away (nu tiny)
-        # and steps stop contracting, f32 can make no further progress
-        cycling = (nu / K < ntol) & (i >= 20) & (sn >= prev_norm)
-        done_new = done | ((rho * l2norm(grad) < ntol) & (nu / K < ntol)) \
-            | stagnant | cycling
+        done_new = done | ((rho * l2norm(grad) < ntol) & (nu / K < ntol))
+        if dtype == jnp.float32:
+            stagnant = sn <= 1e-6 * (l2norm(alpha) + 1.0)
+            cycling = (nu / K < ntol) & (i >= 20) & (sn >= prev_norm)
+            done_new = done_new | stagnant | cycling
         # under vmap the while_loop runs until EVERY batch lane is done,
         # so a finished lane must freeze its state (DTM's per-slice vmap)
         alpha_new = jnp.where(done, alpha, alpha_new)

@@ -65,3 +65,10 @@ class RuntimeConfig:
     metrics_path: Optional[str] = None  # JSONL per-iteration metrics sink
     profile_dir: Optional[str] = None   # jax.profiler capture directory
     profile_steps: int = 3              # steady steps to capture
+    # chip peak FLOP/s for the MFU figure in Trainer.summary(); default is
+    # TPU v5e f32 (~49.4e12 on the MXU per chip). 0 disables MFU.
+    peak_flops: float = 49.4e12
+    # checkpoint-every-N-outer-iterations during train(); 0 disables.
+    # Files go to checkpoint_dir/ckpt_iter{k}. (SURVEY §5.3 recovery story.)
+    checkpoint_every: int = 0
+    checkpoint_dir: Optional[str] = None
