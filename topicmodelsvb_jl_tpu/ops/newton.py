@@ -41,6 +41,52 @@ def _backtrack_rho(x: jax.Array, p: jax.Array, strict: bool) -> jax.Array:
     return jnp.where(jnp.isfinite(ratio), rho, jnp.ones_like(rho))
 
 
+def spd_cg_solve(matvec, b: jax.Array, inv_diag: jax.Array,
+                 active: jax.Array, maxiter: int, rtol: float) -> jax.Array:
+    """Matrix-free batched Jacobi-preconditioned CG for SPD systems.
+
+    TPU-native replacement for the reference's workgroup Gauss–Jordan
+    (``LINSOLVE_c``, utils.jl:60-90) in the CTM lambda Newton: the
+    [B, K, K] operator is never materialised — per iteration the only
+    non-elementwise work is ``matvec(p)``, which for the CTM neg-Hessian
+    Σ⁻¹ + diag(e) is a single [B,K]@[K,K] MXU matmul — so HBM traffic is
+    O(B·K) per iteration versus the O(B·K²) per elimination step of a
+    dense factorisation.  Krylov exactness bounds iterations at K;
+    Jacobi preconditioning makes the typical count far smaller.
+    Converged/inactive batch lanes freeze (vmap/while semantics).
+    """
+    bnorm2 = jnp.sum(b * b, axis=-1)
+    tol2 = (rtol * rtol) * bnorm2
+    x = jnp.zeros_like(b)
+    r = b
+    z = r * inv_diag
+    p = z
+    rz = jnp.sum(r * z, axis=-1)
+    act0 = active & (bnorm2 > 0)
+
+    def cond(c):
+        i, _, _, _, _, act = c
+        return (i < maxiter) & jnp.any(act)
+
+    def body(c):
+        i, x, r, p, rz, act = c
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap, axis=-1)
+        alpha = jnp.where(act, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * Ap
+        z = r * inv_diag
+        rz_new = jnp.sum(r * z, axis=-1)
+        beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+        p = jnp.where(act[:, None], z + beta[:, None] * p, p)
+        act = act & (jnp.sum(r * r, axis=-1) > tol2)
+        return i + 1, x, r, p, rz_new, act
+
+    _, x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), x, r, p, rz, act0))
+    return x
+
+
 def spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
     """Batched SPD solve by Gauss–Jordan elimination without pivoting.
 
@@ -152,7 +198,12 @@ def ctm_lambda_newton(
     """
     dtype = lam.dtype
     K = lam.shape[-1]
-    eye = jnp.eye(K, dtype=lam.dtype)
+    isd = jnp.diagonal(invsigma)
+    # CG accuracy: an inexact Newton step only needs a few digits; the
+    # f64 oracle path runs CG essentially to machine precision so it
+    # matches the reference's exact solve (CTM.jl:139).
+    cg_rtol = 1e-5 if dtype == jnp.float32 else 1e-13
+    cg_maxiter = K + 8  # Krylov exactness at K, slack for rounding
 
     def cond(carry):
         i, _, act, _ = carry
@@ -162,11 +213,12 @@ def ctm_lambda_newton(
         i, lam, act, prev_norm = carry
         expo = jnp.exp(lam + 0.5 * vsq - logzeta[:, None]) * C[:, None]  # [B, K]
         grad = (mu - lam) @ invsigma + phi_counts - expo
-        # neg hessian: invsigma + diag(expo); solved by the batched
-        # in-HLO Gauss–Jordan (the reference's LINSOLVE_c analogue —
-        # SPD, so no pivoting; utils.jl:56-58)
-        neg_hess = invsigma[None, :, :] + expo[:, :, None] * eye[None, :, :]
-        step = spd_solve(neg_hess, grad)
+        # neg hessian: invsigma + diag(expo) (SPD — utils.jl:56-58);
+        # solved matrix-free: the matvec is one [B,K]@[K,K] MXU matmul
+        # plus an elementwise product, so no [B,K,K] tensor exists
+        step = spd_cg_solve(
+            lambda x: x @ invsigma + expo * x, grad,
+            1.0 / (isd[None, :] + expo), act, cg_maxiter, cg_rtol)
         lam_new = jnp.where(act[:, None], lam + step, lam)
         # reference stop: ‖grad‖ < ntol (CTM.jl:140).  At f32 the noise
         # floor of the C-scaled gradient can exceed ntol forever (the
