@@ -112,18 +112,34 @@ class TopicModel:
     def _topic_word_matrix(self) -> np.ndarray:
         return np.asarray(self.state.beta)
 
+    def _dev_data(self, a):
+        """Place a doc-major host array sharded over the data axis —
+        multi-process-safe (parallel/multihost.make_global_array)."""
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.multihost import make_global_array
+        return make_global_array(a, self.mesh, P(self.runtime.data_axis))
+
+    def _dev_repl(self, x, dtype=None):
+        """Place a replicated scalar/array — multi-process-safe."""
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.multihost import make_global_array
+        a = np.asarray(x, dtype=dtype if dtype is not None else self.dtype)
+        return make_global_array(a, self.mesh, P())
+
     def _data_arrays(self) -> tuple:
         """Device data args (terms, counts, doc_mask) — per-segment tuples
         under bucketed packing, dense arrays otherwise."""
         p = self.packed
         if p.segments is not None:
             return (
-                tuple(jnp.asarray(s.terms) for s in p.segments),
-                tuple(jnp.asarray(s.counts) for s in p.segments),
-                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
+                tuple(self._dev_data(s.terms) for s in p.segments),
+                tuple(self._dev_data(s.counts) for s in p.segments),
+                tuple(self._dev_data(s.doc_mask) for s in p.segments),
             )
-        return (jnp.asarray(p.terms), jnp.asarray(p.counts),
-                jnp.asarray(p.doc_mask))
+        return (self._dev_data(p.terms), self._dev_data(p.counts),
+                self._dev_data(p.doc_mask))
 
     def _padded_tokens(self) -> int:
         """Token slots actually processed per sweep (padding included)."""
@@ -292,7 +308,7 @@ class LDA(TopicModel):
                       data_axis=self.runtime.data_axis)
 
         arrs = self._data_arrays()
-        data = arrs + (jnp.asarray(float(self.M), self.dtype),)
+        data = arrs + (self._dev_repl(float(self.M)),)
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
     # alpha/beta/gamma accessors (reference field access)
@@ -347,7 +363,7 @@ class CTM(TopicModel):
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
         arrs = self._data_arrays()
-        data = arrs + (jnp.asarray(float(self.M), self.dtype),)
+        data = arrs + (self._dev_repl(float(self.M)),)
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
     @property
@@ -417,7 +433,7 @@ class fCTM(TopicModel):
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3, out_spec=P(),
                       data_axis=self.runtime.data_axis)
         arrs = self._data_arrays()
-        data = arrs + (jnp.asarray(float(self.M), self.dtype),)
+        data = arrs + (self._dev_repl(float(self.M)),)
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
     @property
@@ -500,8 +516,8 @@ class fLDA(TopicModel):
                       data_axis=self.runtime.data_axis)
         arrs = self._data_arrays()
         data = arrs + (
-            jnp.asarray(float(self.M), self.dtype),
-            jnp.asarray(float(sum(self.C)), self.dtype),
+            self._dev_repl(float(self.M)),
+            self._dev_repl(float(sum(self.C))),
         )
         return Trainer(step, elbo, data, arrs, M=self.M, **self._trainer_kw(spec))
 
@@ -692,15 +708,15 @@ class CTPF(TopicModel):
                       data_axis=self.runtime.data_axis)
         if p.segments is not None:
             arrs = (
-                tuple(jnp.asarray(s.terms) for s in p.segments),
-                tuple(jnp.asarray(s.counts) for s in p.segments),
-                jnp.asarray(p.readers), jnp.asarray(p.ratings),
-                tuple(jnp.asarray(s.doc_mask) for s in p.segments),
+                tuple(self._dev_data(s.terms) for s in p.segments),
+                tuple(self._dev_data(s.counts) for s in p.segments),
+                self._dev_data(p.readers), self._dev_data(p.ratings),
+                tuple(self._dev_data(s.doc_mask) for s in p.segments),
             )
         else:
-            arrs = (jnp.asarray(p.terms), jnp.asarray(p.counts),
-                    jnp.asarray(p.readers), jnp.asarray(p.ratings),
-                    jnp.asarray(p.doc_mask))
+            arrs = (self._dev_data(p.terms), self._dev_data(p.counts),
+                    self._dev_data(p.readers), self._dev_data(p.ratings),
+                    self._dev_data(p.doc_mask))
         return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw(spec))
 
     def train(self, iter: int = 150, tol: float = 1.0, viter: int = 10,
@@ -1015,8 +1031,8 @@ class DTM(TopicModel):
                       data_axis=self.runtime.data_axis)
         elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=4,
                       out_spec=P(), data_axis=self.runtime.data_axis)
-        arrs = (jnp.asarray(self.slice_id), jnp.asarray(p.terms),
-                jnp.asarray(p.counts), jnp.asarray(p.doc_mask))
+        arrs = (self._dev_data(self.slice_id), self._dev_data(p.terms),
+                self._dev_data(p.counts), self._dev_data(p.doc_mask))
         return Trainer(step, elbo, arrs, arrs, M=self.M, **self._trainer_kw(spec))
 
     def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,

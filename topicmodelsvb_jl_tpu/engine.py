@@ -90,7 +90,12 @@ class Trainer:
     def train(self, state, cfg: TrainConfig, corpus_all_empty: bool = False):
         cfg.validate()
         if self.state_sharding is not None:
-            state = jax.device_put(state, self.state_sharding)
+            if jax.process_count() > 1:
+                from .parallel.multihost import make_global_state
+
+                state = make_global_state(state, self.state_sharding)
+            else:
+                state = jax.device_put(state, self.state_sharding)
         n_iter = 0 if corpus_all_empty else cfg.iter
 
         # initial bound (reference: `(checkelbo <= iter) && update_elbo!(model)`)

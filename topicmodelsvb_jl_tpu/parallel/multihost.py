@@ -51,6 +51,33 @@ def is_initialized() -> bool:
         return False
 
 
+def make_global_array(a, mesh, spec):
+    """Device-place a host array onto a (possibly multi-process) mesh.
+
+    Single-process: plain ``device_put``.  Multi-process (multi-
+    controller JAX): every process holds the same host array — the
+    documented workflow above, every host loads the corpus — and
+    provides its addressable shards via ``make_array_from_callback``,
+    which is the supported way to build a global jax.Array whose
+    sharding spans non-addressable devices.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    sh = spec if isinstance(spec, NamedSharding) else NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sh)
+    host = np.asarray(a)
+    return jax.make_array_from_callback(host.shape, sh, lambda idx: host[idx])
+
+
+def make_global_state(tree, sharding_tree):
+    """Tree-map :func:`make_global_array` over a state pytree whose
+    shardings were already resolved to NamedShardings."""
+    return jax.tree_util.tree_map(
+        lambda a, sh: make_global_array(a, None, sh), tree, sharding_tree)
+
+
 def process_doc_range(M: int) -> tuple:
     """[start, end) of the documents this host should own under the
     default contiguous doc sharding (useful for host-side corpus IO
