@@ -345,3 +345,185 @@ def test_dtm_vocab_axis_tp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-7, atol=1e-10, err_msg=f)
+
+
+def test_flda_seq_axis_sp_matches_single_device():
+    """fLDA with every doc's token axis (and tau) sharded (SP analogue)."""
+    from topicmodelsvb_jl_tpu.models import flda as flda_mod
+
+    K = 4
+    packed = _packed(M=32, V=256, L=16, seed=12)
+    st = flda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask),
+            jnp.asarray(float(packed.M), jnp.float64),
+            jnp.asarray(float(packed.C.sum()), jnp.float64))
+    step1 = jax.jit(flda_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=8, axis_name=None, use_pallas=False))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    mesh = make_mesh(axis_names=("data", "seq"), shape=(2, 4))
+    spec = flda_mod.partition_spec(data_axis="data", seq_axis="seq")
+    step_l = flda_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name="data", use_pallas=False, seq_axis="seq")
+    tokspec, dspec = P("data", "seq"), P("data")
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh,
+        in_specs=(spec, tokspec, tokspec, dspec, P(), P()),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    for f in ("beta", "kappa", "alpha", "eta", "gamma", "tau"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-8, err_msg=f)
+    elbo1 = jax.jit(flda_mod.make_elbo(packed, K, chunk_docs=8))
+    ref_e = float(elbo1(ref, *data[:3]))
+    elbo_l = flda_mod.make_elbo(packed, K, chunk_docs=16, axis_name="data",
+                                seq_axis="seq")
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
+        out_specs=P(), check_vma=False))
+    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+
+
+def test_ctm_seq_axis_sp_matches_single_device():
+    """CTM with every doc's token axis sharded: the Newton inputs
+    (C, phi@counts) psum over the token shards (CTM.jl:129-165)."""
+    from topicmodelsvb_jl_tpu.models import ctm as ctm_mod
+
+    K = 4
+    packed = _packed(M=32, V=256, L=16, seed=13)
+    st = ctm_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask),
+            jnp.asarray(float(packed.M), jnp.float64))
+    step1 = jax.jit(ctm_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=8, axis_name=None))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    mesh = make_mesh(axis_names=("data", "seq"), shape=(2, 4))
+    spec = ctm_mod.partition_spec(data_axis="data")
+    step_l = ctm_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name="data", seq_axis="seq")
+    tokspec, dspec = P("data", "seq"), P("data")
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec, P()),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    for f in ("beta", "mu", "sigma", "lam", "vsq", "logzeta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-7, err_msg=f)
+    elbo1 = jax.jit(ctm_mod.make_elbo(packed, K, chunk_docs=8))
+    ref_e = float(elbo1(ref, *data[:3]))
+    elbo_l = ctm_mod.make_elbo(packed, K, chunk_docs=16, axis_name="data",
+                               seq_axis="seq")
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
+        out_specs=P(), check_vma=False))
+    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+
+
+def test_fctm_seq_axis_sp_matches_single_device():
+    from topicmodelsvb_jl_tpu.models import fctm as fctm_mod
+
+    K = 4
+    packed = _packed(M=32, V=256, L=16, seed=14)
+    st = fctm_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask),
+            jnp.asarray(float(packed.M), jnp.float64))
+    step1 = jax.jit(fctm_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=8, axis_name=None))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    mesh = make_mesh(axis_names=("data", "seq"), shape=(2, 4))
+    spec = fctm_mod.partition_spec(data_axis="data", seq_axis="seq")
+    step_l = fctm_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name="data", seq_axis="seq")
+    tokspec, dspec = P("data", "seq"), P("data")
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec, P()),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    for f in ("beta", "kappa", "mu", "sigma", "lam", "vsq", "tau"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-7, err_msg=f)
+    elbo1 = jax.jit(fctm_mod.make_elbo(packed, K, chunk_docs=8))
+    ref_e = float(elbo1(ref, *data[:3]))
+    elbo_l = fctm_mod.make_elbo(packed, K, chunk_docs=16, axis_name="data",
+                                seq_axis="seq")
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
+        out_specs=P(), check_vma=False))
+    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+
+
+def test_ctpf_seq_axis_sp_matches_single_device():
+    """CTPF with BOTH ragged axes — the token stream and the reader list
+    (the second raggedness axis, CTPF.jl:102) — sharded over seq."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.models import ctpf as ctpf_mod
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+
+    K = 4
+    corp = tm.synth_corpus(M=32, V=256, K=3, U=16, seed=15,
+                           mean_terms=10, mean_tokens=16)
+    packed = pack_corpus(corp, pad_multiple=8, docs_multiple=8,
+                         with_readers=True)
+    st = ctpf_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.readers), jnp.asarray(packed.ratings),
+            jnp.asarray(packed.doc_mask))
+    step1 = jax.jit(ctpf_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, chunk_docs=8, axis_name=None,
+        use_pallas=False))
+    ref = st
+    for _ in range(2):
+        ref = step1(ref, *data)
+
+    mesh = make_mesh(axis_names=("data", "seq"), shape=(2, 4))
+    spec = ctpf_mod.partition_spec(data_axis="data")
+    step_l = ctpf_mod.make_step(
+        packed, K, viter=3, vtol=1.0 / K**2, chunk_docs=16, axis_name="data",
+        use_pallas=False, seq_axis="seq")
+    tokspec, dspec = P("data", "seq"), P("data")
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh,
+        in_specs=(spec, tokspec, tokspec, tokspec, tokspec, dspec),
+        out_specs=spec, check_vma=False))
+    s = st
+    for _ in range(2):
+        s = step(s, *data)
+    for f in ("alef", "bet", "gimel", "dalet", "he", "vav", "zayin", "het"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-8, err_msg=f)
+    elbo1 = jax.jit(ctpf_mod.make_elbo(packed, K, chunk_docs=8))
+    ref_e = float(elbo1(ref, *data))
+    elbo_l = ctpf_mod.make_elbo(packed, K, chunk_docs=16, axis_name="data",
+                                seq_axis="seq")
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh,
+        in_specs=(spec, tokspec, tokspec, tokspec, tokspec, dspec),
+        out_specs=P(), check_vma=False))
+    np.testing.assert_allclose(float(elbo_fn(s, *data)), ref_e, rtol=1e-9)

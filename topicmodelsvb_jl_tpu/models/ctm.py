@@ -65,9 +65,17 @@ def _phi(logbeta_d, lam):
 
 
 def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
-                 lam, lam_old, vsq, logzeta, viter, vtol, niter, ntol, V):
+                 lam, lam_old, vsq, logzeta, viter, vtol, niter, ntol, V,
+                 seq_axis=None):
+    """With ``seq_axis`` each document's token axis is sharded over that
+    mesh axis (SP analogue, SURVEY §5.7b): phi rows live shard-local and
+    the per-doc token reductions (C and phi@counts, the inputs of the
+    lambda/vsq Newtons, CTM.jl:129-165) are psums over the shards; the
+    Newtons themselves then run identically on every shard."""
     dtype = lam.dtype
     C = jnp.sum(counts, axis=-1)  # per-doc token totals (CTM.jl C field)
+    if seq_axis is not None:
+        C = jax.lax.psum(C, seq_axis)
     # zero-count (padded) slots may gather an all-zero beta column (unused
     # vocab id 0) whose raw log is -inf for every k; the K-softmax would be
     # NaN. Every use of phi is count-weighted, so neutralising those logits
@@ -88,6 +96,8 @@ def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
         vsq2 = jnp.where(active[:, None], vsq2, vsq)
         # update_lambda! (CTM.jl:129-142); phi @ counts fixed during Newton
         pc = jnp.einsum("bl,blk->bk", counts, p, preferred_element_type=dtype)
+        if seq_axis is not None:
+            pc = jax.lax.psum(pc, seq_axis)
         lam_new = ctm_lambda_newton(lam, vsq2, logzeta2, pc, C, mu, invsigma,
                                     active, niter, ntol)
         lam_old2 = jnp.where(active[:, None], lam, lam_old)
@@ -113,13 +123,17 @@ def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
-              vocab_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """One CAVI sweep.  ``vocab_axis`` shards beta *storage* over that
     mesh axis exactly like LDA's TP mode (models/lda.py): all_gather in,
     reduce_scatter + replicated row-sum psum out; include the vocab axis
-    in ``axis_name`` and shard docs over both axes."""
+    in ``axis_name`` and shard docs over both axes.  ``seq_axis`` shards
+    every document's token axis (SP analogue); incompatible with
+    bucketed packing, like models/lda.py."""
     V = packed.V
     segments = packed.segments
+    if seq_axis is not None:
+        assert segments is None, "token-axis sharding requires dense packing"
 
     def step(state: CTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
@@ -135,7 +149,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             t, c, dm, la, lao, v, lz = xs
             la2, lao2, v2, lz2, bti, vsi, lsi, loi = _estep_chunk(
                 logbetaT, state.mu, state.invsigma, t, c, dm,
-                la, lao, v, lz, viter, vtol, niter, ntol, V
+                la, lao, v, lz, viter, vtol, niter, ntol, V,
+                seq_axis=seq_axis,
             )
             return (bt + bti, vs + vsi, ls + lsi, lo + loi), (la2, lao2, v2, lz2)
 
@@ -173,20 +188,23 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         beta_temp, vsq_sum, lam_sum, lam_outer = carry
 
         if axis_name is not None:
+            # doc-level moments: data axes only (identical on seq shards)
             vsq_sum = jax.lax.psum(vsq_sum, axis_name)
             lam_sum = jax.lax.psum(lam_sum, axis_name)
             lam_outer = jax.lax.psum(lam_outer, axis_name)
 
+        axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+        # the beta stat is token-local: sum token shards too
+        axes_tok = axes + (seq_axis,) if seq_axis is not None else axes
         # update_beta! reset (CTM.jl:114-118)
         if vocab_axis is not None:
             from ..parallel.shard import tp_normalize_rows
 
-            axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
-            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes)
+            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes_tok)
             beta_new = bt_local.T / row_sum[:, None]
         else:
-            if axis_name is not None:
-                beta_temp = jax.lax.psum(beta_temp, axis_name)
+            if axes_tok:
+                beta_temp = jax.lax.psum(beta_temp, axes_tok)
             beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
         # update_sigma! with previous mu (CTM.jl:108-111; order CTM.jl:206-208):
         # Σ_d (λ−μ)(λ−μ)ᵀ = Σλλᵀ − μΣλᵀ − Σλ μᵀ + M μμᵀ
@@ -213,10 +231,12 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
 
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
-              vocab_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """ELBO (CTM.jl:55-98): phi recomputed from (beta_old, lambda_old)."""
     V = packed.V
     segments = packed.segments
+    if seq_axis is not None:
+        assert segments is None, "token-axis sharding requires dense packing"
 
     def elbo(state: CTMState, terms, counts, doc_mask):
         dt = state.beta.dtype
@@ -236,18 +256,22 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         isd = jnp.diagonal(invsigma)
 
         def scan_body(acc, xs):
+            acc_doc, acc_tok = acc
             t, c, dm, la, lao, v, lz = xs
             cd = jnp.sum(c, axis=-1)
             # phi from (beta_old, lambda_old) (CTM.jl:93); terms below use
             # the *current* lambda (CTM.jl:56-66). Zero-count slots masked as
             # in _estep_chunk.
             p = _phi(jnp.where(c[..., None] > 0, logbeta_oldT[t], 0.0), lao)
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
+            if seq_axis is not None:
+                cd = jax.lax.psum(cd, seq_axis)
+                pc = jax.lax.psum(pc, seq_axis)
             # Elogpeta (CTM.jl:56-59)
             diff = la - mu
             quad = jnp.einsum("bi,ij,bj->b", diff, invsigma, diff)
             e_peta = 0.5 * (logdet_inv - K * log2pi - jnp.sum(isd * v, -1) - quad)
             # Elogpz (CTM.jl:62-66)
-            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
             bound = jnp.sum(jnp.exp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
             e_pz = jnp.sum(pc * la, -1) - cd * bound
             # Elogpw (CTM.jl:69-73)
@@ -256,8 +280,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             e_qeta = mvnormal_diag_entropy(v)
             # −Elogqz (CTM.jl:82-86)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
-            contrib = dm * (e_peta + e_pz + e_pw + e_qeta + e_qz)
-            return acc + jnp.sum(contrib), None
+            # doc-level vs token-local terms in separate accumulators
+            acc_doc = acc_doc + jnp.sum(dm * (e_peta + e_pz + e_qeta))
+            acc_tok = acc_tok + jnp.sum(dm * (e_pw + e_qz))
+            return (acc_doc, acc_tok), None
 
         def sweep(t_arr, c_arr, dm_arr, la_a, lao_a, v_a, lz_a, acc):
             n_rows = t_arr.shape[0]
@@ -271,18 +297,28 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             )
             return acc
 
-        total = jnp.zeros((), dt)
+        zero = jnp.zeros((), dt)
+        acc = (zero, zero)
         if segments is None:
-            total = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
-                          state.vsq, state.logzeta, total)
+            acc = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
+                        state.vsq, state.logzeta, acc)
         else:
             for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
                 lo_, hi_ = seg.loc_start, seg.loc_start + t_arr.shape[0]
-                total = sweep(t_arr, c_arr, dm_arr, state.lam[lo_:hi_],
-                              state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
-                              state.logzeta[lo_:hi_], total)
-        if axis_name is not None:
-            total = jax.lax.psum(total, axis_name)
+                acc = sweep(t_arr, c_arr, dm_arr, state.lam[lo_:hi_],
+                            state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
+                            state.logzeta[lo_:hi_], acc)
+        total_doc, total_tok = acc
+        axes = axis_name if axis_name is not None else ()
+        if isinstance(axes, str):
+            axes = (axes,)
+        if seq_axis is not None:
+            total_tok = jax.lax.psum(total_tok, axes + (seq_axis,))
+            total_doc = jax.lax.psum(total_doc, axes) if axes else total_doc
+            return total_doc + total_tok
+        total = total_doc + total_tok
+        if axes:
+            total = jax.lax.psum(total, axes)
         return total
 
     return elbo

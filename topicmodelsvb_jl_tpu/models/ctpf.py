@@ -104,7 +104,12 @@ def _xi(dg_he_d, dg_gimel, dg_zayin, log_dalet, log_het, log_vav):
 def _estep_chunk(dg_alefT, dg_heT, log_bet, log_vav,
                  c_hyper, g_hyper, terms, counts, readers, ratings, doc_mask,
                  gimel, gimel_old, zayin, zayin_old, viter, vtol, V, U_seg,
-                 dalet, het):
+                 dalet, het, seq_axis=None):
+    """With ``seq_axis`` both ragged axes of a document — its token
+    stream *and* its reader list (the second raggedness axis,
+    CTPF.jl:102) — are sharded over that mesh axis (SP analogue, SURVEY
+    §5.7b): phi/xi stay shard-local and the per-doc gimel/zayin
+    reductions (CTPF.jl:309-323) are psums over the shards."""
     dtype = gimel.dtype
     dg_alef_d = dg_alefT[terms]      # [B, L, K]
     dg_he_d = dg_heT[readers]        # [B, R, K]
@@ -121,13 +126,17 @@ def _estep_chunk(dg_alefT, dg_heT, log_bet, log_vav,
                              log_dalet[None, :], log_het[None, :], log_vav[None, :])
         p = _phi(dg_alef_d, dg_gimel, log_dalet[None, :], log_bet[None, :])
         # update_zayin! (CTPF.jl:318-323): zayin = g + xi_bot @ ratings
-        zayin_new = g_hyper + jnp.einsum(
+        zsum = jnp.einsum(
             "br,brk->bk", ratings, xi_bot, preferred_element_type=dtype
         )
         # update_gimel! (CTPF.jl:309-314): gimel = c + phi@counts + xi_top@ratings
-        gimel_new = c_hyper + jnp.einsum(
+        gsum = jnp.einsum(
             "bl,blk->bk", counts, p, preferred_element_type=dtype
         ) + jnp.einsum("br,brk->bk", ratings, xi_top, preferred_element_type=dtype)
+        if seq_axis is not None:
+            zsum, gsum = jax.lax.psum((zsum, gsum), seq_axis)
+        zayin_new = g_hyper + zsum
+        gimel_new = c_hyper + gsum
         upd = active[:, None]
         zayin_old2 = jnp.where(upd, zayin, zayin_old)
         zayin2 = jnp.where(upd, zayin_new, zayin)
@@ -160,7 +169,8 @@ def _estep_chunk(dg_alefT, dg_heT, log_bet, log_vav,
 def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
               axis_name=None, hyper: dict = HYPER,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
-              vocab_axis: Optional[str] = None, user_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, user_axis: Optional[str] = None,
+              seq_axis: Optional[str] = None):
     """One CAVI sweep.  ``vocab_axis``/``user_axis`` shard alef [K, V]
     and he [K, U] *storage* over those mesh axes (TP; SURVEY §2.3 notes
     he is the natural U-axis shard): all_gather in, reduce_scatter +
@@ -183,6 +193,9 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
         use_pallas = False
 
     segments = packed.segments
+    if seq_axis is not None:
+        use_pallas = False
+        assert segments is None, "token/reader-axis sharding requires dense packing"
 
     def step(state: CTPFState, terms, counts, readers, ratings, doc_mask):
         dt = state.alef.dtype
@@ -202,6 +215,7 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
                 dg_alefT, dg_heT, log_bet, log_vav,
                 c, g, t, cnt, rd, rt, dm, gi, gio, za, zao,
                 viter, vtol, V, U_seg, state.dalet, state.het,
+                seq_axis=seq_axis,
             )
             return (at + ati, ht + hti, gs + gsi, zs + zsi), (gi2, gio2, za2, zao2)
 
@@ -280,6 +294,9 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
         alef_temp, he_temp, gimel_sum, zayin_sum = carry
 
         axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+        # alef/he stats are token/reader-local: sum the seq shards too;
+        # gimel/zayin sums are doc-level (identical across seq shards)
+        axes_tok = axes + (seq_axis,) if seq_axis is not None else axes
         if axes:
             gimel_sum = jax.lax.psum(gimel_sum, axes)
             zayin_sum = jax.lax.psum(zayin_sum, axes)
@@ -290,9 +307,9 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
             if shard_axis is not None:
                 from ..parallel.shard import tp_normalize_rows
 
-                local, _ = tp_normalize_rows(temp, shard_axis, axes)
+                local, _ = tp_normalize_rows(temp, shard_axis, axes_tok)
                 return local
-            return jax.lax.psum(temp, axes) if axes else temp
+            return jax.lax.psum(temp, axes_tok) if axes_tok else temp
 
         alef_temp = reduce_stat(alef_temp, vocab_axis)
         he_temp = reduce_stat(he_temp, user_axis)
@@ -330,7 +347,8 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
 
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
               hyper: dict = HYPER,
-              vocab_axis: Optional[str] = None, user_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, user_axis: Optional[str] = None,
+              seq_axis: Optional[str] = None):
     """Closed-form ELBO (CTPF.jl:110-247 with the E[lnΓ(y+1)] cancellation).
 
     phi/xi recomputed from the *_old parameter set (CTPF.jl:240-241);
@@ -345,6 +363,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         return jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0)
 
     segments = packed.segments
+    if seq_axis is not None:
+        assert segments is None, "token/reader-axis sharding requires dense packing"
 
     def elbo(state: CTPFState, terms, counts, readers, ratings, doc_mask):
         dt = state.alef.dtype
@@ -434,12 +454,15 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
                 + jnp.sum((g - 1.0) * (dg_za - log_het) - h * za / het, -1)
             e_qep = jnp.sum(gamma_entropy(za, het[None, :]), -1)
 
-            contrib = dm * (
-                -dot_ya - dot_yb + rate_lin - rate_q
-                - dot_z + tok_lin - tok_q
-                + e_pth + e_qth + e_pep + e_qep
-            )
-            return acc + jnp.sum(contrib), None
+            # doc-level terms (dot_* use the current gimel/zayin plus the
+            # full alef/he sums) are replicated across seq shards; the
+            # token/reader-linear terms are shard-local partial sums
+            acc_doc, acc_tok = acc
+            acc_doc = acc_doc + jnp.sum(dm * (
+                -dot_ya - dot_yb - dot_z + e_pth + e_qth + e_pep + e_qep))
+            acc_tok = acc_tok + jnp.sum(dm * (
+                rate_lin - rate_q + tok_lin - tok_q))
+            return (acc_doc, acc_tok), None
 
         def sweep(t_a, c_a, rd_a, rt_a, dm_a, gi_a, gio_a, za_a, zao_a, acc):
             n_rows = t_a.shape[0]
@@ -453,22 +476,31 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             )
             return acc
 
-        per_doc = jnp.zeros((), dt)
+        zero = jnp.zeros((), dt)
+        acc = (zero, zero)
         if segments is None:
-            per_doc = sweep(terms, counts, readers, ratings, doc_mask,
-                            state.gimel, state.gimel_old,
-                            state.zayin, state.zayin_old, per_doc)
+            acc = sweep(terms, counts, readers, ratings, doc_mask,
+                        state.gimel, state.gimel_old,
+                        state.zayin, state.zayin_old, acc)
         else:
             for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
                 lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
-                per_doc = sweep(t_a, c_a, readers[lo_:hi_], ratings[lo_:hi_],
-                                dm_a, state.gimel[lo_:hi_],
-                                state.gimel_old[lo_:hi_],
-                                state.zayin[lo_:hi_],
-                                state.zayin_old[lo_:hi_], per_doc)
-        if axis_name is not None:
-            per_doc = jax.lax.psum(per_doc, axis_name)
-        return e_pbeta + e_qbeta_ent + e_peta + e_qeta_ent + per_doc
+                acc = sweep(t_a, c_a, readers[lo_:hi_], ratings[lo_:hi_],
+                            dm_a, state.gimel[lo_:hi_],
+                            state.gimel_old[lo_:hi_],
+                            state.zayin[lo_:hi_],
+                            state.zayin_old[lo_:hi_], acc)
+        per_doc, per_tok = acc
+        axes = axis_name if axis_name is not None else ()
+        if isinstance(axes, str):
+            axes = (axes,)
+        if seq_axis is not None:
+            per_tok = jax.lax.psum(per_tok, axes + (seq_axis,))
+            per_doc = jax.lax.psum(per_doc, axes) if axes else per_doc
+        elif axes:
+            per_doc = jax.lax.psum(per_doc, axes)
+            per_tok = jax.lax.psum(per_tok, axes)
+        return e_pbeta + e_qbeta_ent + e_peta + e_qeta_ent + per_doc + per_tok
 
     return elbo
 

@@ -243,6 +243,15 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
     Kalman smoother is elementwise over V so it runs shard-local; the
     E-step gathers mbeta, the CG objective psums its scalar pieces, and
     the A statistic reduce_scatters back to the shard.
+
+    DTM deliberately has **no** ``seq_axis`` (token-axis / SP) mode —
+    the only model without one.  Its scaling pressure is the [T, K, V]
+    time-sliced parameter state (mac scale: 12·K·15113 floats per
+    tensor × 6 tensors), not per-document token streams (mac docs are
+    magazine issues, ≤ a few thousand tokens — far below a chip's HBM
+    share): token sharding would replicate the dominant [T, K, V]
+    smoother work per shard while saving nothing, whereas ``vocab_axis``
+    shards exactly the axis that grows.  (SURVEY §5.7b; VERDICT r1 #4.)
     """
     V = packed.V
 

@@ -68,9 +68,14 @@ def _phi(logbeta_d, tau, lam):
 
 def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
                  doc_mask, lam, lam_old, vsq, logzeta, tau, tau_old,
-                 viter, vtol, niter, ntol, V):
+                 viter, vtol, niter, ntol, V, seq_axis=None):
+    """With ``seq_axis`` each document's token axis (and tau) is sharded
+    over that mesh axis (SP analogue, SURVEY §5.7b) — see models/ctm.py
+    and models/flda.py for the reduction layout."""
     dtype = lam.dtype
     C = jnp.sum(counts, axis=-1)  # per-doc token totals
+    if seq_axis is not None:
+        C = jax.lax.psum(C, seq_axis)
     eps = jnp.asarray(EPSILON, dtype)
     logbeta_d = logbetaT[terms]    # log(beta+EPS) — @boink'd (fCTM.jl:232)
     kappa_d = kappa_full[terms]
@@ -91,6 +96,8 @@ def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
         logzeta2 = jnp.where(active, lz_new, logzeta)
         # update_lambda! (fCTM.jl:175-188) — BEFORE vsq, unlike CTM
         pc = jnp.einsum("bl,blk->bk", counts, p, preferred_element_type=dtype)
+        if seq_axis is not None:
+            pc = jax.lax.psum(pc, seq_axis)
         lam_new = ctm_lambda_newton(lam, vsq, logzeta2, pc, C, mu, invsigma,
                                     active, niter, ntol)
         lam_old2 = jnp.where(active[:, None], lam, lam_old)
@@ -122,10 +129,14 @@ def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
-              vocab_axis: Optional[str] = None):
-    """``vocab_axis`` shards beta [K, V] and kappa [V] storage (TP)."""
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
+    """``vocab_axis`` shards beta [K, V] and kappa [V] storage (TP);
+    ``seq_axis`` shards the token axis + tau (SP analogue, dense packing
+    only)."""
     V = packed.V
     segments = packed.segments
+    if seq_axis is not None:
+        assert segments is None, "token-axis sharding requires dense packing"
 
     def step(state: FCTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
@@ -142,7 +153,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             (la2, lao2, v2, lz2, ta2, tao2,
              bti, kti, vsi, lsi, loi) = _estep_chunk(
                 logbetaT, kappa_full_v, state.eta, state.mu, state.invsigma,
-                t, c, dm, la, lao, v, lz, ta, tao, viter, vtol, niter, ntol, V
+                t, c, dm, la, lao, v, lz, ta, tao, viter, vtol, niter, ntol, V,
+                seq_axis=seq_axis,
             )
             return ((bt + bti, kt + kti, vs + vsi, ls + lsi, lo + loi),
                     (la2, lao2, v2, lz2, ta2, tao2))
@@ -187,6 +199,9 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         beta_temp, kappa_temp, vsq_sum, lam_sum, lam_outer = carry
 
         axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+        # token-local stats also reduce over the token shards; doc-level
+        # moments are identical across seq shards (data axes only)
+        axes_tok = axes + (seq_axis,) if seq_axis is not None else axes
         if axes:
             vsq_sum = jax.lax.psum(vsq_sum, axes)
             lam_sum = jax.lax.psum(lam_sum, axes)
@@ -195,15 +210,15 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         if vocab_axis is not None:
             from ..parallel.shard import tp_normalize_rows
 
-            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes)
+            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes_tok)
             kt_local, k_sum = tp_normalize_rows(
-                kappa_temp[:, None], vocab_axis, axes)
+                kappa_temp[:, None], vocab_axis, axes_tok)
             beta_new = bt_local.T / row_sum[:, None]
             kappa_new = kt_local[:, 0] / k_sum[0]
         else:
-            if axes:
-                beta_temp = jax.lax.psum(beta_temp, axes)
-                kappa_temp = jax.lax.psum(kappa_temp, axes)
+            if axes_tok:
+                beta_temp = jax.lax.psum(beta_temp, axes_tok)
+                kappa_temp = jax.lax.psum(kappa_temp, axes_tok)
             beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
             kappa_new = kappa_temp / jnp.sum(kappa_temp)    # fCTM.jl:146-150
         mu_old = state.mu
@@ -231,11 +246,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
 
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
-              vocab_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """ELBO (fCTM.jl:67-124): phi from (tau_old, beta_old, lambda_old)."""
     V = packed.V
 
     segments = packed.segments
+    if seq_axis is not None:
+        assert segments is None, "token-axis sharding requires dense packing"
 
     def elbo(state: FCTMState, terms, counts, doc_mask):
         dt = state.beta.dtype
@@ -258,19 +275,26 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         log_eps = jnp.log(eps)
 
         def scan_body(acc, xs):
+            acc_doc, acc_tok = acc
             t, c, dm, la, lao, v, lz, ta, tao = xs
             cd = jnp.sum(c, axis=-1)
             p = _phi(logbeta_oldT[t], tao, lao)
+            tau_c = jnp.sum(ta * c, -1)
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
+            if seq_axis is not None:
+                # complete the per-doc token reductions across the
+                # shards before any nonlinear doc-level term
+                cd = jax.lax.psum(cd, seq_axis)
+                tau_c = jax.lax.psum(tau_c, seq_axis)
+                pc = jax.lax.psum(pc, seq_axis)
             # Elogpeta (fCTM.jl:68-71)
             diff = la - mu
             quad = jnp.einsum("bi,ij,bj->b", diff, invsigma, diff)
             e_peta = 0.5 * (logdet_inv - K * log2pi - jnp.sum(isd * v, -1) - quad)
             # Elogpc (fCTM.jl:74-78)
-            tau_c = jnp.sum(ta * c, -1)
             s = tau_c * jnp.log(eta + eps) + (cd - tau_c) * jnp.log(1.0 - eta + eps)
             e_pc = jnp.logaddexp(s, log_eps)
             # Elogpz (fCTM.jl:81-85)
-            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
             bound = jnp.sum(jnp.exp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
             e_pz = jnp.sum(pc * la, -1) - cd * bound
             # Elogpw (fCTM.jl:88-92)
@@ -282,8 +306,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             e_qc = jnp.sum(bernoulli_entropy(ta) * c, axis=-1)
             # −Elogqz (fCTM.jl:108-112)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
-            contrib = dm * (e_peta + e_pc + e_pz + e_pw + e_qeta + e_qc + e_qz)
-            return acc + jnp.sum(contrib), None
+            # doc-level vs token-local terms in separate accumulators
+            acc_doc = acc_doc + jnp.sum(dm * (e_peta + e_pc + e_pz + e_qeta))
+            acc_tok = acc_tok + jnp.sum(dm * (e_pw + e_qc + e_qz))
+            return (acc_doc, acc_tok), None
 
         def sweep(t_a, c_a, dm_a, la_a, lao_a, v_a, lz_a, ta_a, tao_a, acc):
             n_rows = t_a.shape[0]
@@ -297,35 +323,47 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             )
             return acc
 
-        total = jnp.zeros((), dt)
+        zero = jnp.zeros((), dt)
+        acc = (zero, zero)
         if segments is None:
-            total = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
-                          state.vsq, state.logzeta, state.tau, state.tau_old,
-                          total)
+            acc = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
+                        state.vsq, state.logzeta, state.tau, state.tau_old,
+                        acc)
         else:
             for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
                 lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
                 Ls = t_a.shape[1]
-                total = sweep(t_a, c_a, dm_a, state.lam[lo_:hi_],
-                              state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
-                              state.logzeta[lo_:hi_], state.tau[lo_:hi_, :Ls],
-                              state.tau_old[lo_:hi_, :Ls], total)
-        if axis_name is not None:
-            total = jax.lax.psum(total, axis_name)
+                acc = sweep(t_a, c_a, dm_a, state.lam[lo_:hi_],
+                            state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
+                            state.logzeta[lo_:hi_], state.tau[lo_:hi_, :Ls],
+                            state.tau_old[lo_:hi_, :Ls], acc)
+        total_doc, total_tok = acc
+        axes = axis_name if axis_name is not None else ()
+        if isinstance(axes, str):
+            axes = (axes,)
+        if seq_axis is not None:
+            total_tok = jax.lax.psum(total_tok, axes + (seq_axis,))
+            total_doc = jax.lax.psum(total_doc, axes) if axes else total_doc
+            return total_doc + total_tok
+        total = total_doc + total_tok
+        if axes:
+            total = jax.lax.psum(total, axes)
         return total
 
     return elbo
 
 
-def partition_spec(data_axis="data", vocab_axis: Optional[str] = None):
+def partition_spec(data_axis="data", vocab_axis: Optional[str] = None,
+                   seq_axis: Optional[str] = None):
     from jax.sharding import PartitionSpec as P
 
     beta_spec = P(None, vocab_axis) if vocab_axis is not None else P()
     kappa_spec = P(vocab_axis) if vocab_axis is not None else P()
+    tau_spec = P(data_axis, seq_axis) if seq_axis is not None else P(data_axis)
     return FCTMState(
         eta=P(), mu=P(), sigma=P(), invsigma=P(),
         kappa=kappa_spec, kappa_old=kappa_spec,
         beta=beta_spec, beta_old=beta_spec,
         lam=P(data_axis), lam_old=P(data_axis), vsq=P(data_axis),
-        logzeta=P(data_axis), tau=P(data_axis), tau_old=P(data_axis), elbo=P(),
+        logzeta=P(data_axis), tau=tau_spec, tau_old=tau_spec, elbo=P(),
     )

@@ -70,7 +70,11 @@ def _phi(logbeta_d, tau, El):
 
 
 def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
-                 gamma, El, El_old, tau, tau_old, viter, vtol, V):
+                 gamma, El, El_old, tau, tau_old, viter, vtol, V,
+                 seq_axis=None):
+    """With ``seq_axis`` each document's token axis is sharded over that
+    mesh axis (SP analogue, SURVEY §5.7b): tau/phi rows live shard-local
+    and every per-doc token reduction becomes a psum over the shards."""
     eps = jnp.asarray(EPSILON, gamma.dtype)
     logbeta_d = logbetaT[terms]          # [B, L, K]
     kappa_d = kappa_full[terms]          # [B, L]  raw kappa values (fLDA.jl:199)
@@ -84,9 +88,12 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
         s = jnp.sum(p * logbeta_d, axis=-1)           # Σ_k phi·log beta  [B, L]
         tau_new = eta / (eta + (1.0 - eta) * kappa_d * jnp.exp(-s) + eps)
         # update_gamma! (fLDA.jl:188-191)
-        gamma_new = alpha[None, :] + jnp.einsum(
+        pc = jnp.einsum(
             "bl,blk->bk", counts, p, preferred_element_type=gamma.dtype
-        ) + eps
+        )
+        if seq_axis is not None:
+            pc = jax.lax.psum(pc, seq_axis)
+        gamma_new = alpha[None, :] + pc + eps
         # update_Elogtheta! (fLDA.jl:181-184)
         El_new = digamma(gamma_new) - digamma(jnp.sum(gamma_new, -1, keepdims=True))
         upd = active[:, None]
@@ -119,15 +126,21 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
-              vocab_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """``vocab_axis`` shards beta [K, V] and kappa [V] storage (TP, like
-    models/lda.py): all_gather in, reduce_scatter + psum'd sums out."""
+    models/lda.py): all_gather in, reduce_scatter + psum'd sums out.
+    ``seq_axis`` shards every document's token axis (and the tau state)
+    over that mesh axis (SP analogue, SURVEY §5.7b); incompatible with
+    bucketed packing and the Pallas body, like models/lda.py."""
     V = packed.V
     segments = packed.segments
     if use_pallas is None:
         # the kernel pads the topic axis to 128 lanes; below K=64 the
         # padding waste outweighs the fused fixpoint's IO win
         use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
+    if seq_axis is not None:
+        use_pallas = False
+        assert segments is None, "token-axis sharding requires dense packing"
     from .lda import _round_up_128
     Kp = _round_up_128(K)
 
@@ -177,7 +190,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             t, c, dm, g, el, elo, ta, tao = xs
             g2, el2, elo2, ta2, tao2, bti, kti, esi, tci = _estep_chunk(
                 logbetaT, kappa_full_v, state.eta, state.alpha,
-                t, c, dm, g, el, elo, ta, tao, viter, vtol, V
+                t, c, dm, g, el, elo, ta, tao, viter, vtol, V,
+                seq_axis=seq_axis,
             )
             return (bt + bti, kt + kti, es + esi, tc + tci), (g2, el2, elo2, ta2, tao2)
 
@@ -227,22 +241,26 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
         beta_temp, kappa_temp, El_sum, tau_counts = carry
         axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
+        # token-level statistics also sum over the token shards; El_sum
+        # is doc-level and identical on every seq shard (data axes only)
+        axes_tok = axes + (seq_axis,) if seq_axis is not None else axes
         if axes:
             El_sum = jax.lax.psum(El_sum, axes)
-            tau_counts = jax.lax.psum(tau_counts, axes)
+        if axes_tok:
+            tau_counts = jax.lax.psum(tau_counts, axes_tok)
 
         if vocab_axis is not None:
             from ..parallel.shard import tp_normalize_rows
 
-            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes)
+            bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes_tok)
             kt_local, k_sum = tp_normalize_rows(
-                kappa_temp[:, None], vocab_axis, axes)
+                kappa_temp[:, None], vocab_axis, axes_tok)
             beta_new = bt_local.T / row_sum[:, None]
             kappa_new = kt_local[:, 0] / k_sum[0]
         else:
-            if axes:
-                beta_temp = jax.lax.psum(beta_temp, axes)
-                kappa_temp = jax.lax.psum(kappa_temp, axes)
+            if axes_tok:
+                beta_temp = jax.lax.psum(beta_temp, axes_tok)
+                kappa_temp = jax.lax.psum(kappa_temp, axes_tok)
             beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
             kappa_new = kappa_temp / jnp.sum(kappa_temp)     # fLDA.jl:152-156
         alpha_new = dirichlet_newton(state.alpha, El_sum, M_total, niter, ntol)
@@ -259,11 +277,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
 
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
-              vocab_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """ELBO with the reference's *_old recompute semantics (fLDA.jl:109-118)."""
     V = packed.V
 
     segments = packed.segments
+    if seq_axis is not None:
+        assert segments is None, "token-axis sharding requires dense packing"
 
     def elbo(state: FLDAState, terms, counts, doc_mask):
         dt = state.beta.dtype
@@ -284,11 +304,19 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         log_eps = jnp.log(eps)
 
         def scan_body(acc, xs):
+            acc_doc, acc_tok = acc
             t, c, dm, g, el, elo, ta, tao = xs
             # phi recompute from tau_old/beta_old/Elogtheta_old (fLDA.jl:113)
             p = _phi(logbeta_oldT[t], tao, elo)
             C_d = jnp.sum(c, -1)
             tau_c = jnp.sum(ta * c, -1)
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
+            if seq_axis is not None:
+                # per-doc token reductions complete across the shards
+                # BEFORE the nonlinear Elogpc term is formed
+                C_d = jax.lax.psum(C_d, seq_axis)
+                tau_c = jax.lax.psum(tau_c, seq_axis)
+                pc = jax.lax.psum(pc, seq_axis)
             # Elogptheta (fLDA.jl:62-65)
             e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
             # Elogpc (fLDA.jl:68-71): log(eta^a (1-eta)^b + EPS) — mirrors the
@@ -296,7 +324,6 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             s = tau_c * jnp.log(eta + eps) + (C_d - tau_c) * jnp.log(1.0 - eta + eps)
             e_pc = jnp.logaddexp(s, log_eps)
             # Elogpz (fLDA.jl:74-78)
-            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
             e_pz = jnp.sum(pc * el, -1)
             # Elogpw (fLDA.jl:82-86)
             e_pw = jnp.sum(p * logbetaT[t] * (c * ta)[..., None], axis=(1, 2)) \
@@ -307,8 +334,11 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             e_qc = jnp.sum(bernoulli_entropy(ta) * c, axis=-1)
             # −Elogqz (fLDA.jl:102-105)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
-            contrib = dm * (e_ptheta + e_pc + e_pz + e_pw + e_qtheta + e_qc + e_qz)
-            return acc + jnp.sum(contrib), None
+            # doc-level terms are replicated across token shards; token-
+            # level terms are shard-local — separate accumulators
+            acc_doc = acc_doc + jnp.sum(dm * (e_ptheta + e_pc + e_pz + e_qtheta))
+            acc_tok = acc_tok + jnp.sum(dm * (e_pw + e_qc + e_qz))
+            return (acc_doc, acc_tok), None
 
         def sweep(t_a, c_a, dm_a, g_a, el_a, elo_a, ta_a, tao_a, acc):
             n_rows = t_a.shape[0]
@@ -322,35 +352,48 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             )
             return acc
 
-        total = jnp.zeros((), dt)
+        zero = jnp.zeros((), dt)
+        acc = (zero, zero)
         if segments is None:
-            total = sweep(terms, counts, doc_mask, state.gamma,
-                          state.Elogtheta, state.Elogtheta_old,
-                          state.tau, state.tau_old, total)
+            acc = sweep(terms, counts, doc_mask, state.gamma,
+                        state.Elogtheta, state.Elogtheta_old,
+                        state.tau, state.tau_old, acc)
         else:
             for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
                 lo, hi = seg.loc_start, seg.loc_start + t_a.shape[0]
                 Ls = t_a.shape[1]
-                total = sweep(t_a, c_a, dm_a, state.gamma[lo:hi],
-                              state.Elogtheta[lo:hi],
-                              state.Elogtheta_old[lo:hi],
-                              state.tau[lo:hi, :Ls],
-                              state.tau_old[lo:hi, :Ls], total)
-        if axis_name is not None:
-            total = jax.lax.psum(total, axis_name)
+                acc = sweep(t_a, c_a, dm_a, state.gamma[lo:hi],
+                            state.Elogtheta[lo:hi],
+                            state.Elogtheta_old[lo:hi],
+                            state.tau[lo:hi, :Ls],
+                            state.tau_old[lo:hi, :Ls], acc)
+        total_doc, total_tok = acc
+        axes = axis_name if axis_name is not None else ()
+        if isinstance(axes, str):
+            axes = (axes,)
+        if seq_axis is not None:
+            total_tok = jax.lax.psum(total_tok, axes + (seq_axis,))
+            total_doc = jax.lax.psum(total_doc, axes) if axes else total_doc
+            return total_doc + total_tok
+        total = total_doc + total_tok
+        if axes:
+            total = jax.lax.psum(total, axes)
         return total
 
     return elbo
 
 
-def partition_spec(data_axis="data", vocab_axis: Optional[str] = None):
+def partition_spec(data_axis="data", vocab_axis: Optional[str] = None,
+                   seq_axis: Optional[str] = None):
     from jax.sharding import PartitionSpec as P
 
     beta_spec = P(None, vocab_axis) if vocab_axis is not None else P()
     kappa_spec = P(vocab_axis) if vocab_axis is not None else P()
+    # tau is per-token state: under SP its token axis shards with the data
+    tau_spec = P(data_axis, seq_axis) if seq_axis is not None else P(data_axis)
     return FLDAState(
         eta=P(), alpha=P(), kappa=kappa_spec, kappa_old=kappa_spec,
         beta=beta_spec, beta_old=beta_spec,
         gamma=P(data_axis), Elogtheta=P(data_axis), Elogtheta_old=P(data_axis),
-        tau=P(data_axis), tau_old=P(data_axis), elbo=P(),
+        tau=tau_spec, tau_old=tau_spec, elbo=P(),
     )
