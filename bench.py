@@ -10,104 +10,79 @@ run the *harder* K=100 configuration and compare against that figure.
 
 The NSF docfile is stripped from this mirror (.MISSING_LARGE_BLOBS), so
 documents are synthesized at the published scale with a Zipf-like vocab
-distribution and realistic doc lengths, seed-controlled.  The benchmark
-measures the full outer CAVI iteration (viter=10 E-step fixpoint +
-sufficient stats + beta M-step + alpha Newton), not just a kernel.
+distribution and realistic doc lengths, seed-controlled
+(datasets.synth_packed_nsf_scale).  The benchmark measures the full
+outer CAVI iteration (viter=10 E-step fixpoint + sufficient stats +
+beta M-step + alpha Newton) through the public api path — the same
+step the CLI drives; the equivalent one-command run is:
+
+    python -m topicmodelsvb_jl_tpu.train --model lda --corpus nsf-scale \\
+        --k 100 --iter 10 --checkelbo inf --json
+
+Noise handling: every timed chain restarts from the SAME warmed state
+(identical work per chain — per-doc convergence masking means a chain
+continuing from a converged state does less work), and the headline is
+the median of 5 chains; each end-of-chain sync is a scalar VALUE fetch
+(on the tunnelled device block_until_ready can return early, a value
+fetch cannot).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
+# kept for bench_ctm.py / external scripts
+from topicmodelsvb_jl_tpu.datasets import synth_packed_nsf_scale as \
+    make_packed_nsf_scale  # noqa: E402
 
 
-def make_packed_nsf_scale(M=128_804, V=25_319, mean_terms=85, seed=7,
-                          chunk_docs=1024, pad_multiple=32, dtype=np.float32):
-    """Vectorised synthetic corpus at NSF scale, packed directly."""
-    from topicmodelsvb_jl_tpu.ops.packing import PackedCorpus
-
-    rng = np.random.default_rng(seed)
-    N = np.clip(rng.poisson(mean_terms, size=M), 8, None).astype(np.int32)
-    L = int(-(-int(N.max()) // pad_multiple) * pad_multiple)
-    M_pad = -(-M // chunk_docs) * chunk_docs
-
-    # Zipf-ish vocab draw (u^3 skews mass to low ids), duplicates allowed
-    u = rng.random((M_pad, L), dtype=np.float32)
-    terms = np.minimum((V * u**3).astype(np.int32), V - 1)
-    tok_idx = np.arange(L, dtype=np.int32)[None, :]
-    N_full = np.zeros(M_pad, np.int32)
-    N_full[:M] = N
-    valid = tok_idx < N_full[:, None]
-    counts = (1 + rng.poisson(0.35, size=(M_pad, L))).astype(dtype) * valid
-    terms = terms * valid
-    doc_mask = np.zeros(M_pad, dtype)
-    doc_mask[:M] = 1.0
-    return PackedCorpus(
-        terms=terms, counts=counts, doc_mask=doc_mask, N=N_full,
-        C=counts.sum(1).astype(dtype), M=M, V=V, L=L,
-        max_count=int(counts.max()),
-    )
+def timed_chains(step, data, warm_state, iters, reps, fetch):
+    times = []
+    for _ in range(reps):
+        s = warm_state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = step(s, *data)
+        fetch(s)                      # value fetch = real sync
+        times.append(time.perf_counter() - t0)
+    return times
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from topicmodelsvb_jl_tpu.models import lda as lda_mod
-    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
-    from topicmodelsvb_jl_tpu.parallel.shard import dp_jit
+    from topicmodelsvb_jl_tpu.api import LDA
+    from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig, TrainConfig
 
     K = int(os.environ.get("BENCH_K", 100))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     chunk = int(os.environ.get("BENCH_CHUNK", 1024))
     M = int(os.environ.get("BENCH_M", 128_804))
-
-    from topicmodelsvb_jl_tpu.ops.packing import bucketize_packed
+    reps = int(os.environ.get("BENCH_REPS", 5))
 
     packed = make_packed_nsf_scale(M=M, chunk_docs=chunk)
-    mesh = make_mesh(axis_names=("data",))
-    n_sh = mesh.shape["data"]
-    packed = bucketize_packed(packed, chunk=chunk, n_shards=n_sh,
-                              pad_multiple=32)
+    rt = RuntimeConfig(chunk_docs=chunk, dtype="float32")
+    model = LDA(packed, K, runtime=rt, seed=7)
 
-    state = lda_mod.init(jax.random.PRNGKey(7), packed, K, jnp.float32)
-    vtol = 1.0 / K**2
-    step_local = lda_mod.make_step(
-        packed, K, viter=10, vtol=vtol, niter=1000, ntol=vtol,
-        chunk_docs=chunk, axis_name="data",
-    )
-    spec = lda_mod.partition_spec("data")
-    step = dp_jit(step_local, mesh, spec, n_data_args=3, n_repl_args=1)
+    cfg = TrainConfig(iter=iters, checkelbo=float("inf")).resolved(K)
+    model._cfg = cfg
+    tr = model._build_trainer(cfg)
+    state = jax.device_put(model.state, tr.state_sharding)
 
-    data = (
-        tuple(jnp.asarray(s.terms) for s in packed.segments),
-        tuple(jnp.asarray(s.counts) for s in packed.segments),
-        tuple(jnp.asarray(s.doc_mask) for s in packed.segments),
-        jnp.asarray(float(packed.M), jnp.float32),
-    )
+    # compile + warm up one step; all chains restart from this state
+    warm = tr.step_fn(state, *tr.data)
+    float(jnp.sum(warm.alpha))
 
-    # compile + warm up
-    state = step(state, *data)
-    jax.block_until_ready(state.beta)
-
-    # best-of-2 chained runs: robust to a transient stall of the shared
-    # device tunnel (observed ±40% between timeslices).  The end-of-run
-    # sync is a scalar VALUE fetch — on the tunnelled device
-    # block_until_ready can return before queued work completes, but a
-    # fetch cannot.
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state = step(state, *data)
-        float(jnp.sum(state.alpha))  # forces completion of the chain
-        best = min(best, time.perf_counter() - t0)
+    times = timed_chains(tr.step_fn, tr.data, warm, iters, reps,
+                         lambda s: float(jnp.sum(s.alpha)))
+    best = statistics.median(times)
 
     docs_per_s = packed.M * iters / best
     baseline = 128_804 * 10 / 26.0  # reference gpuLDA NSF K=50 (plots.R:4)

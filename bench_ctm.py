@@ -4,6 +4,13 @@
 Reference baseline: gpuCTM 10 iterations on NSF at K=50 in 276 s
 (plots.R:4) => 27.6 s/iteration on an Apple-M1 OpenCL GPU.
 
+Same harness discipline as bench.py: public api path, timed chains
+restarting from one warmed state, median of BENCH_REPS chains, value-
+fetch syncs.  Equivalent one-command run:
+
+    python -m topicmodelsvb_jl_tpu.train --model ctm --corpus nsf-scale \\
+        --k 50 --iter 3 --checkelbo inf --json
+
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
 value is seconds per outer iteration (lower is better) and vs_baseline
 is the speedup factor over 27.6 s.
@@ -11,58 +18,42 @@ is the speedup factor over 27.6 s.
 
 import json
 import os
+import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import make_packed_nsf_scale, timed_chains  # noqa: E402
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import make_packed_nsf_scale
-    from topicmodelsvb_jl_tpu.models import ctm as ctm_mod
-    from topicmodelsvb_jl_tpu.ops.packing import bucketize_packed
-    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
-    from topicmodelsvb_jl_tpu.parallel.shard import dp_jit
+    from topicmodelsvb_jl_tpu.api import CTM
+    from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig, TrainConfig
 
     K = int(os.environ.get("BENCH_K", 50))
     iters = int(os.environ.get("BENCH_ITERS", 3))
     chunk = int(os.environ.get("BENCH_CHUNK", 1024))
     M = int(os.environ.get("BENCH_M", 128_804))
+    reps = int(os.environ.get("BENCH_REPS", 3))
 
     packed = make_packed_nsf_scale(M=M, chunk_docs=chunk)
-    mesh = make_mesh(axis_names=("data",))
-    packed = bucketize_packed(packed, chunk=chunk, n_shards=mesh.shape["data"],
-                              pad_multiple=32)
+    rt = RuntimeConfig(chunk_docs=chunk, dtype="float32")
+    model = CTM(packed, K, runtime=rt, seed=7)
 
-    state = ctm_mod.init(jax.random.PRNGKey(7), packed, K, jnp.float32)
-    vtol = 1.0 / K**2
-    step_local = ctm_mod.make_step(
-        packed, K, viter=10, vtol=vtol, niter=1000, ntol=vtol,
-        chunk_docs=chunk, axis_name="data",
-    )
-    spec = ctm_mod.partition_spec("data")
-    step = dp_jit(step_local, mesh, spec, n_data_args=3, n_repl_args=1)
+    cfg = TrainConfig(iter=iters, checkelbo=float("inf")).resolved(K)
+    model._cfg = cfg
+    tr = model._build_trainer(cfg)
+    state = jax.device_put(model.state, tr.state_sharding)
 
-    data = (
-        tuple(jnp.asarray(s.terms) for s in packed.segments),
-        tuple(jnp.asarray(s.counts) for s in packed.segments),
-        tuple(jnp.asarray(s.doc_mask) for s in packed.segments),
-        jnp.asarray(float(packed.M), jnp.float32),
-    )
+    warm = tr.step_fn(state, *tr.data)
+    float(jnp.sum(warm.mu))
 
-    state = step(state, *data)          # compile + warm up
-    float(jnp.sum(state.mu))
-
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state = step(state, *data)
-        float(jnp.sum(state.mu))        # value fetch = real sync
-        best = min(best, time.perf_counter() - t0)
+    times = timed_chains(tr.step_fn, tr.data, warm, iters, reps,
+                         lambda s: float(jnp.sum(s.mu)))
+    best = statistics.median(times)
 
     s_per_iter = best / iters
     baseline = 27.6  # reference gpuCTM NSF K=50 (plots.R:4)

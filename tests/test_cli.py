@@ -1,0 +1,49 @@
+"""CLI entry point (SURVEY §5.6): python -m topicmodelsvb_jl_tpu.train."""
+
+import json
+import os
+
+import numpy as np
+
+from topicmodelsvb_jl_tpu.train import run
+
+
+def test_cli_trains_and_summarises(tmp_path):
+    metrics = str(tmp_path / "m.jsonl")
+    ckpt = str(tmp_path / "model.ckpt")
+    summary = run([
+        "--model", "lda", "--corpus", "synth", "--synth-m", "64",
+        "--synth-v", "40", "--k", "3", "--iter", "5", "--checkelbo", "1",
+        "--dtype", "float64", "--chunk-docs", "8", "--pad-multiple", "8",
+        "--quiet", "--metrics", metrics, "--save", ckpt, "--seed", "3",
+    ])
+    assert summary["iterations"] == 5
+    assert summary["model"] == "lda" and summary["K"] == 3
+    assert summary["final_elbo"] is not None
+    assert summary["docs_per_s"] > 0 and summary["tokens_per_s"] > 0
+    # JSONL metrics emitted, with elbo present on sync rows
+    rows = [json.loads(l) for l in open(metrics)]
+    assert len(rows) == 5
+    assert all(r["elbo"] is not None for r in rows)
+    assert os.path.exists(ckpt)
+
+
+def test_cli_packed_scale_corpus():
+    summary = run([
+        "--model", "lda", "--corpus", "nsf-scale", "--subset", "512",
+        "--k", "4", "--iter", "2", "--checkelbo", "inf",
+        "--chunk-docs", "64", "--quiet", "--no-pallas",
+    ])
+    assert summary["iterations"] == 2
+    assert summary["M"] == 512 and summary["V"] == 25_319
+
+
+def test_cli_ctm_runs():
+    summary = run([
+        "--model", "ctm", "--corpus", "synth", "--synth-m", "32",
+        "--synth-v", "30", "--k", "3", "--iter", "2", "--checkelbo", "1",
+        "--dtype", "float64", "--chunk-docs", "8", "--pad-multiple", "8",
+        "--niter", "30", "--quiet",
+    ])
+    deltas = summary["final_elbo"]
+    assert np.isfinite(deltas)

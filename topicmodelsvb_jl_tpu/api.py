@@ -55,42 +55,65 @@ class TopicModel:
 
     def __init__(
         self,
-        corp: Corpus,
+        corp,
         K: int,
         runtime: Optional[RuntimeConfig] = None,
         mesh=None,
         seed: int = 0,
     ):
-        corpuslib.check_corp(corp)
+        """``corp`` is a :class:`Corpus`, or a prebuilt
+        :class:`~..ops.packing.PackedCorpus` for data that never existed
+        as Document objects (synthetic benchmarks, external pipelines);
+        with a PackedCorpus the corpus-text post-hoc surface
+        (showtopics/showdocs/gendoc word output) is unavailable."""
+        from .ops.packing import PackedCorpus
+
         if K <= 0:
             raise ValueError("number of topics must be a positive integer.")
 
         self.K = int(K)
-        self.corp = corp.copy()  # corpus-level isolation (LDA.jl:44)
-        self.M, self.V, self.U = corp.shape
-        self.N = [len(doc) for doc in corp.docs]
-        self.C = [doc.size for doc in corp.docs]
         self.runtime = runtime or RuntimeConfig()
         self.mesh = mesh if mesh is not None else make_mesh(axis_names=(self.runtime.data_axis,))
         self.seed = seed
-
         n_sh = self.mesh.shape[self.runtime.data_axis]
-        per_shard = max(1, math.ceil(max(self.M, 1) / n_sh))
-        self.chunk_docs = min(self.runtime.chunk_docs, _round_up(per_shard, 8))
-        self.packed = pack_corpus(
-            self.corp,
-            pad_multiple=self.runtime.pad_multiple,
-            docs_multiple=self.chunk_docs * n_sh,
-            with_readers=self._uses_readers,
-            dtype=np.dtype(self.runtime.dtype),
-        )
-        if self._bucketed:
+
+        if isinstance(corp, PackedCorpus):
+            self.corp = None
+            self.M, self.V, self.U = corp.M, corp.V, corp.U
+            self.N = corp.N[: corp.M].tolist()
+            self.C = corp.C[: corp.M].tolist()
+            per_shard = max(1, math.ceil(max(self.M, 1) / n_sh))
+            self.chunk_docs = min(self.runtime.chunk_docs,
+                                  _round_up(per_shard, 8))
+            self.packed = corp
+        else:
+            corpuslib.check_corp(corp)
+            self.corp = corp.copy()  # corpus-level isolation (LDA.jl:44)
+            self.M, self.V, self.U = corp.shape
+            self.N = [len(doc) for doc in corp.docs]
+            self.C = [doc.size for doc in corp.docs]
+            per_shard = max(1, math.ceil(max(self.M, 1) / n_sh))
+            self.chunk_docs = min(self.runtime.chunk_docs, _round_up(per_shard, 8))
+            self.packed = pack_corpus(
+                self.corp,
+                pad_multiple=self.runtime.pad_multiple,
+                docs_multiple=self.chunk_docs * n_sh,
+                with_readers=self._uses_readers,
+                dtype=np.dtype(self.runtime.dtype),
+            )
+        if self._uses_readers and self.packed.readers is None:
+            raise ValueError("this model requires reader arrays in the packed corpus.")
+        if self._bucketed and self.packed.segments is None:
             # length-sorted, shard-major, per-segment token widths; doc-
             # indexed accessors map through packed.inv_order
             self.packed = bucketize_packed(
                 self.packed, chunk=self.chunk_docs, n_shards=n_sh,
                 pad_multiple=min(32, self.runtime.pad_multiple),
             )
+        elif not self._bucketed and self.packed.M_pad % (self.chunk_docs * n_sh):
+            raise ValueError(
+                f"packed doc axis {self.packed.M_pad} must divide into "
+                f"chunk_docs×shards = {self.chunk_docs}×{n_sh}")
         self.dtype = jnp.dtype(self.runtime.dtype)
         self.key = jax.random.PRNGKey(seed)
         self.state = None
@@ -167,6 +190,26 @@ class TopicModel:
                   metrics_path=self.runtime.metrics_path,
                   profile_dir=self.runtime.profile_dir,
                   profile_steps=self.runtime.profile_steps)
+        rt = self.runtime
+        if rt.checkpoint_every > 0 and rt.checkpoint_dir:
+            # §5.3 auto-checkpoint cadence: atomic (tmp + rename) so a
+            # SIGKILL mid-write never leaves a torn latest checkpoint
+            import os
+
+            from . import checkpoint as ckptlib
+
+            def _ckpt_cb(k, state):
+                if jax.process_count() > 1:
+                    return  # full state not addressable from one process
+                self.state = state
+                os.makedirs(rt.checkpoint_dir, exist_ok=True)
+                final = os.path.join(rt.checkpoint_dir, f"ckpt_iter{k:06d}")
+                tmp = final + ".tmp"
+                ckptlib.save(tmp, self)
+                os.replace(tmp, final)
+
+            kw["checkpoint_cb"] = _ckpt_cb
+            kw["checkpoint_every"] = rt.checkpoint_every
         if spec is not None:
             from jax.sharding import NamedSharding
 
@@ -244,14 +287,15 @@ class TopicModel:
             raise ValueError("some topic indices are outside range.")
         V = min(V, self.V)
         cols = min(cols, len(topics))
-        vocab = self.corp.vocab
+        vocab = self.corp.vocab if self.corp is not None else {}
         rank = self.topics if self.topics is not None else lda_mod.topics_ranking(
             self._topic_word_matrix()
         )
 
         blocks = [topics[i : i + cols] for i in range(0, len(topics), cols)]
         for n, block in enumerate(blocks):
-            col_words = [[vocab[int(rank[t - 1, j])] for j in range(V)] for t in block]
+            col_words = [[vocab.get(int(rank[t - 1, j]), f"#term{int(rank[t - 1, j])}")
+                          for j in range(V)] for t in block]
             widths = [
                 max(len(f"topic {t}"), max(len(w) for w in words)) + 3
                 for t, words in zip(block, col_words)
@@ -263,13 +307,22 @@ class TopicModel:
             if n < len(blocks) - 1:
                 print()
 
+    def _require_corp(self):
+        if self.corp is None:
+            raise TopicModelError(
+                "this model was built from a PackedCorpus; corpus-text "
+                "displays need a Corpus.")
+
     def showdocs(self, docs=None):
+        self._require_corp()
         corpuslib.showdocs(self.corp, docs)
 
     def showtitles(self, docs=None):
+        self._require_corp()
         corpuslib.showtitles(self.corp, docs)
 
     def getvocab(self):
+        self._require_corp()
         return corpuslib.getvocab(self.corp)
 
     def getusers(self):
@@ -602,12 +655,23 @@ class CTPF(TopicModel):
 
     def __init__(self, corp, K, runtime=None, mesh=None, seed: int = 0):
         super().__init__(corp, K, runtime=runtime, mesh=mesh, seed=seed)
-        self.R = [len(doc.readers) for doc in self.corp.docs]
-        # user libraries (CTPF.jl:62-65), 1-based doc indices
-        self.libs = [[] for _ in range(self.U)]
-        for d, doc in enumerate(self.corp.docs, start=1):
-            for u in doc.readers:
-                self.libs[u - 1].append(d)
+        if self.corp is not None:
+            self.R = [len(doc.readers) for doc in self.corp.docs]
+            # user libraries (CTPF.jl:62-65), 1-based doc indices
+            self.libs = [[] for _ in range(self.U)]
+            for d, doc in enumerate(self.corp.docs, start=1):
+                for u in doc.readers:
+                    self.libs[u - 1].append(d)
+        else:
+            # PackedCorpus input: recover R/libs from the reader arrays
+            # (0-based user ids, rows permuted through the packing)
+            rows = self._doc_rows()
+            p = self.packed
+            self.R = p.R[rows].tolist()
+            self.libs = [[] for _ in range(self.U)]
+            for d, row in enumerate(rows, start=1):
+                for u in p.readers[row, : p.R[row]]:
+                    self.libs[int(u)].append(d)
         # scores live on DEVICE ([M, U] is 100s of MB at scale; the
         # host here may be a single weak core), fetched to host lazily;
         # recs (unranked complements pre-train, score-ranked post-train,
@@ -958,6 +1022,10 @@ class DTM(TopicModel):
 
     def __init__(self, corp, K, delta: float, basemodel=None,
                  runtime=None, mesh=None, seed: int = 0):
+        if not isinstance(corp, Corpus):
+            raise TopicModelError(
+                "DTM requires a Corpus with per-document stamps; "
+                "PackedCorpus input is not supported.")
         if not (np.isfinite(delta) and delta > 0):
             raise ValueError("delta must be a positive finite number.")
         stamps = [doc.stamp for doc in corp.docs]

@@ -28,6 +28,17 @@ from .corpus import Corpus
 _FORMAT_VERSION = 1
 
 
+def packed_fingerprint(packed) -> str:
+    """Stable hash of a PackedCorpus's device-facing arrays (used when a
+    model was built directly from packed data, no Corpus available).
+    Hash the same (pre- or post-bucketing) packed object on load."""
+    h = hashlib.sha256()
+    for a in (packed.terms, packed.counts, packed.readers, packed.ratings):
+        if a is not None:
+            h.update(np.ascontiguousarray(a).tobytes())
+    return "packed:" + h.hexdigest()
+
+
 def corpus_fingerprint(corp: Corpus) -> str:
     """Stable hash of the corpus contents (docs + vocab + users)."""
     h = hashlib.sha256()
@@ -66,7 +77,8 @@ def save(path: str, model) -> None:
         K=model.K,
         seed=model.seed,
         dtype=str(model.dtype),
-        corpus=corpus_fingerprint(model.corp),
+        corpus=(corpus_fingerprint(model.corp) if model.corp is not None
+                else packed_fingerprint(model.packed)),
         n_leaves=len(fields),
         fields=fields,
         doc_fields=sorted(doc_fields),
@@ -94,7 +106,11 @@ def load(path: str, corp: Corpus, strict_corpus: bool = True):
 
     if meta["format"] != _FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint format {meta['format']}")
-    if strict_corpus and corpus_fingerprint(corp) != meta["corpus"]:
+    from .ops.packing import PackedCorpus
+
+    fp = (packed_fingerprint(corp) if isinstance(corp, PackedCorpus)
+          else corpus_fingerprint(corp))
+    if strict_corpus and fp != meta["corpus"]:
         raise ValueError("checkpoint corpus fingerprint does not match the given corpus.")
 
     cls = getattr(api, meta["model"])

@@ -141,6 +141,38 @@ def load_citeu(seed: int = 7, subset: Optional[int] = None) -> Corpus:
     return corp
 
 
+def synth_packed_nsf_scale(M=128_804, V=25_319, mean_terms=85, seed=7,
+                           chunk_docs=1024, pad_multiple=32,
+                           dtype=np.float32):
+    """Vectorised synthetic corpus at NSF scale, packed directly — the
+    benchmark input (the NSF docfile is stripped from this mirror).
+    Zipf-like vocab draw (u³ skews mass to low ids), realistic doc
+    lengths, seed-controlled; returns a dense PackedCorpus suitable for
+    the ``Model(packed, K)`` constructor or bucketize_packed."""
+    from .ops.packing import PackedCorpus, _round_up
+
+    rng = np.random.default_rng(seed)
+    N = np.clip(rng.poisson(mean_terms, size=M), 8, None).astype(np.int32)
+    L = _round_up(int(N.max()), pad_multiple)
+    M_pad = -(-M // chunk_docs) * chunk_docs
+
+    u = rng.random((M_pad, L), dtype=np.float32)
+    terms = np.minimum((V * u**3).astype(np.int32), V - 1)
+    tok_idx = np.arange(L, dtype=np.int32)[None, :]
+    N_full = np.zeros(M_pad, np.int32)
+    N_full[:M] = N
+    valid = tok_idx < N_full[:, None]
+    counts = (1 + rng.poisson(0.35, size=(M_pad, L))).astype(dtype) * valid
+    terms = terms * valid
+    doc_mask = np.zeros(M_pad, dtype)
+    doc_mask[:M] = 1.0
+    return PackedCorpus(
+        terms=terms, counts=counts, doc_mask=doc_mask, N=N_full,
+        C=counts.sum(1).astype(dtype), M=M, V=V, L=L,
+        max_count=int(counts.max()),
+    )
+
+
 def load_mac(seed: int = 7, subset: Optional[int] = None) -> Corpus:
     """Macintosh magazine corpus (v0.6 ``readcorp(:mac)``,
     v0.6/src/Corpus.jl:429-434) — the time-stamped DTM dataset.

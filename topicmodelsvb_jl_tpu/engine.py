@@ -64,6 +64,8 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_steps: int = 3,
         state_sharding=None,
+        checkpoint_cb: Optional[Callable] = None,
+        checkpoint_every: int = 0,
     ):
         self.step_fn = step_fn
         self.elbo_fn = elbo_fn
@@ -86,6 +88,10 @@ class Trainer:
         # front avoids a silent second compile on iteration 2 (the first
         # step's outputs otherwise change the arg shardings)
         self.state_sharding = state_sharding
+        # §5.3 recovery story: checkpoint_cb(k, state) every
+        # checkpoint_every outer iterations (0 disables)
+        self.checkpoint_cb = checkpoint_cb
+        self.checkpoint_every = int(checkpoint_every)
 
     def train(self, state, cfg: TrainConfig, corpus_all_empty: bool = False):
         cfg.validate()
@@ -154,6 +160,9 @@ class Trainer:
                 span_recs = []
                 span_start = time.perf_counter()
             self.trace.append(rec)
+            if (self.checkpoint_cb is not None and self.checkpoint_every > 0
+                    and k % self.checkpoint_every == 0):
+                self.checkpoint_cb(k, state)
             if rec.delta_elbo is not None and rec.delta_elbo < cfg.tol:
                 break
 

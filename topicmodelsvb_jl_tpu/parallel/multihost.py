@@ -67,6 +67,11 @@ def make_global_array(a, mesh, spec):
     sh = spec if isinstance(spec, NamedSharding) else NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(a, sh)
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        # already a global array (e.g. the state of a previous train()
+        # call); its value cannot be fetched host-side, and it is
+        # already placed — pass it through unchanged
+        return a
     host = np.asarray(a)
     return jax.make_array_from_callback(host.shape, sh, lambda idx: host[idx])
 

@@ -1,0 +1,189 @@
+"""Command-line training entry point (SURVEY §5.6).
+
+The reference has no config system — everything is ``train!`` kwargs
+(LDA.jl:161).  This CLI exposes the same knobs (TrainConfig), the TPU
+runtime knobs (RuntimeConfig), model and corpus selection, and the
+JSONL metrics sink, so any training run — including the benchmark — is
+reproducible from one documented command:
+
+    python -m topicmodelsvb_jl_tpu.train --model lda --corpus nsf-scale \\
+        --k 100 --iter 10 --checkelbo inf --json
+
+    python -m topicmodelsvb_jl_tpu.train --model ctpf --corpus citeu \\
+        --k 100 --iter 50 --metrics run.jsonl
+
+    python -m topicmodelsvb_jl_tpu.train --model lda \\
+        --docfile docs.txt --vocabfile vocab.txt --counts --k 9
+
+The final line of output is a JSON summary (always with ``--json``,
+otherwise after the reference-format ∆elbo prints).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m topicmodelsvb_jl_tpu.train",
+        description="Train a topic model (TPU-native TopicModelsVB).",
+    )
+    p.add_argument("--model", required=True,
+                   choices=["lda", "flda", "ctm", "fctm", "ctpf", "dtm"])
+    p.add_argument("--k", type=int, required=True, help="number of topics")
+    p.add_argument("--seed", type=int, default=0)
+
+    # ── corpus selection ──
+    c = p.add_argument_group("corpus")
+    c.add_argument("--corpus", default=None,
+                   choices=["nsf", "citeu", "mac", "synth", "nsf-scale"],
+                   help="bundled dataset, 'synth' (generative sampler), or "
+                        "'nsf-scale' (fast packed synthetic at NSF scale)")
+    c.add_argument("--subset", type=int, default=None,
+                   help="truncate the corpus to this many documents")
+    c.add_argument("--docfile", default="", help="readcorp docfile")
+    c.add_argument("--vocabfile", default="")
+    c.add_argument("--userfile", default="")
+    c.add_argument("--titlefile", default="")
+    c.add_argument("--counts", action="store_true")
+    c.add_argument("--readers", action="store_true")
+    c.add_argument("--ratings", action="store_true")
+    c.add_argument("--stamps", action="store_true")
+    c.add_argument("--synth-m", type=int, default=1000)
+    c.add_argument("--synth-v", type=int, default=500)
+    c.add_argument("--synth-u", type=int, default=0)
+    c.add_argument("--synth-slices", type=int, default=0)
+    c.add_argument("--fixcorp", action="store_true",
+                   help="run the reference fixcorp pipeline "
+                        "(stop, trim, alphabetize, remove_empty_docs)")
+
+    # ── TrainConfig (reference train! kwargs, LDA.jl:161) ──
+    t = p.add_argument_group("training (reference train! kwargs)")
+    t.add_argument("--iter", type=int, default=150)
+    t.add_argument("--tol", type=float, default=1.0)
+    t.add_argument("--niter", type=int, default=1000)
+    t.add_argument("--ntol", type=float, default=None)
+    t.add_argument("--viter", type=int, default=10)
+    t.add_argument("--vtol", type=float, default=None)
+    t.add_argument("--checkelbo", default="1",
+                   help="positive integer cadence or 'inf'")
+    t.add_argument("--quiet", action="store_true", help="printelbo=false")
+    t.add_argument("--delta", type=float, default=1.0,
+                   help="DTM time-slice width")
+
+    # ── RuntimeConfig (TPU knobs) ──
+    r = p.add_argument_group("runtime")
+    r.add_argument("--chunk-docs", type=int, default=None)
+    r.add_argument("--pad-multiple", type=int, default=None)
+    r.add_argument("--dtype", default=None, choices=["float32", "float64"])
+    r.add_argument("--no-pallas", action="store_true")
+    r.add_argument("--metrics", default=None, help="JSONL metrics sink path")
+    r.add_argument("--profile-dir", default=None)
+    r.add_argument("--checkpoint-every", type=int, default=None)
+    r.add_argument("--checkpoint-dir", default=None)
+    r.add_argument("--n-devices", type=int, default=None,
+                   help="limit the mesh to this many devices")
+
+    p.add_argument("--json", action="store_true",
+                   help="suppress prints; emit one JSON summary line")
+    p.add_argument("--save", default=None, help="checkpoint path to save to")
+    return p
+
+
+def _build_corpus(args):
+    from . import datasets
+
+    if args.corpus == "nsf-scale":
+        chunk = args.chunk_docs or 1024
+        return datasets.synth_packed_nsf_scale(
+            M=args.subset or 128_804, seed=args.seed or 7, chunk_docs=chunk)
+    if args.corpus == "nsf":
+        return datasets.load_nsf(subset=args.subset)
+    if args.corpus == "citeu":
+        return datasets.load_citeu(subset=args.subset)
+    if args.corpus == "mac":
+        return datasets.load_mac(subset=args.subset)
+    if args.corpus == "synth":
+        return datasets.synth_corpus(
+            M=args.synth_m, V=args.synth_v, U=args.synth_u, K=args.k,
+            seed=args.seed, n_slices=args.synth_slices,
+            drift=0.05 if args.synth_slices else 0.0)
+    if args.docfile or args.vocabfile:
+        from .corpus import readcorp
+
+        return readcorp(docfile=args.docfile, vocabfile=args.vocabfile,
+                        userfile=args.userfile, titlefile=args.titlefile,
+                        counts=args.counts, readers=args.readers,
+                        ratings=args.ratings, stamps=args.stamps)
+    raise SystemExit("need --corpus or --docfile/--vocabfile")
+
+
+def run(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    from . import api
+    from .corpus import Corpus, fixcorp
+    from .parallel.mesh import make_mesh
+    from .utils.config import RuntimeConfig
+
+    corp = _build_corpus(args)
+    if args.fixcorp and isinstance(corp, Corpus):
+        fixcorp(corp, stop=True, trim=True, alphabetize=True,
+                remove_empty_docs=True)
+
+    rt_kw = {}
+    for field, attr in [("chunk_docs", "chunk_docs"),
+                        ("pad_multiple", "pad_multiple"),
+                        ("dtype", "dtype"),
+                        ("metrics_path", "metrics"),
+                        ("profile_dir", "profile_dir"),
+                        ("checkpoint_every", "checkpoint_every"),
+                        ("checkpoint_dir", "checkpoint_dir")]:
+        v = getattr(args, attr)
+        if v is not None:
+            rt_kw[field] = v
+    if args.no_pallas:
+        rt_kw["use_pallas"] = False
+    runtime = RuntimeConfig(**rt_kw)
+    mesh = (make_mesh(n_devices=args.n_devices,
+                      axis_names=(runtime.data_axis,))
+            if args.n_devices else None)
+
+    cls = {"lda": api.LDA, "flda": api.fLDA, "ctm": api.CTM,
+           "fctm": api.fCTM, "ctpf": api.CTPF, "dtm": api.DTM}[args.model]
+    ctor_kw = dict(runtime=runtime, mesh=mesh, seed=args.seed)
+    if args.model == "dtm":
+        ctor_kw["delta"] = args.delta
+    model = cls(corp, args.k, **ctor_kw)
+
+    checkelbo = float("inf") if str(args.checkelbo).lower() in ("inf", "none") \
+        else int(args.checkelbo)
+    train_kw = dict(iter=args.iter, tol=args.tol, viter=args.viter,
+                    vtol=args.vtol, checkelbo=checkelbo,
+                    printelbo=not (args.quiet or args.json))
+    if args.model not in ("ctpf",):   # CTPF train! has no niter/ntol
+        train_kw.update(niter=args.niter, ntol=args.ntol)
+    model.train(**train_kw)
+
+    if args.save:
+        from . import checkpoint
+
+        checkpoint.save(args.save, model)
+
+    summary = model.trainer.summary()
+    summary.update(model=args.model, K=args.k, M=model.M, V=model.V)
+    return summary
+
+
+def main(argv=None) -> int:
+    summary = run(argv)
+    print(json.dumps({k: v for k, v in summary.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
