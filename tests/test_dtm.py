@@ -113,3 +113,155 @@ def test_dtm_requires_stamps():
     corp = tm.synth_corpus(M=20, V=20, K=2, seed=0)  # no stamps
     with pytest.raises(tm.CorpusError):
         tm.DTM(corp, 2, delta=1.0)
+
+
+def test_dtm_estep_matches_perdoc_oracle():
+    """Update-by-update oracle parity for the E-step + per-slice alpha
+    Newton (updateGamma!/updatePhi!/updateLzeta!/updateAlpha!,
+    DTM.jl:176-207, 306-309): the batch-synchronous masked sweep must
+    reproduce a straightforward per-document NumPy loop exactly.
+
+    (Deliberate divergences from the v0.6 reference, see PARITY.md:
+    Elogtheta is refreshed from the new gamma each viter iteration —
+    the reference only refreshes it in fixmodel! — and the overflow
+    max is max(x), matching updateMbeta! (DTM.jl:227) rather than
+    fixmodel!'s inconsistent max(exp(x)).)"""
+    from scipy.special import digamma as dg
+
+    corp = _corpus(M=40, V=30, K=3, n_slices=3, seed=6)
+    from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+    rt = RuntimeConfig(chunk_docs=8, dtype="float64", pad_multiple=8)
+    m = tm.DTM(corp, 3, delta=1.0, runtime=rt, seed=4,
+               mesh=make_mesh(n_devices=1))
+    K, T = m.K, m.T
+    viter, vtol = 5, 1.0 / K**2
+    niter, ntol = 40, 1.0 / K**2
+
+    alpha0 = np.asarray(m.state.alpha)
+    mbeta0 = np.asarray(m.state.mbeta)
+    vbeta0 = np.asarray(m.state.vbeta)
+    from topicmodelsvb_jl_tpu.utils.numerics import EPSILON as EPS
+    x = mbeta0 + 0.5 * vbeta0
+    maxl = x.max(axis=(1, 2))                           # [T]
+    rowsum = np.exp(x - maxl[:, None, None]).sum(axis=2)  # [T, K]
+
+    # slice id per doc (0-based), reference slice partition via m.S
+    sid = np.zeros(m.M, np.int64)
+    for t, docs in enumerate(m.S):
+        for d in docs:
+            sid[d - 1] = t
+
+    gam = np.ones((m.M, K))
+    El = dg(gam) - dg(gam.sum(1, keepdims=True))
+    lz = np.ones(m.M)
+    for d in range(m.M):
+        t = sid[d]
+        doc = corp.docs[d]
+        terms = np.asarray(doc.terms, np.int64) - 1
+        counts = np.asarray(doc.counts, np.float64)
+        for _ in range(viter):
+            decay = np.exp(maxl[t] - lz[d]) * rowsum[t]           # [K]
+            logits = (mbeta0[t][:, terms] - decay[:, None]
+                      + El[d][:, None])                            # [K, N]
+            e = np.exp(logits - logits.max(0))
+            phi = e / e.sum(0)
+            pc = phi @ counts
+            g_new = alpha0[t] + pc + EPS
+            delta = np.linalg.norm(g_new - gam[d])
+            gam[d] = g_new
+            El[d] = dg(g_new) - dg(g_new.sum())
+            lz[d] = maxl[t] + np.log(np.dot(pc, rowsum[t]) + EPS)
+            if delta < vtol:
+                break
+
+    m.train(iter=1, checkelbo=np.inf, printelbo=False, viter=viter,
+            niter=niter, cgiter=2)
+    rows = m._doc_rows()
+    np.testing.assert_allclose(np.asarray(m.state.gamma)[rows], gam,
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.state.lzeta)[rows], lz,
+                               rtol=1e-8)
+
+    # per-slice alpha Newton (updateAlpha!, DTM.jl:176-197)
+    from scipy.special import polygamma
+    trig = lambda z: polygamma(1, z)
+    alpha_ref = alpha0.copy()
+    for t in range(T):
+        docs_t = np.nonzero(sid == t)[0]
+        St = len(docs_t)
+        a = alpha_ref[t].copy()
+        nu = float(K)
+        elsum = El[docs_t].sum(0)
+        for _ in range(niter):
+            grad = nu / a + St * (dg(a.sum()) - dg(a)) + elsum
+            ihd = -1.0 / (St * trig(a) + nu / a**2)
+            p = (grad - np.dot(grad, ihd)
+                 / (1.0 / (St * trig(a.sum())) + ihd.sum())) * ihd
+            rho = 1.0
+            while np.min(a - rho * p) < 0:
+                rho *= 0.5
+            a = a - rho * p
+            if (rho * np.linalg.norm(grad) < ntol) and (nu / K < ntol):
+                break
+            nu *= 0.5
+        alpha_ref[t] = a + EPS
+    np.testing.assert_allclose(np.asarray(m.state.alpha), alpha_ref,
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_dtm_cg_gradient_matches_hand_derived_jacobian():
+    """The autodiff'd CG gradient (jax.grad through the smoother scans)
+    must equal the reference's hand-derived Jacobian chain
+    (mgrad/mbetagrad/betahatgrad, DTM.jl:247-284) transliterated in
+    NumPy — with the recursions run to completion: the reference stops
+    the backward mbetagrad recursion at t = s (DTM.jl:265-268) and
+    drops the smoothed-anchor derivative, truncating the sub-diagonal
+    sensitivity ∂mbeta[t<s]/∂betahat[s]; the completed recursion is the
+    exact gradient, which autodiff reproduces (documented divergence,
+    PARITY.md)."""
+    T, K, V = 4, 2, 5
+    rng = np.random.default_rng(3)
+    bh = rng.standard_normal((T, K, V))
+    A = np.abs(rng.standard_normal((T * V, K)))
+    wz = np.abs(rng.standard_normal((T, K)))
+
+    v_filt, vbeta = dtm_mod.variance_smoother(T, K, V, jnp.float64)
+    g_auto = np.asarray(jax.grad(
+        lambda b: dtm_mod.cg_objective(b, v_filt, vbeta, jnp.asarray(A),
+                                       jnp.asarray(wz)))(jnp.asarray(bh)))
+
+    # NumPy: smoother + completed Jacobian recursions (sigmasq=bsq=v0=1)
+    S2, B2, V0 = 1.0, 1.0, 1.0
+    v = np.asarray(v_filt)
+    vprev = np.concatenate([np.full((1, K, V), V0), v[:-1]], 0)
+    mb = np.asarray(dtm_mod.mean_smoother(jnp.asarray(bh), v_filt))
+    q0 = S2 / (V0 + S2)
+    mb0 = (1.0 - q0) * mb[0]          # smoothed anchor, M0 = 0
+    Eexp = np.exp(mb + 0.5 * np.asarray(vbeta))
+
+    grad = np.zeros_like(bh)
+    for s in range(T):
+        # forward-filter sensitivities mgrad[t] = d m[t] / d betahat[s]
+        mgrad = np.zeros((T, K, V))
+        mgrad[s] = 1.0 - B2 / (vprev[s] + S2 + B2)
+        for t in range(s + 1, T):
+            mgrad[t] = (B2 / (v[t - 1] + S2 + B2)) * mgrad[t - 1]
+        # backward-smoother sensitivities, run to t=0 (NOT stopped at s)
+        mbg = np.zeros((T, K, V))
+        mbg[T - 1] = mgrad[T - 1]
+        for t in range(T - 1, 0, -1):
+            q = S2 / (v[t - 1] + S2)
+            mbg[t - 1] = q * mgrad[t - 1] + (1.0 - q) * mbg[t]
+        # Elogpbeta gradient incl. the smoothed-anchor derivative
+        mb0g = (1.0 - q0) * mbg[0]
+        g = -(1.0 / S2) * (mb[0] - mb0) * (mbg[0] - mb0g)
+        for t in range(1, T):
+            g += -(1.0 / S2) * (mb[t] - mb[t - 1]) * (mbg[t] - mbg[t - 1])
+        # Elogpw gradient: linear stat minus exp term
+        A3 = A.reshape(T, V, K).transpose(0, 2, 1)     # [T, K, V]
+        for t in range(T):
+            g += A3[t] * mbg[t] - wz[t][:, None] * Eexp[t] * mbg[t]
+        grad[s] = g
+    np.testing.assert_allclose(g_auto, grad, rtol=1e-7, atol=1e-10)
