@@ -217,3 +217,32 @@ def test_dataset_loaders_mac_and_englishwords():
     assert all(d.stamp is not None for d in corp.docs)
     # real lexicon file present in this environment → real vocab names
     assert len(corp.vocab) >= 50
+
+
+def test_corpus_container_surface():
+    """push!/pop!/pushfirst!/popfirst!/insert!/deleteat!/setindex!/
+    findfirst/findall overloads (Corpus.jl:131-149)."""
+    a = Document(terms=[1]); b = Document(terms=[2]); c = Document(terms=[3])
+    corp = Corpus(docs=[a], vocab={1: "x", 2: "y", 3: "z"})
+    corp.push(b)
+    assert corp.docs == [a, b]
+    corp.pushfirst(c)
+    assert corp.docs == [c, a, b]
+    assert corp.popfirst() is c
+    assert corp.pop() is b
+    corp.insert(0, c)
+    assert corp.docs == [c, a]
+    corp[0] = b
+    assert corp.docs == [b, a]
+    corp[[0, 1]] = [a, b]
+    assert corp.docs == [a, b]
+    del corp[0]
+    assert corp.docs == [b]
+    corp.pushfirst([a, c])
+    assert corp.docs == [a, c, b]
+    del corp[[0, 2]]
+    assert corp.docs == [c]
+    assert corp.findfirst(Document(terms=[3])) == 0
+    assert corp.findfirst(Document(terms=[2])) is None
+    corp.push(c)
+    assert corp.findall(c) == [0, 1]

@@ -108,7 +108,8 @@ class TopicModel:
             # indexed accessors map through packed.inv_order
             self.packed = bucketize_packed(
                 self.packed, chunk=self.chunk_docs, n_shards=n_sh,
-                pad_multiple=min(32, self.runtime.pad_multiple),
+                pad_multiple=min(self.runtime.bucket_pad,
+                                 self.runtime.pad_multiple),
             )
         elif not self._bucketed and self.packed.M_pad % (self.chunk_docs * n_sh):
             raise ValueError(

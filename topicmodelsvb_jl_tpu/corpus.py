@@ -150,8 +150,56 @@ class Corpus:
     def __contains__(self, doc: Document) -> bool:
         return doc in self.docs
 
+    def __setitem__(self, idx, value) -> None:
+        """setindex! overloads (Corpus.jl:141-143): int, list, slice."""
+        if isinstance(idx, (list, tuple)):
+            for i, doc in zip(idx, value):
+                self.docs[i] = doc
+        else:
+            self.docs[idx] = value
+
+    def __delitem__(self, idx) -> None:
+        """deleteat! overloads (Corpus.jl:136-138): int, list, slice."""
+        if isinstance(idx, (list, tuple)):
+            for i in sorted(idx, reverse=True):
+                del self.docs[i]
+        else:
+            del self.docs[idx]
+
     def append(self, doc: Document) -> None:
         self.docs.append(doc)
+
+    # push!/pop!/pushfirst!/popfirst!/insert! (Corpus.jl:132-135)
+    push = append
+
+    def pop(self, idx: int = -1) -> Document:
+        return self.docs.pop(idx)
+
+    def pushfirst(self, doc) -> None:
+        if isinstance(doc, (list, tuple)):
+            self.docs[:0] = list(doc)
+        else:
+            self.docs.insert(0, doc)
+
+    def popfirst(self) -> Document:
+        return self.docs.pop(0)
+
+    def insert(self, d: int, doc: Document) -> None:
+        self.docs.insert(d, doc)
+
+    def findfirst(self, doc: Document):
+        """0-based index of the first equal document, or None
+        (Corpus.jl:147)."""
+        try:
+            return self.docs.index(doc)
+        except ValueError:
+            return None
+
+    def findall(self, doc) -> List[int]:
+        """All 0-based indices holding (any of) the given doc(s)
+        (Corpus.jl:148-149)."""
+        docs = doc if isinstance(doc, (list, tuple)) else [doc]
+        return [i for i, d in enumerate(self.docs) if d in docs]
 
     @property
     def shape(self):
