@@ -148,11 +148,18 @@ def test_shared_doc_rewritten_once():
 
 
 def test_stopword_list_is_reference_exact():
-    """The bundled stop list must be the reference's exact 546-word
-    datasets/stopwords.txt (SURVEY §7.3: preprocessing differences
-    silently change every downstream number)."""
-    from topicmodelsvb_jl_tpu.datasets import load_stopwords
+    """The bundled stop list must be byte-identical to the reference's
+    datasets/stopwords.txt — 546 lines of which line 438 is blank, so
+    545 words (SURVEY §7.3: preprocessing differences silently change
+    every downstream number)."""
+    import os
 
+    from topicmodelsvb_jl_tpu.datasets import _DATA_DIR, load_stopwords
+
+    ref = "/root/reference/datasets/stopwords.txt"
+    if os.path.exists(ref):
+        ours = open(os.path.join(_DATA_DIR, "stopwords.txt"), "rb").read()
+        assert ours == open(ref, "rb").read()
     words = load_stopwords()
     assert len(words) == 545
     # spot-check entries characteristic of the reference list

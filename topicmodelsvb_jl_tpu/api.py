@@ -80,12 +80,24 @@ class TopicModel:
         if isinstance(corp, PackedCorpus):
             self.corp = None
             self.M, self.V, self.U = corp.M, corp.V, corp.U
-            self.N = corp.N[: corp.M].tolist()
-            self.C = corp.C[: corp.M].tolist()
+            if corp.inv_order is not None:
+                # already bucketized: rows are length-permuted and
+                # interleaved with padding — index back to doc order
+                rows = corp.inv_order[: corp.M]
+                self.N = corp.N[rows].tolist()
+                self.C = corp.C[rows].tolist()
+            else:
+                self.N = corp.N[: corp.M].tolist()
+                self.C = corp.C[: corp.M].tolist()
             per_shard = max(1, math.ceil(max(self.M, 1) / n_sh))
             self.chunk_docs = min(self.runtime.chunk_docs,
                                   _round_up(per_shard, 8))
             self.packed = corp
+            # fingerprint the user-visible (pre-bucketing) packed object,
+            # once — checkpoint.load compares against the same input
+            from .checkpoint import packed_fingerprint
+
+            self._fingerprint = packed_fingerprint(corp)
         else:
             corpuslib.check_corp(corp)
             self.corp = corp.copy()  # corpus-level isolation (LDA.jl:44)
@@ -101,8 +113,19 @@ class TopicModel:
                 with_readers=self._uses_readers,
                 dtype=np.dtype(self.runtime.dtype),
             )
-        if self._uses_readers and self.packed.readers is None:
-            raise ValueError("this model requires reader arrays in the packed corpus.")
+            # computed once (immutable for the model's lifetime); the
+            # auto-checkpoint cadence would otherwise rehash the corpus
+            # on every tick
+            from .checkpoint import corpus_fingerprint
+
+            self._fingerprint = corpus_fingerprint(self.corp)
+        if self._uses_readers and (
+            self.packed.readers is None or self.packed.ratings is None
+            or self.packed.R is None
+        ):
+            raise ValueError(
+                "this model requires reader arrays (readers, ratings, R) "
+                "in the packed corpus.")
         if self._bucketed and self.packed.segments is None:
             # length-sorted, shard-major, per-segment token widths; doc-
             # indexed accessors map through packed.inv_order
@@ -327,6 +350,7 @@ class TopicModel:
         return corpuslib.getvocab(self.corp)
 
     def getusers(self):
+        self._require_corp()
         return corpuslib.getusers(self.corp)
 
 
@@ -670,9 +694,10 @@ class CTPF(TopicModel):
             p = self.packed
             self.R = p.R[rows].tolist()
             self.libs = [[] for _ in range(self.U)]
-            for d, row in enumerate(rows, start=1):
-                for u in p.readers[row, : p.R[row]]:
-                    self.libs[int(u)].append(d)
+            if self.U > 0:
+                for d, row in enumerate(rows, start=1):
+                    for u in p.readers[row, : p.R[row]]:
+                        self.libs[int(u)].append(d)
         # scores live on DEVICE ([M, U] is 100s of MB at scale; the
         # host here may be a single weak core), fetched to host lazily;
         # recs (unranked complements pre-train, score-ranked post-train,
@@ -861,6 +886,7 @@ class CTPF(TopicModel):
     def showlibs(self, users=None):
         from .utils.display import bullet, juliadots
 
+        self._require_corp()
         if users is None:
             users = range(1, self.U + 1)
         if isinstance(users, int):
@@ -885,6 +911,7 @@ class CTPF(TopicModel):
         """Top U user recommendations per document (modelutils.jl:729-770)."""
         from .utils.display import juliadots
 
+        self._require_corp()
         if U <= 0:
             raise ValueError("number of displayed users must be a positive integer.")
         if docs is None:
@@ -911,6 +938,7 @@ class CTPF(TopicModel):
         """Top M document recommendations per user (modelutils.jl:777-821)."""
         from .utils.display import juliadots
 
+        self._require_corp()
         if M <= 0:
             raise ValueError("number of displayed documents must be a positive integer.")
         if users is None:
@@ -1221,4 +1249,9 @@ def gencorp(model: TopicModel, M: int, laplace_smooth: float = 0.0,
         raise ValueError("laplace_smooth parameter must be nonnegative.")
     rng = np.random.default_rng(seed)
     docs = [gendoc(model, laplace_smooth, rng) for _ in range(M)]
-    return Corpus(docs=docs, vocab=dict(model.corp.vocab), users=dict(model.corp.users))
+    if model.corp is not None:
+        vocab, users = dict(model.corp.vocab), dict(model.corp.users)
+    else:  # PackedCorpus-built model: placeholder names
+        vocab = {j + 1: f"#term{j + 1}" for j in range(model.V)}
+        users = {u + 1: f"#user{u + 1}" for u in range(model.U)}
+    return Corpus(docs=docs, vocab=vocab, users=users)

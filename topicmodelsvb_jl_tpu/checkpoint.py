@@ -77,8 +77,11 @@ def save(path: str, model) -> None:
         K=model.K,
         seed=model.seed,
         dtype=str(model.dtype),
-        corpus=(corpus_fingerprint(model.corp) if model.corp is not None
-                else packed_fingerprint(model.packed)),
+        # cached at construction (api.TopicModel.__init__): the corpus is
+        # immutable for the model's lifetime, and for packed-built models
+        # it hashes the PRE-bucketing object the user holds, so load()
+        # with the same input matches
+        corpus=model._fingerprint,
         n_leaves=len(fields),
         fields=fields,
         doc_fields=sorted(doc_fields),

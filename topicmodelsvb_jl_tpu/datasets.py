@@ -36,9 +36,10 @@ MAC_SCALE = dict(M=75_011, V=15_113, T=12)
 
 
 def load_stopwords() -> list:
-    """The reference's exact 546-word stop list (datasets/stopwords.txt,
-    consumed by stop_corp!, Corpus.jl:622-634) — carried verbatim so the
-    preprocessing pipeline produces identical corpora (SURVEY §7.3)."""
+    """The reference's exact stop list (datasets/stopwords.txt — 546
+    lines of which one is blank, i.e. 545 words; consumed by stop_corp!,
+    Corpus.jl:622-634) — carried byte-verbatim so the preprocessing
+    pipeline produces identical corpora (SURVEY §7.3)."""
     with open(os.path.join(_DATA_DIR, "stopwords.txt")) as f:
         return [w for w in f.read().split() if w]
 

@@ -162,7 +162,11 @@ class Trainer:
             self.trace.append(rec)
             if (self.checkpoint_cb is not None and self.checkpoint_every > 0
                     and k % self.checkpoint_every == 0):
+                # checkpoint wall time (state fetch + hash + disk write)
+                # must not count toward the back-filled step timings
+                cb_t0 = time.perf_counter()
                 self.checkpoint_cb(k, state)
+                span_start += time.perf_counter() - cb_t0
             if rec.delta_elbo is not None and rec.delta_elbo < cfg.tol:
                 break
 

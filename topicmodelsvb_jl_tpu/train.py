@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True,
                    choices=["lda", "flda", "ctm", "fctm", "ctpf", "dtm"])
     p.add_argument("--k", type=int, required=True, help="number of topics")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None)
 
     # ── corpus selection ──
     c = p.add_argument_group("corpus")
@@ -99,8 +99,9 @@ def _build_corpus(args):
 
     if args.corpus == "nsf-scale":
         chunk = args.chunk_docs or 1024
+        seed = 7 if args.seed is None else args.seed   # explicit 0 honoured
         return datasets.synth_packed_nsf_scale(
-            M=args.subset or 128_804, seed=args.seed or 7, chunk_docs=chunk)
+            M=args.subset or 128_804, seed=seed, chunk_docs=chunk)
     if args.corpus == "nsf":
         return datasets.load_nsf(subset=args.subset)
     if args.corpus == "citeu":
@@ -110,7 +111,8 @@ def _build_corpus(args):
     if args.corpus == "synth":
         return datasets.synth_corpus(
             M=args.synth_m, V=args.synth_v, U=args.synth_u, K=args.k,
-            seed=args.seed, n_slices=args.synth_slices,
+            seed=0 if args.seed is None else args.seed,
+            n_slices=args.synth_slices,
             drift=0.05 if args.synth_slices else 0.0)
     if args.docfile or args.vocabfile:
         from .corpus import readcorp
@@ -155,7 +157,8 @@ def run(argv=None) -> dict:
 
     cls = {"lda": api.LDA, "flda": api.fLDA, "ctm": api.CTM,
            "fctm": api.fCTM, "ctpf": api.CTPF, "dtm": api.DTM}[args.model]
-    ctor_kw = dict(runtime=runtime, mesh=mesh, seed=args.seed)
+    ctor_kw = dict(runtime=runtime, mesh=mesh,
+                   seed=0 if args.seed is None else args.seed)
     if args.model == "dtm":
         ctor_kw["delta"] = args.delta
     model = cls(corp, args.k, **ctor_kw)
