@@ -1,0 +1,80 @@
+"""Host-streamed training (streaming.py): trajectory equality with the
+in-memory path, batch-size invariance, beyond-memory semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topicmodelsvb_jl_tpu.datasets import synth_packed_nsf_scale
+from topicmodelsvb_jl_tpu.models import lda as lda_mod
+from topicmodelsvb_jl_tpu.streaming import StreamingLDA
+
+
+def _packed(M=96, V=50, seed=4):
+    return synth_packed_nsf_scale(M=M, V=V, mean_terms=10, seed=seed,
+                                  chunk_docs=16, pad_multiple=8)
+
+
+def _inmemory_run(packed, K, iters, viter=5):
+    state = lda_mod.init(jax.random.PRNGKey(3), packed, K, jnp.float64)
+    vtol = 1.0 / K**2
+    step = jax.jit(lda_mod.make_step(
+        packed, K, viter=viter, vtol=vtol, niter=100, ntol=vtol,
+        chunk_docs=16, axis_name=None, use_pallas=False))
+    elbo = jax.jit(lda_mod.make_elbo(packed, K, chunk_docs=16))
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts.astype(np.float64)),
+            jnp.asarray(packed.doc_mask.astype(np.float64)),
+            jnp.asarray(float(packed.M), jnp.float64))
+    for _ in range(iters):
+        state = step(state, *data)
+    return state, float(elbo(state, *data[:3]))
+
+
+def test_streaming_matches_inmemory_trajectory():
+    K, iters = 3, 4
+    packed = _packed()
+    ref, ref_elbo = _inmemory_run(packed, K, iters)
+
+    s = StreamingLDA(packed, K, batch_docs=32, chunk_docs=16,
+                     dtype=jnp.float64, seed=3)
+    s.train(iter=iters, checkelbo=float("inf"), viter=5, printelbo=False)
+
+    np.testing.assert_allclose(np.asarray(s.beta), np.asarray(ref.beta),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.alpha), np.asarray(ref.alpha),
+                               rtol=1e-10)
+    np.testing.assert_allclose(s.gamma, np.asarray(ref.gamma), rtol=1e-10)
+    # streamed ELBO equals the in-memory bound
+    from topicmodelsvb_jl_tpu.streaming import make_batch_elbo
+
+    be = make_batch_elbo(packed.V, K, 16)
+    np.testing.assert_allclose(s._sweep_elbo(be, s.beta, s.beta_old),
+                               ref_elbo, rtol=1e-10)
+
+
+def test_streaming_batch_size_invariance():
+    """beta/alpha are frozen within a sweep, so the batch partition must
+    not change the result at all."""
+    K, iters = 3, 3
+    packed = _packed(M=96, seed=9)
+    runs = []
+    for batch in (96, 48, 16):
+        s = StreamingLDA(packed, K, batch_docs=batch, chunk_docs=16,
+                         dtype=jnp.float64, seed=3)
+        s.train(iter=iters, checkelbo=1, printelbo=False, viter=5, tol=0.0)
+        runs.append(s)
+    for s in runs[1:]:
+        np.testing.assert_allclose(np.asarray(s.beta),
+                                   np.asarray(runs[0].beta), rtol=1e-12)
+        np.testing.assert_allclose([t[1] for t in s.trace],
+                                   [t[1] for t in runs[0].trace], rtol=1e-12)
+
+
+def test_streaming_elbo_monotone_and_topics():
+    packed = _packed(M=64, seed=2)
+    s = StreamingLDA(packed, 4, batch_docs=32, chunk_docs=16,
+                     dtype=jnp.float64, seed=1)
+    s.train(iter=8, checkelbo=1, printelbo=False, tol=0.0)
+    deltas = [t[2] for t in s.trace]
+    assert all(d > -1e-6 for d in deltas[1:])
+    assert s.topics is not None and s.topics.shape == (4, packed.V)

@@ -1,0 +1,239 @@
+"""Host-streamed training — corpora larger than device memory.
+
+The reference's own unfulfilled wishlist item ("stream docs from disk",
+todo.txt item 6) and this build's concrete analogue of pipeline
+parallelism for a CAVI workload (SURVEY §2.3: "host-level pipelining of
+corpus shards in/out of HBM for corpora exceeding memory").
+
+The whole corpus — token arrays AND the per-document variational state
+(gamma/Elogtheta, the O(M·K) memory that dominates at production scale)
+— lives in host RAM.  Each outer CAVI iteration streams fixed-size
+document batches through the device:
+
+    for each batch b:                       (async pipeline)
+        H2D   terms/counts/doc_mask/state[b]
+        device: the SAME fused E-step fixpoint as the in-memory path
+                (models/lda._estep_chunk), accumulating beta_temp and
+                Elogtheta_sum into device-resident [V, K]/[K] buffers
+        D2H   updated state[b]
+    device: M-step + alpha Newton once            (models/lda semantics)
+
+Because beta/alpha are frozen within a sweep (the batch-synchronous
+schedule), streaming changes NOTHING numerically: the trajectory is
+bitwise the maths of the in-memory path (tested to 1e-12 at f64 in
+tests/test_streaming.py).  Dispatch is asynchronous, so batch b+1's
+host→device copy overlaps batch b's compute; the device→host state
+fetch is deferred one batch for the same reason.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.newton import dirichlet_newton
+from .models.lda import _estep_chunk, _phi, topics_ranking
+from .utils.config import TrainConfig
+from .utils.numerics import (
+    EPSILON, categorical_entropy, digamma, dirichlet_entropy, finite, lgamma,
+)
+
+
+def make_batch_sweep(V: int, K: int, viter: int, vtol: float,
+                     chunk_docs: int):
+    """Jitted E-sweep over one document batch: returns updated per-doc
+    state plus the batch's (beta_temp, Elogtheta_sum) accumulated into
+    the running device buffers."""
+
+    @jax.jit
+    def sweep(beta, alpha, terms, counts, doc_mask, gamma, El, Elo,
+              beta_temp_acc, El_sum_acc):
+        logbetaT = jnp.log(beta + jnp.asarray(EPSILON, beta.dtype)).T
+
+        def body(carry, xs):
+            bt, es = carry
+            t, c, dm, g, el, elo = xs
+            g2, el2, elo2, bti, esi = _estep_chunk(
+                logbetaT, alpha, t, c, dm, g, el, elo, viter, vtol, V)
+            return (bt + bti, es + esi), (g2, el2, elo2)
+
+        n = terms.shape[0]
+        B = min(chunk_docs, n)
+        sh = lambda a: a.reshape((n // B, B) + a.shape[1:])
+        (bt, es), (g, el, elo) = jax.lax.scan(
+            body, (beta_temp_acc, El_sum_acc),
+            (sh(terms), sh(counts), sh(doc_mask),
+             sh(gamma), sh(El), sh(Elo)))
+        unsh = lambda a: a.reshape((n,) + a.shape[2:])
+        return unsh(g), unsh(el), unsh(elo), bt, es
+
+    return sweep
+
+
+@jax.jit
+def _mstep(beta_temp, El_sum, alpha, M_total, niter, ntol):
+    """update_beta! + update_alpha! (LDA.jl:97-125)."""
+    beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+    alpha_new = dirichlet_newton(alpha, El_sum, M_total, niter, ntol)
+    return beta_new, alpha_new
+
+
+def make_batch_elbo(V: int, K: int, chunk_docs: int):
+    """Jitted per-batch ELBO contribution (reference LDA.jl:50-93)."""
+
+    @jax.jit
+    def batch_elbo(beta, beta_old, alpha, terms, counts, doc_mask,
+                   gamma, El, Elo, acc):
+        eps = jnp.asarray(EPSILON, beta.dtype)
+        logbeta_oldT = jnp.log(beta_old + eps).T
+        logbetaT = jnp.log(beta + eps).T
+        a = alpha
+        theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))
+
+        def body(acc, xs):
+            t, c, dm, g, el, elo = xs
+            p = _phi(logbeta_oldT[t], elo)
+            e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
+            pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=p.dtype)
+            e_pz = jnp.sum(pc * el, -1)
+            e_pw = jnp.sum(p * logbetaT[t] * c[..., None], axis=(1, 2))
+            e_qtheta = dirichlet_entropy(g)
+            e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
+            return acc + jnp.sum(dm * (e_ptheta + e_pz + e_pw
+                                       + e_qtheta + e_qz)), None
+
+        n = terms.shape[0]
+        B = min(chunk_docs, n)
+        sh = lambda x: x.reshape((n // B, B) + x.shape[1:])
+        acc, _ = jax.lax.scan(
+            body, acc,
+            (sh(terms), sh(counts), sh(doc_mask),
+             sh(gamma), sh(El), sh(Elo)))
+        return acc
+
+    return batch_elbo
+
+
+class StreamingLDA:
+    """LDA trained with host-resident corpus + per-doc state.
+
+    ``packed`` is a dense :class:`~.ops.packing.PackedCorpus` (host
+    NumPy; use :func:`~.datasets.synth_packed_nsf_scale` or
+    :func:`~.ops.packing.pack_corpus`).  ``batch_docs`` bounds device
+    memory: peak HBM is O(batch_docs·L·K) for the E-step tile plus the
+    [K, V] beta and [V, K] statistic — independent of corpus size.
+
+    Produces exactly the in-memory trajectory (beta/alpha are frozen
+    within a sweep, so batch order is irrelevant to the result).
+    """
+
+    def __init__(self, packed, K: int, batch_docs: int = 8192,
+                 chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0):
+        if packed.segments is not None:
+            raise ValueError("StreamingLDA takes a dense (non-bucketed) "
+                             "PackedCorpus.")
+        self.packed = packed
+        self.K = int(K)
+        self.M, self.V = packed.M, packed.V
+        M_pad = packed.M_pad
+        self.batch_docs = min(batch_docs, M_pad)
+        if M_pad % self.batch_docs:
+            raise ValueError(
+                f"padded doc count {M_pad} must divide batch_docs")
+        self.chunk_docs = min(chunk_docs, self.batch_docs)
+        self.dtype = jnp.dtype(dtype)
+        npdt = np.dtype(dtype)
+
+        # device-resident globals (reference LDA.jl:24-47)
+        key = jax.random.PRNGKey(seed)
+        beta = jax.random.dirichlet(
+            key, jnp.ones((self.V,), jnp.float32), shape=(self.K,))
+        self.beta = beta.astype(self.dtype)
+        self.beta_old = self.beta
+        self.alpha = jnp.ones((self.K,), self.dtype)
+        # host-resident per-doc state (the O(M·K) memory)
+        el0 = -sum(1.0 / i for i in range(1, self.K))
+        self.gamma = np.ones((M_pad, self.K), npdt)
+        self.Elogtheta = np.full((M_pad, self.K), el0, npdt)
+        self.Elogtheta_old = np.full((M_pad, self.K), el0, npdt)
+        self.elbo = 0.0
+        self.topics: Optional[np.ndarray] = None
+        self.trace: list = []
+
+    def _batches(self):
+        n = self.packed.M_pad // self.batch_docs
+        for b in range(n):
+            yield slice(b * self.batch_docs, (b + 1) * self.batch_docs)
+
+    def _sweep_elbo(self, batch_elbo, beta, beta_old):
+        acc = jnp.zeros((), self.dtype)
+        p = self.packed
+        for sl in self._batches():
+            acc = batch_elbo(beta, beta_old, self.alpha,
+                             jnp.asarray(p.terms[sl]),
+                             jnp.asarray(p.counts[sl].astype(self.dtype)),
+                             jnp.asarray(p.doc_mask[sl].astype(self.dtype)),
+                             jnp.asarray(self.gamma[sl]),
+                             jnp.asarray(self.Elogtheta[sl]),
+                             jnp.asarray(self.Elogtheta_old[sl]), acc)
+        return float(acc)
+
+    def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
+              ntol: Optional[float] = None, viter: int = 10,
+              vtol: Optional[float] = None, checkelbo: float = 1,
+              printelbo: bool = True):
+        cfg = TrainConfig(iter=iter, tol=tol, niter=niter, ntol=ntol,
+                          viter=viter, vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        cfg.validate()
+        sweep = make_batch_sweep(self.V, self.K, cfg.viter, cfg.vtol,
+                                 self.chunk_docs)
+        batch_elbo = make_batch_elbo(self.V, self.K, self.chunk_docs)
+        p = self.packed
+        M_total = jnp.asarray(float(self.M), self.dtype)
+
+        if cfg.checkelbo <= cfg.iter:
+            self.elbo = self._sweep_elbo(batch_elbo, self.beta, self.beta_old)
+
+        for k in range(1, cfg.iter + 1):
+            bt = jnp.zeros((self.V, self.K), self.dtype)
+            es = jnp.zeros((self.K,), self.dtype)
+            pending = None            # (slice, device refs) — deferred D2H
+            for sl in self._batches():
+                out = sweep(self.beta, self.alpha,
+                            jnp.asarray(p.terms[sl]),
+                            jnp.asarray(p.counts[sl].astype(self.dtype)),
+                            jnp.asarray(p.doc_mask[sl].astype(self.dtype)),
+                            jnp.asarray(self.gamma[sl]),
+                            jnp.asarray(self.Elogtheta[sl]),
+                            jnp.asarray(self.Elogtheta_old[sl]), bt, es)
+                g2, el2, elo2, bt, es = out
+                if pending is not None:       # fetch PREVIOUS batch: the
+                    self._store(*pending)     # device is already busy on
+                pending = (sl, g2, el2, elo2)  # this one (async dispatch)
+            self._store(*pending)
+            self.beta_old = self.beta
+            self.beta, self.alpha = _mstep(bt, es, self.alpha, M_total,
+                                           cfg.niter, cfg.ntol)
+
+            if cfg.checkelbo != float("inf") and k % int(cfg.checkelbo) == 0:
+                new_elbo = self._sweep_elbo(batch_elbo, self.beta,
+                                            self.beta_old)
+                delta = new_elbo - self.elbo
+                self.elbo = new_elbo
+                self.trace.append((k, new_elbo, delta))
+                if cfg.printelbo:
+                    print(f"{k} ∆elbo: {round(delta, 3)}")
+                if delta < cfg.tol:
+                    break
+
+        self.topics = topics_ranking(np.asarray(self.beta))
+        return self
+
+    def _store(self, sl, g2, el2, elo2):
+        self.gamma[sl] = np.asarray(g2)
+        self.Elogtheta[sl] = np.asarray(el2)
+        self.Elogtheta_old[sl] = np.asarray(elo2)
