@@ -1,0 +1,109 @@
+"""End-to-end walkthrough mirroring the reference README's tutorials.
+
+Every section reproduces a workflow from ericproffitt/TopicModelsVB.jl's
+README with this framework's API (the NSF/CiteULike docfiles are
+stripped from the mirror, so the bundled loaders synthesize documents at
+published scale against the real vocabularies — see datasets.py):
+
+  1. corpus loading + fixcorp preprocessing        (README.md:150-210)
+  2. LDA training, showtopics, topicdist           (README.md:211-313)
+  3. generative round-trip: gencorp -> retrain     (README.md:315-350)
+  4. held-out prediction with predict              (README.md:422-505)
+  5. CTM correlated topics                         (README.md:352-420)
+  6. CTPF recommendations, warm-started from LDA   (README.md:512-580, 669-674)
+  7. checkpoint save/resume                        (no reference equivalent)
+
+Run: python examples/walkthrough.py       (~3-5 min on a TPU chip;
+set JAX_PLATFORMS=cpu + small sizes for a laptop run)
+"""
+
+import os
+import sys
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+warnings.filterwarnings("ignore")
+
+import numpy as np
+
+import topicmodelsvb_jl_tpu as tm
+
+SUBSET = int(os.environ.get("WALKTHROUGH_DOCS", 3000))
+
+
+def section(title):
+    print(f"\n{'=' * 60}\n{title}\n{'=' * 60}")
+
+
+# ── 1. corpus + preprocessing (reference readcorp(:nsf) + fixcorp!) ──
+section("1. Corpus loading and preprocessing")
+corp = tm.load_nsf(subset=SUBSET)
+print("loaded:", corp)
+tm.fixcorp(corp, stop=True, abridge=5, trim=True, alphabetize=True,
+           remove_empty_docs=True)
+print("fixed: ", corp)
+
+# ── 2. LDA (reference README.md:211-313, K=9, seed-controlled) ──
+section("2. LDA: train, showtopics, topicdist")
+lda = tm.LDA(corp, 9, seed=7)
+lda.train(iter=30, tol=0.0, checkelbo=10)
+lda.showtopics(V=8, cols=3)
+theta = lda.topicdist(1)
+print("\ndoc 1 topic distribution:", np.round(theta, 3))
+
+# ── 3. generative round-trip (reference README.md:315-350) ──
+section("3. gencorp round-trip: sample a corpus, retrain, recover topics")
+synth = tm.gencorp(lda, M=1000, laplace_smooth=1e-6, seed=1)
+lda2 = tm.LDA(synth, 9, seed=2)
+lda2.train(iter=20, tol=0.0, checkelbo=np.inf, printelbo=False)
+# greedy-match retrained topics to the originals by top-word overlap
+b1 = np.asarray(lda.beta)
+b2 = np.asarray(lda2.beta)
+top1 = np.argsort(-b1, 1)[:, :20]
+top2 = np.argsort(-b2, 1)[:, :20]
+overlap = np.zeros((9, 9))
+for i in range(9):
+    for j in range(9):
+        overlap[i, j] = len(set(top1[i]) & set(top2[j]))
+print("best top-20-word overlap per original topic:",
+      overlap.max(axis=1).astype(int), "/ 20")
+
+# ── 4. held-out prediction (reference README.md:422-505) ──
+section("4. predict on held-out documents")
+train_docs, test_docs = corp.docs[:-50], corp.docs[-50:]
+train_corp = tm.Corpus(docs=train_docs, vocab=corp.vocab, users=corp.users)
+test_corp = tm.Corpus(docs=test_docs, vocab=corp.vocab, users=corp.users)
+m = tm.LDA(train_corp, 9, seed=7)
+m.train(iter=20, tol=0.0, checkelbo=np.inf, printelbo=False)
+pred = tm.predict(test_corp, m)
+print("held-out doc 1 topicdist:", np.round(pred.topicdist(1), 3))
+
+# ── 5. CTM (reference README.md:352-420) ──
+section("5. CTM: correlated topics")
+ctm = tm.CTM(corp, 9, seed=7)
+ctm.train(iter=15, tol=0.0, checkelbo=5)
+sig = np.asarray(ctm.sigma)
+corr = sig / np.sqrt(np.outer(np.diag(sig), np.diag(sig)))
+i, j = divmod(int(np.argmax(corr - np.eye(9) * 2)), 9)
+print(f"most correlated topic pair: ({i + 1}, {j + 1}) "
+      f"corr={corr[i, j]:.3f}")
+
+# ── 6. CTPF recommender, warm-started (README.md:512-580, 669-674) ──
+section("6. CTPF: recommendations (warm-started from an LDA)")
+citeu = tm.load_citeu(subset=2000)
+tm.fixcorp(citeu, trim=True)
+base = tm.LDA(citeu, 30, seed=7)
+base.train(iter=15, tol=0.0, checkelbo=np.inf, printelbo=False)
+ctpf = tm.CTPF(citeu, 30, seed=7).warm_start_from(base)
+ctpf.train(iter=20, tol=0.0, checkelbo=10)
+print("\ntop recommendations for user 1:")
+ctpf.showurecs(users=1, M=5)
+
+# ── 7. checkpoint/resume (beyond the reference) ──
+section("7. checkpoint save / resume")
+tm.save_checkpoint("/tmp/walkthrough_lda.ckpt", lda)
+resumed = tm.load_checkpoint("/tmp/walkthrough_lda.ckpt", corp)
+resumed.train(iter=5, tol=0.0, checkelbo=5)
+print("resumed model continues from ELBO", f"{resumed.elbo:.1f}")
+
+print("\nwalkthrough complete.")
