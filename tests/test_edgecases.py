@@ -1,0 +1,91 @@
+"""Degenerate-input hardening across all models (the reference handles
+these via the iteration-zeroing trick at train! entry, LDA.jl:166, and
+gpuCTPF's U==0 buffer guards, modelutils.jl:483-493)."""
+
+import numpy as np
+import pytest
+
+import topicmodelsvb_jl_tpu as tm
+from topicmodelsvb_jl_tpu.api import CTM, CTPF, DTM, LDA, fCTM, fLDA
+from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+
+
+def _rt():
+    return RuntimeConfig(chunk_docs=8, dtype="float64", pad_multiple=8)
+
+
+def _mesh():
+    return make_mesh(n_devices=1)
+
+
+@pytest.mark.parametrize("cls", [LDA, fLDA, CTM, fCTM])
+def test_k1_single_doc(cls):
+    """K=1 and a one-document corpus must train without crashing."""
+    corp = tm.Corpus(docs=[tm.Document(terms=[1, 2, 3], counts=[2, 1, 1])],
+                     vocab={1: "a", 2: "b", 3: "c"})
+    m = cls(corp, 1, runtime=_rt(), mesh=_mesh())
+    m.train(iter=3, checkelbo=1, printelbo=False, niter=20)
+    assert np.isfinite(m.elbo)
+    td = m.topicdist(1)
+    assert td.shape == (1,) and np.isclose(float(td.sum()), 1.0)
+
+
+@pytest.mark.parametrize("cls", [LDA, CTM])
+def test_empty_doc_in_corpus(cls):
+    """A zero-token document must not poison any statistic or the ELBO."""
+    docs = [tm.Document(terms=[1, 2], counts=[2, 1]),
+            tm.Document(),                       # empty
+            tm.Document(terms=[2, 3], counts=[1, 3])]
+    corp = tm.Corpus(docs=docs, vocab={1: "a", 2: "b", 3: "c"})
+    m = cls(corp, 2, runtime=_rt(), mesh=_mesh())
+    m.train(iter=4, checkelbo=1, printelbo=False, niter=20)
+    assert np.isfinite(m.elbo)
+    deltas = [r.delta_elbo for r in m.trainer.trace if r.delta_elbo is not None]
+    assert all(d > -1e-6 for d in deltas[1:])
+
+
+def test_all_empty_corpus_zeroes_iterations():
+    """Reference: an all-empty corpus zeroes the iteration count
+    (LDA.jl:166) instead of crashing."""
+    corp = tm.Corpus(docs=[tm.Document(), tm.Document()], vocab={1: "a"})
+    m = LDA(corp, 2, runtime=_rt(), mesh=_mesh())
+    m.train(iter=10, checkelbo=1, printelbo=False)
+    assert len(m.trainer.trace) == 0
+
+
+def test_ctpf_single_reader_and_k1():
+    corp = tm.Corpus(
+        docs=[tm.Document(terms=[1, 2], counts=[1, 1], readers=[1],
+                          ratings=[1]),
+              tm.Document(terms=[2, 3], counts=[2, 1], readers=[1],
+                          ratings=[2])],
+        vocab={1: "a", 2: "b", 3: "c"}, users={1: "u"})
+    m = CTPF(corp, 1, runtime=_rt(), mesh=_mesh())
+    m.train(iter=3, checkelbo=1, printelbo=False)
+    assert np.isfinite(m.elbo)
+    assert m.drecs[0] == [] or isinstance(m.drecs[0], (list, tuple))
+
+
+def test_dtm_single_slice():
+    """All stamps in one window ⇒ T=1: the smoother degenerates to a
+    single static slice and must still train."""
+    docs = [tm.Document(terms=[1, 2], counts=[1, 1], stamp=0.1),
+            tm.Document(terms=[2, 3], counts=[2, 1], stamp=0.2),
+            tm.Document(terms=[1, 3], counts=[1, 2], stamp=0.3)]
+    corp = tm.Corpus(docs=docs, vocab={1: "a", 2: "b", 3: "c"})
+    m = DTM(corp, 2, delta=5.0, runtime=_rt(), mesh=_mesh())
+    assert m.T == 1
+    m.train(iter=3, checkelbo=1, printelbo=False, cgiter=3)
+    assert np.isfinite(m.elbo)
+
+
+def test_single_token_vocab():
+    """V=1: every distribution collapses to a point; must stay finite."""
+    corp = tm.Corpus(docs=[tm.Document(terms=[1], counts=[4]),
+                           tm.Document(terms=[1], counts=[2])],
+                     vocab={1: "only"})
+    m = LDA(corp, 2, runtime=_rt(), mesh=_mesh())
+    m.train(iter=3, checkelbo=1, printelbo=False)
+    assert np.isfinite(m.elbo)
+    np.testing.assert_allclose(np.asarray(m.beta), 1.0)
