@@ -113,12 +113,16 @@ def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
     )
 
     # stats with last phi = f(beta, tau_old, lambda_old); beta weighted by
-    # tau·counts (fCTM.jl:168-171), kappa by (1-tau)·counts (fCTM.jl:154-157)
+    # tau·counts (fCTM.jl:168-171), kappa by (1-tau)·counts (fCTM.jl:154-157).
+    # ONE fused scatter: both statistics reduce over the same token ids
+    # and scatter cost is per-row — kappa rides as an extra lane
     p = _phi(logbeta_d, tau_old, lam_old)
     w_beta = p * (tau * counts)[..., None]
-    beta_temp = count_scatter(w_beta.reshape(-1, w_beta.shape[-1]), terms.reshape(-1), V)
-    w_kappa = ((1.0 - tau) * counts).reshape(-1, 1)
-    kappa_temp = count_scatter(w_kappa, terms.reshape(-1), V)[:, 0]
+    w_kappa = ((1.0 - tau) * counts)[..., None]
+    w_full = jnp.concatenate([w_beta, w_kappa], axis=-1)     # [B, L, K+1]
+    stat = count_scatter(w_full.reshape(-1, w_full.shape[-1]),
+                         terms.reshape(-1), V)
+    beta_temp, kappa_temp = stat[:, :-1], stat[:, -1]
     dm = doc_mask[:, None]
     vsq_sum = jnp.sum(vsq * dm, axis=0)
     lam_sum = jnp.sum(lam * dm, axis=0)

@@ -112,12 +112,16 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
     # stats use the last phi (f(beta, tau_old, Elogtheta_old)) with CURRENT tau:
     # beta_temp += phi .* (tau .* counts)' (fLDA.jl:174-177)
     # kappa_temp[terms] += (1 - tau) .* counts (fLDA.jl:160-163)
+    # ONE fused scatter: both statistics reduce over the same token ids,
+    # and scatter cost is per-row (see ROADMAP's scatter study) — the
+    # kappa weight rides as an extra lane instead of a second pass
     p = _phi(logbeta_d, tau_old, El_old)
     w_beta = p * (tau * counts)[..., None]
-    flatK = w_beta.reshape(-1, w_beta.shape[-1])
-    beta_temp = count_scatter(flatK, terms.reshape(-1), V)
-    w_kappa = ((1.0 - tau) * counts).reshape(-1, 1)
-    kappa_temp = count_scatter(w_kappa, terms.reshape(-1), V)[:, 0]
+    w_kappa = ((1.0 - tau) * counts)[..., None]
+    w_full = jnp.concatenate([w_beta, w_kappa], axis=-1)     # [B, L, K+1]
+    stat = count_scatter(w_full.reshape(-1, w_full.shape[-1]),
+                         terms.reshape(-1), V)
+    beta_temp, kappa_temp = stat[:, :-1], stat[:, -1]
     El_sum = jnp.sum(El * doc_mask[:, None], axis=0)
     tau_counts = jnp.sum(tau * counts)  # for update_eta! (fLDA.jl:122-124)
     return gamma, El, El_old, tau, tau_old, beta_temp, kappa_temp, El_sum, tau_counts
@@ -177,9 +181,17 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                 interpret=pallas_interpret,
             )
             g2, el2, elo2 = g2[:, :K], el2[:, :K], elo2[:, :K]
-            bti = count_scatter(wb[..., :K].reshape(-1, K),
-                                t.reshape(-1), V)
-            kti = count_scatter(wk.reshape(-1, 1), t.reshape(-1), V)[:, 0]
+            # fused single scatter (see _estep_chunk): the kappa weight
+            # rides in a padded topic lane (wb pad lanes are exact zeros)
+            if K < Kp:
+                wf = wb.at[..., K].set(wk)
+                stat = count_scatter(wf.reshape(-1, Kp), t.reshape(-1), V)
+                bti, kti = stat[:, :K], stat[:, K]
+            else:
+                wf = jnp.concatenate([wb, wk[..., None]], axis=-1)
+                stat = count_scatter(wf.reshape(-1, Kp + 1),
+                                     t.reshape(-1), V)
+                bti, kti = stat[:, :K], stat[:, K]
             esi = jnp.sum(el2 * dm[:, None], axis=0)
             tci = jnp.sum(ta2 * c)
             return (bt + bti, kt + kti, es + esi, tc + tci), \
