@@ -35,7 +35,7 @@ def main():
 
     K = int(os.environ.get("BENCH_K", 50))
     iters = int(os.environ.get("BENCH_ITERS", 3))
-    chunk = int(os.environ.get("BENCH_CHUNK", 1024))
+    chunk = int(os.environ.get("BENCH_CHUNK", 2048))  # CTM best (0.57 vs 0.77 s/iter at 1024)
     M = int(os.environ.get("BENCH_M", 128_804))
     reps = int(os.environ.get("BENCH_REPS", 3))
 

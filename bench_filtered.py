@@ -27,7 +27,7 @@ def main():
     which = os.environ.get("BENCH_MODEL", "flda")
     K = int(os.environ.get("BENCH_K", 100 if which == "flda" else 50))
     iters = int(os.environ.get("BENCH_ITERS", 10 if which == "flda" else 3))
-    chunk = int(os.environ.get("BENCH_CHUNK", 1024))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1024 if which == "flda" else 2048))
     M = int(os.environ.get("BENCH_M", 128_804))
     reps = int(os.environ.get("BENCH_REPS", 3))
 

@@ -53,7 +53,11 @@ class TrainConfig:
 class RuntimeConfig:
     """TPU execution knobs (no reference counterpart)."""
 
-    chunk_docs: int = 1024        # docs per E-step chunk (bounds [B, L, K] HBM use)
+    # docs per E-step chunk (bounds [B, L, K] HBM use).  1024 is right
+    # for the gather/scatter-bound models (LDA/fLDA/CTPF); the Newton-
+    # heavy CTM/fCTM run ~25% faster at 2048 — the per-chunk while-loop
+    # latency amortizes over more documents (measured, bench_ctm.py)
+    chunk_docs: int = 1024
     pad_multiple: int = 64        # token-axis padding multiple (lane friendliness)
     # per-segment token-width multiple under bucketed packing; 8 (the f32
     # sublane count) measured 15% faster than 32 at NSF K=100 — every
