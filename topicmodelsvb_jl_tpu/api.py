@@ -48,6 +48,10 @@ class TopicModel:
     _uses_readers = False
     _bucketed = False   # length-bucketed token packing (SURVEY §5.7a)
     _per_doc_fields: tuple = ()   # state fields with a leading doc axis
+    # chunk_docs used when the caller passes no RuntimeConfig; the
+    # Newton-heavy CTM/fCTM amortize their while-loop latency over
+    # larger chunks (measured ~25% at NSF K=50, bench_ctm.py)
+    _preferred_chunk: int = 1024
 
     def _ctor_kwargs(self) -> dict:
         """Extra constructor kwargs a checkpoint must replay."""
@@ -72,7 +76,9 @@ class TopicModel:
             raise ValueError("number of topics must be a positive integer.")
 
         self.K = int(K)
-        self.runtime = runtime or RuntimeConfig()
+        if runtime is None:
+            runtime = RuntimeConfig(chunk_docs=self._preferred_chunk)
+        self.runtime = runtime
         self.mesh = mesh if mesh is not None else make_mesh(axis_names=(self.runtime.data_axis,))
         self.seed = seed
         n_sh = self.mesh.shape[self.runtime.data_axis]
@@ -416,6 +422,7 @@ class CTM(TopicModel):
 
     _bucketed = True
     _per_doc_fields = ("lam", "lam_old", "vsq", "logzeta")
+    _preferred_chunk = 2048
 
     def __repr__(self):
         return f"Correlated topic model with {self.K} topics."
@@ -486,6 +493,7 @@ class fCTM(TopicModel):
 
     _bucketed = True
     _per_doc_fields = ("lam", "lam_old", "vsq", "logzeta", "tau", "tau_old")
+    _preferred_chunk = 2048
 
     def __repr__(self):
         return f"Filtered correlated topic model with {self.K} topics."
@@ -981,9 +989,14 @@ def predict(corp, train_model: TopicModel, iter: int = 10,
     kappa; here kappa/eta are carried over from the trained model.
     """
     corpuslib.check_corp(corp)
-    if corp.vocab != train_model.corp.vocab:
+    if train_model.corp is not None:
+        if corp.vocab != train_model.corp.vocab:
+            raise CorpusError(
+                "predict corpus and train_model corpus must have identical vocabularies."
+            )
+    elif len(corp.vocab) != train_model.V:   # PackedCorpus-built model
         raise CorpusError(
-            "predict corpus and train_model corpus must have identical vocabularies."
+            "predict corpus vocabulary size must match the trained model's V."
         )
     if tol is not None and tol < 0:
         raise ValueError("tolerance parameter must be nonnegative.")
