@@ -1,0 +1,72 @@
+"""Evaluation metrics (evaluate.py): perplexity + UMass coherence."""
+
+import numpy as np
+import pytest
+
+import topicmodelsvb_jl_tpu as tm
+from topicmodelsvb_jl_tpu.api import CTM, CTPF, LDA, fLDA
+from topicmodelsvb_jl_tpu.evaluate import perplexity, topic_coherence
+from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+
+
+def _rt():
+    return RuntimeConfig(chunk_docs=8, dtype="float64", pad_multiple=8)
+
+
+@pytest.fixture(scope="module")
+def split():
+    corp = tm.synth_corpus(M=120, V=60, K=3, seed=8, mean_tokens=40,
+                           mean_terms=20)
+    train = tm.Corpus(docs=corp.docs[:100], vocab=corp.vocab)
+    test = tm.Corpus(docs=corp.docs[100:], vocab=corp.vocab)
+    return train, test
+
+
+def test_perplexity_improves_with_training(split):
+    train, test = split
+    m0 = LDA(train, 3, runtime=_rt(), mesh=make_mesh(n_devices=1), seed=1)
+    m0.train(iter=1, checkelbo=np.inf, printelbo=False)
+    p0 = perplexity(test, m0)
+    m1 = LDA(train, 3, runtime=_rt(), mesh=make_mesh(n_devices=1), seed=1)
+    m1.train(iter=25, checkelbo=np.inf, printelbo=False, tol=0.0)
+    p1 = perplexity(test, m1)
+    # trained model must beat the near-untrained one, and both must beat
+    # the uniform-distribution ceiling (V=60)
+    assert p1 < p0 < 60.0
+    assert p1 > 1.0
+
+
+def test_perplexity_flda_ctm(split):
+    train, test = split
+    for cls in (fLDA, CTM):
+        m = cls(train, 3, runtime=_rt(), mesh=make_mesh(n_devices=1), seed=1)
+        m.train(iter=10, checkelbo=np.inf, printelbo=False, tol=0.0)
+        p = perplexity(test, m)
+        assert 1.0 < p < 60.0, (cls.__name__, p)
+
+
+def test_perplexity_rejects_ctpf():
+    corp = tm.synth_corpus(M=20, V=30, K=2, U=6, seed=3)
+    m = CTPF(corp, 2, runtime=_rt(), mesh=make_mesh(n_devices=1))
+    with pytest.raises(TypeError):
+        perplexity(corp, m)
+
+
+def test_topic_coherence_prefers_planted_topics():
+    """Planted-topic top words co-occur; shuffled word sets do not —
+    coherence must rank the trained model's topics above a fake ranking."""
+    corp = tm.synth_corpus(M=200, V=60, K=3, seed=12, mean_tokens=40,
+                           mean_terms=18, topic_concentration=0.05)
+    m = LDA(corp, 3, runtime=_rt(), mesh=make_mesh(n_devices=1), seed=2)
+    m.train(iter=30, checkelbo=np.inf, printelbo=False, tol=0.0)
+    real = topic_coherence(m, N=8)
+    assert real.shape == (3,) and np.all(np.isfinite(real))
+
+    rng = np.random.default_rng(0)
+    fake_topics = np.stack([rng.permutation(60) + 1 for _ in range(3)])
+    saved = m.topics
+    m.topics = fake_topics
+    fake = topic_coherence(m, N=8)
+    m.topics = saved
+    assert real.mean() > fake.mean()

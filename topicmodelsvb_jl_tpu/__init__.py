@@ -22,6 +22,7 @@ from .api import (
     CTM, CTPF, DTM, LDA, TopicModel, TopicModelError, fCTM, fLDA,
     gencorp, gendoc, predict,
 )
+from .evaluate import perplexity, topic_coherence
 from .checkpoint import load as load_checkpoint
 from .checkpoint import save as save_checkpoint
 from .validate import check_model
