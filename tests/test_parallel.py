@@ -527,3 +527,47 @@ def test_ctpf_seq_axis_sp_matches_single_device():
         in_specs=(spec, tokspec, tokspec, tokspec, tokspec, dspec),
         out_specs=P(), check_vma=False))
     np.testing.assert_allclose(float(elbo_fn(s, *data)), ref_e, rtol=1e-9)
+
+
+def test_lda_3d_dp_tp_sp_mesh_matches_single_device():
+    """Full 3-axis combination on one mesh: docs data-parallel over
+    data×vocab, beta storage tensor-parallel over vocab, every document's
+    token axis sequence-parallel over seq (the dryrun's 2×2×2 config,
+    asserted against the single-device trajectory)."""
+    K = 6
+    packed = _packed()
+    ref, ref_elbo = _reference_run(packed, K)
+
+    mesh = make_mesh(axis_names=("data", "vocab", "seq"), shape=(2, 2, 2))
+    axes = ("data", "vocab")
+    spec = lda_mod.partition_spec(data_axis=axes, vocab_axis="vocab")
+    step_l = lda_mod.make_step(
+        packed, K, viter=5, vtol=1.0 / K**2, niter=100, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name=axes, use_pallas=False,
+        vocab_axis="vocab", seq_axis="seq")
+    elbo_l = lda_mod.make_elbo(
+        packed, K, chunk_docs=16, axis_name=axes, vocab_axis="vocab",
+        seq_axis="seq")
+    dspec = P(axes)
+    tokspec = P(axes, "seq")
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec, P()),
+        out_specs=spec, check_vma=False))
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
+        out_specs=P(), check_vma=False))
+
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+            jnp.asarray(packed.doc_mask),
+            jnp.asarray(float(packed.M), jnp.float64))
+    for _ in range(3):
+        state = step(state, *data)
+    np.testing.assert_allclose(np.asarray(state.beta), np.asarray(ref.beta),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(state.gamma), np.asarray(ref.gamma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.alpha), np.asarray(ref.alpha),
+                               rtol=1e-7)
+    np.testing.assert_allclose(float(elbo_fn(state, *data[:3])), ref_elbo,
+                               rtol=1e-9)
