@@ -8,10 +8,11 @@
   ``lax.while_loop`` fed by the psum'd Elogtheta_sum, so nothing leaves
   the device.
 * :func:`ctm_lambda_newton` — CTM per-document Newton with a K×K SPD
-  solve (reference CTM.jl:129-142), batched over documents with a
-  Cholesky solve instead of the reference's in-kernel workgroup
-  Gauss–Jordan (``LINSOLVE_c``, utils.jl:60-90; the reference's own
-  comment notes pivoting is unnecessary for SPD).
+  solve (reference CTM.jl:129-142), batched over documents with the
+  matrix-free preconditioned CG of :func:`spd_cg_solve` instead of the
+  reference's in-kernel workgroup Gauss–Jordan (``LINSOLVE_c``,
+  utils.jl:60-90; the reference's own comment notes pivoting is
+  unnecessary for SPD).
 * :func:`ctm_vsq_newton` — per-coordinate Newton with back-tracking
   (reference CTM.jl:146-165), vectorised over [B, K].
 """
