@@ -4,6 +4,7 @@ in-memory path, batch-size invariance, beyond-memory semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from topicmodelsvb_jl_tpu.datasets import synth_packed_nsf_scale
 from topicmodelsvb_jl_tpu.models import lda as lda_mod
@@ -78,3 +79,44 @@ def test_streaming_elbo_monotone_and_topics():
     deltas = [t[2] for t in s.trace]
     assert all(d > -1e-6 for d in deltas[1:])
     assert s.topics is not None and s.topics.shape == (4, packed.V)
+
+
+def test_online_training_beats_one_batch_sweep():
+    """One ONLINE epoch (beta updated per minibatch) must reach a better
+    bound than one BATCH sweep (beta updated once) — the point of
+    stochastic variational inference on large corpora."""
+    from topicmodelsvb_jl_tpu.streaming import make_batch_elbo
+
+    K = 4
+    packed = synth_packed_nsf_scale(M=1024, V=80, mean_terms=12, seed=6,
+                                    chunk_docs=16, pad_multiple=8)
+
+    batch = StreamingLDA(packed, K, batch_docs=64, chunk_docs=16,
+                         dtype=jnp.float64, seed=3)
+    batch.train(iter=1, checkelbo=1, printelbo=False, tol=0.0)
+    elbo_batch = batch.trace[-1][1]
+
+    online = StreamingLDA(packed, K, batch_docs=64, chunk_docs=16,
+                          dtype=jnp.float64, seed=3)
+    # tau0 sized to the step count (16/epoch) so the schedule actually
+    # learns within one pass
+    online.train_online(epochs=1, tau0=4.0, checkelbo=1, printelbo=False)
+    elbo_online = online.trace[-1][1]
+
+    assert np.isfinite(elbo_online)
+    assert elbo_online > elbo_batch, (elbo_online, elbo_batch)
+    assert online.topics is not None
+
+
+def test_online_training_elbo_climbs_across_epochs():
+    K = 3
+    packed = synth_packed_nsf_scale(M=256, V=60, mean_terms=10, seed=7,
+                                    chunk_docs=16, pad_multiple=8)
+    s = StreamingLDA(packed, K, batch_docs=64, chunk_docs=16,
+                     dtype=jnp.float64, seed=2)
+    s.train_online(epochs=4, checkelbo=1, printelbo=False)
+    elbos = [t[1] for t in s.trace]
+    assert elbos[-1] > elbos[0]
+    with pytest.raises(ValueError):
+        s.train_online(epochs=1, kappa=0.3)
+

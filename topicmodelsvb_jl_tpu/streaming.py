@@ -237,3 +237,80 @@ class StreamingLDA:
         self.gamma[sl] = np.asarray(g2)
         self.Elogtheta[sl] = np.asarray(el2)
         self.Elogtheta_old[sl] = np.asarray(elo2)
+
+    def train_online(self, epochs: int = 1, tau0: float = 64.0,
+                     kappa: float = 0.7, viter: int = 10,
+                     vtol: Optional[float] = None, niter: int = 1000,
+                     ntol: Optional[float] = None, checkelbo: float = 1,
+                     printelbo: bool = True, shuffle_seed: int = 0):
+        """Online (stochastic) variational training — one or few passes.
+
+        Beyond the reference's capability surface: after each document
+        minibatch the global sufficient statistics are blended with the
+        batch's corpus-scaled statistics at step size
+        ``ρ_t = (τ0 + t)^(−κ)`` (Hoffman et al. 2010/2013 SVI schedule;
+        here as online EM over the reference's normalized-beta M-step,
+        Cappé & Moulines 2009), and beta/alpha update immediately — so a
+        single pass over a huge corpus already yields useful topics,
+        where batch CAVI would need many full sweeps.  ``kappa`` in
+        (0.5, 1] guarantees the Robbins–Monro conditions.
+
+        ELBO is checked per EPOCH (a full-corpus streamed evaluation).
+        """
+        if not (0.5 < kappa <= 1.0):
+            raise ValueError("kappa must be in (0.5, 1].")
+        cfg = TrainConfig(iter=epochs, niter=niter, ntol=ntol, viter=viter,
+                          vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        cfg.validate()
+        sweep = make_batch_sweep(self.V, self.K, cfg.viter, cfg.vtol,
+                                 self.chunk_docs)
+        batch_elbo = make_batch_elbo(self.V, self.K, self.chunk_docs)
+        p = self.packed
+        M_total = jnp.asarray(float(self.M), self.dtype)
+        n_batches = p.M_pad // self.batch_docs
+        scale = float(p.M_pad) / self.batch_docs  # corpus/batch ratio
+
+        # running statistics, seeded by one pass worth of the priors
+        S_beta = jnp.asarray(np.asarray(self.beta), self.dtype).T  # [V, K]
+        S_el = jnp.zeros((self.K,), self.dtype)
+        rng = np.random.default_rng(shuffle_seed)
+        t = 0
+        for epoch in range(1, cfg.iter + 1):
+            order = rng.permutation(n_batches)
+            for b in order:
+                sl = slice(b * self.batch_docs, (b + 1) * self.batch_docs)
+                bt0 = jnp.zeros((self.V, self.K), self.dtype)
+                es0 = jnp.zeros((self.K,), self.dtype)
+                g2, el2, elo2, bt, es = sweep(
+                    self.beta, self.alpha,
+                    jnp.asarray(p.terms[sl]),
+                    jnp.asarray(p.counts[sl].astype(self.dtype)),
+                    jnp.asarray(p.doc_mask[sl].astype(self.dtype)),
+                    jnp.asarray(self.gamma[sl]),
+                    jnp.asarray(self.Elogtheta[sl]),
+                    jnp.asarray(self.Elogtheta_old[sl]), bt0, es0)
+                self._store(sl, g2, el2, elo2)
+                # first step takes the batch statistic whole (ρ=1): the
+                # running stats start from priors/zero, and blending a
+                # near-zero Elogtheta_sum into the alpha Newton at full
+                # corpus scale would destabilise it
+                rho = 1.0 if t == 0 else (tau0 + t) ** (-kappa)
+                S_beta = (1.0 - rho) * S_beta + rho * scale * bt
+                S_el = (1.0 - rho) * S_el + rho * scale * es
+                self.beta_old = self.beta
+                self.beta, self.alpha = _mstep(
+                    S_beta, S_el, self.alpha, M_total, cfg.niter, cfg.ntol)
+                t += 1
+            if cfg.checkelbo != float("inf") \
+                    and epoch % int(cfg.checkelbo) == 0:
+                new_elbo = self._sweep_elbo(batch_elbo, self.beta,
+                                            self.beta_old)
+                delta = new_elbo - self.elbo
+                self.elbo = new_elbo
+                self.trace.append((epoch, new_elbo, delta))
+                if cfg.printelbo:
+                    print(f"{epoch} ∆elbo: {round(delta, 3)}")
+
+        self.topics = topics_ranking(np.asarray(self.beta))
+        return self
