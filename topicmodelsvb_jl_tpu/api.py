@@ -436,6 +436,7 @@ class CTM(TopicModel):
             p, self.K, viter=cfg.viter, vtol=cfg.vtol, niter=cfg.niter,
             ntol=cfg.ntol, chunk_docs=self.chunk_docs,
             axis_name=self.runtime.data_axis,
+            use_pallas=None if self.runtime.use_pallas else False,
         )
         elbo_local = ctm_mod.make_elbo(
             p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis

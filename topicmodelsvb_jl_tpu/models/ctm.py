@@ -123,17 +123,29 @@ def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
               vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """One CAVI sweep.  ``vocab_axis`` shards beta *storage* over that
     mesh axis exactly like LDA's TP mode (models/lda.py): all_gather in,
     reduce_scatter + replicated row-sum psum out; include the vocab axis
     in ``axis_name`` and shard docs over both axes.  ``seq_axis`` shards
     every document's token axis (SP analogue); incompatible with
-    bucketed packing, like models/lda.py."""
+    bucketed packing, like models/lda.py.
+
+    ``use_pallas`` selects the fused Pallas fixpoint kernel
+    (kernels/ctm_estep.py); ``None`` means auto, which resolves to OFF:
+    the kernel measured 5.5× SLOWER than the XLA body at NSF scale
+    (see its module docstring for the analysis); it remains available
+    explicitly for experimentation."""
     V = packed.V
     segments = packed.segments
+    if use_pallas is None:
+        use_pallas = False   # measured slower (kernels/ctm_estep.py)
     if seq_axis is not None:
+        use_pallas = False
         assert segments is None, "token-axis sharding requires dense packing"
+    from .lda import _round_up_128
+    Kp = _round_up_128(K)
 
     def step(state: CTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
@@ -144,7 +156,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             beta_full = state.beta
         logbetaT = jnp.log(beta_full).T  # raw log, matching CTM.jl:177
 
-        def scan_body(carry, xs):
+        def scan_body_xla(carry, xs):
             bt, vs, ls, lo = carry
             t, c, dm, la, lao, v, lz = xs
             la2, lao2, v2, lz2, bti, vsi, lsi, loi = _estep_chunk(
@@ -154,13 +166,62 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             )
             return (bt + bti, vs + vsi, ls + lsi, lo + loi), (la2, lao2, v2, lz2)
 
+        if use_pallas:
+            from ..kernels.ctm_estep import ctm_estep
+
+            # pad-topic lanes −1e30 so in-kernel softmaxes ignore them
+            logbetaT_p = jnp.pad(logbetaT, ((0, 0), (0, Kp - K)),
+                                 constant_values=-1e30)
+            mu_p = jnp.pad(state.mu, (0, Kp - K))
+            isd_p = jnp.pad(jnp.diagonal(state.invsigma), (0, Kp - K),
+                            constant_values=1.0)
+            # identity on the pad block keeps x@invsigma exact on real
+            # lanes and gradients 0 on pad lanes
+            inv_p = jnp.pad(state.invsigma, ((0, Kp - K), (0, Kp - K)))
+            if Kp > K:
+                padeye = jnp.concatenate(
+                    [jnp.zeros((K,), dt), jnp.ones((Kp - K,), dt)])
+                inv_p = inv_p + jnp.diag(padeye)
+            padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
+            padk1 = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)),
+                                      constant_values=1.0)
+
+            def scan_body_pallas(carry, xs):
+                bt, vs, ls, lo = carry
+                t, c, dm, la, lao, v, lz = xs
+                # zero-count slots masked to 0 on ALL lanes (uniform
+                # softmax there; every use is count-weighted — exact)
+                lb = jnp.where(c[..., None] > 0, logbetaT_p[t], 0.0)
+                la2, lao2, v2, lz2, w = ctm_estep(
+                    lb, c, dm, mu_p, inv_p, isd_p,
+                    padk(la), padk(lao), padk1(v), lz,
+                    viter=viter, vtol=vtol, niter=niter, ntol=ntol,
+                    n_topics=K, interpret=pallas_interpret,
+                )
+                la2, lao2, v2 = la2[:, :K], lao2[:, :K], v2[:, :K]
+                lz2 = lz2[:, 0]
+                bti = count_scatter(w[..., :K].reshape(-1, K),
+                                    t.reshape(-1), V)
+                dmc = dm[:, None]
+                vsi = jnp.sum(v2 * dmc, axis=0)
+                lsi = jnp.sum(la2 * dmc, axis=0)
+                loi = jnp.einsum("bi,bj->ij", la2 * dmc, la2)
+                return (bt + bti, vs + vsi, ls + lsi, lo + loi), \
+                    (la2, lao2, v2, lz2)
+
         def sweep(t_arr, c_arr, dm_arr, la_a, lao_a, v_a, lz_a, carry):
             n_rows = t_arr.shape[0]
             B = min(chunk_docs, n_rows)
             n_chunks = n_rows // B
+            from ..kernels.lda_estep import fits_vmem
+
+            body = (scan_body_pallas
+                    if use_pallas and B % 8 == 0
+                    and fits_vmem(t_arr.shape[1], Kp)
+                    else scan_body_xla)
             sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
             carry, ys = jax.lax.scan(
-                scan_body, carry,
+                body, carry,
                 (sh(t_arr), sh(c_arr), sh(dm_arr),
                  sh(la_a), sh(lao_a), sh(v_a), sh(lz_a)),
             )
