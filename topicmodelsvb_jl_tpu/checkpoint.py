@@ -71,12 +71,20 @@ def save(path: str, model) -> None:
         if name in doc_fields:
             arr = arr[rows]              # packed rows → original doc order
         arrays[f"leaf_{i}"] = arr
+    import dataclasses
+
+    # replay the runtime knobs that shape packing/compute on load (paths
+    # and profiling sinks are environment-specific and not replayed)
+    runtime = {k: v for k, v in dataclasses.asdict(model.runtime).items()
+               if k not in ("metrics_path", "profile_dir",
+                            "checkpoint_dir") and v is not None}
     meta = dict(
         format=_FORMAT_VERSION,
         model=type(model).__name__,
         K=model.K,
         seed=model.seed,
         dtype=str(model.dtype),
+        runtime=runtime,
         # cached at construction (api.TopicModel.__init__): the corpus is
         # immutable for the model's lifetime, and for packed-built models
         # it hashes the PRE-bucketing object the user holds, so load()
@@ -119,7 +127,12 @@ def load(path: str, corp: Corpus, strict_corpus: bool = True):
     cls = getattr(api, meta["model"])
     from .utils.config import RuntimeConfig
 
-    model = cls(corp, meta["K"], runtime=RuntimeConfig(dtype=meta["dtype"]),
+    if "runtime" in meta:   # replay the saved runtime knobs
+        rt = RuntimeConfig(**meta["runtime"])
+    else:                   # older checkpoints: dtype + class preference
+        rt = RuntimeConfig(dtype=meta["dtype"],
+                           chunk_docs=getattr(cls, "_preferred_chunk", 1024))
+    model = cls(corp, meta["K"], runtime=rt,
                 seed=meta["seed"], **meta.get("ctor", {}))
     # per-doc fields were saved in original doc order; scatter them into
     # the load environment's (possibly different) packed row permutation,

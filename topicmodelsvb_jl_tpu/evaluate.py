@@ -43,11 +43,12 @@ def perplexity(corp: Corpus, train_model, iter: int = 10,
     beta = np.asarray(train_model.beta, np.float64)        # [K, V]
     rows = pred._doc_rows()
     theta = np.asarray(pred._topicdist_rows(rows), np.float64)  # [M, K]
-    mix = theta @ beta                                     # [M, V]
-    if isinstance(train_model, (fLDA, fCTM)):
+    # per-document mixture only at the observed terms — never the dense
+    # [M, V] matrix (tens of GB at the corpus scales this targets)
+    filtered = isinstance(train_model, (fLDA, fCTM))
+    if filtered:
         eta = float(train_model.eta)
         kappa = np.asarray(train_model.state.kappa, np.float64)
-        mix = eta * mix + (1.0 - eta) * kappa[None, :]
 
     ll = 0.0
     n_tokens = 0.0
@@ -56,7 +57,10 @@ def perplexity(corp: Corpus, train_model, iter: int = 10,
             continue
         t = np.asarray(doc.terms, np.int64) - 1
         c = np.asarray(doc.counts, np.float64)
-        p = np.maximum(mix[d, t], 1e-300)
+        p = theta[d] @ beta[:, t]
+        if filtered:
+            p = eta * p + (1.0 - eta) * kappa[t]
+        p = np.maximum(p, 1e-300)
         ll += float(np.dot(c, np.log(p)))
         n_tokens += float(c.sum())
     if n_tokens == 0:

@@ -43,17 +43,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# pure-jnp helpers, fully traceable inside the kernel
+from ..ops.newton import _backtrack_rho
+from ..utils.numerics import EPSILON
+
 _MAX_TILE_ELEMS = 16 * 128 * 128
 _NEG = -1e30
 
 
-def _backtrack_rho_strict(x, p):
-    """Closed-form reference back-tracking (ops/newton._backtrack_rho)."""
-    ratio = jnp.where(p > 0, x / jnp.where(p > 0, p, 1.0), jnp.inf)
-    m = jnp.maximum(jnp.ceil(-jnp.log2(jnp.minimum(ratio, 1.0))), 0.0)
-    rho = jnp.exp2(-m)
-    rho = jnp.where(x - rho * p <= 0, rho * 0.5, rho)
-    return jnp.where(jnp.isfinite(ratio), rho, jnp.ones_like(rho))
 
 
 def _estep_kernel(lb_ref, counts_ref, mask_ref, mu_ref, inv_ref, isd_ref,
@@ -108,7 +105,7 @@ def _estep_kernel(lb_ref, counts_ref, mask_ref, mu_ref, inv_ref, isd_ref,
             grad = -0.5 * (isd + e - 1.0 / vsq)
             invhess = -1.0 / (0.25 * e + 0.5 / (vsq * vsq))
             p = invhess * grad
-            rho = _backtrack_rho_strict(vsq, p)
+            rho = _backtrack_rho(vsq, p, strict=True)
             on = act > 0.0
             vsq2 = jnp.where(on, vsq - rho * p, vsq)
             sn = rho * jnp.abs(p)
@@ -119,7 +116,7 @@ def _estep_kernel(lb_ref, counts_ref, mask_ref, mu_ref, inv_ref, isd_ref,
         _, vsq, _, _ = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), vsq, act0, jnp.full_like(vsq, jnp.inf)))
-        return vsq + jnp.float32(1.6155871338926322e-27)  # EPSILON guard
+        return vsq + jnp.float32(EPSILON)  # @positive guard (CTM.jl:164)
 
     def cg_solve(expo, b, act):
         """ops/newton.spd_cg_solve with matvec = x@inv + expo·x.

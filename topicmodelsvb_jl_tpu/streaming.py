@@ -38,7 +38,7 @@ from .ops.newton import dirichlet_newton
 from .models.lda import _estep_chunk, _phi, topics_ranking
 from .utils.config import TrainConfig
 from .utils.numerics import (
-    EPSILON, categorical_entropy, digamma, dirichlet_entropy, finite, lgamma,
+    EPSILON, categorical_entropy, dirichlet_entropy, finite, lgamma,
 )
 
 
@@ -142,8 +142,13 @@ class StreamingLDA:
         self.batch_docs = min(batch_docs, M_pad)
         if M_pad % self.batch_docs:
             raise ValueError(
-                f"padded doc count {M_pad} must divide batch_docs")
+                f"batch_docs must divide the padded doc count {M_pad} "
+                f"(got {self.batch_docs})")
         self.chunk_docs = min(chunk_docs, self.batch_docs)
+        if self.batch_docs % self.chunk_docs:
+            raise ValueError(
+                f"chunk_docs ({self.chunk_docs}) must divide batch_docs "
+                f"({self.batch_docs})")
         self.dtype = jnp.dtype(dtype)
         npdt = np.dtype(dtype)
 
@@ -274,6 +279,11 @@ class StreamingLDA:
         # running statistics, seeded by one pass worth of the priors
         S_beta = jnp.asarray(np.asarray(self.beta), self.dtype).T  # [V, K]
         S_el = jnp.zeros((self.K,), self.dtype)
+        # seed the bound like train() so the first reported ∆elbo is
+        # a real improvement, not a difference against 0.0
+        if cfg.checkelbo <= cfg.iter:
+            self.elbo = self._sweep_elbo(batch_elbo, self.beta,
+                                         self.beta_old)
         rng = np.random.default_rng(shuffle_seed)
         t = 0
         for epoch in range(1, cfg.iter + 1):
