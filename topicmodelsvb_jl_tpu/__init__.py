@@ -23,6 +23,7 @@ from .api import (
     gencorp, gendoc, predict,
 )
 from .evaluate import perplexity, topic_coherence
+from .streaming import StreamingLDA
 from .checkpoint import load as load_checkpoint
 from .checkpoint import save as save_checkpoint
 from .validate import check_model
