@@ -99,11 +99,10 @@ class TopicModel:
             self.chunk_docs = min(self.runtime.chunk_docs,
                                   _round_up(per_shard, 8))
             self.packed = corp
-            # fingerprint the user-visible (pre-bucketing) packed object,
-            # once — checkpoint.load compares against the same input
-            from .checkpoint import packed_fingerprint
-
-            self._fingerprint = packed_fingerprint(corp)
+            # fingerprint source: the user-visible (pre-bucketing) packed
+            # object — checkpoint.load compares against the same input;
+            # hashed lazily on first checkpoint (see _fingerprint)
+            self._fp_src = corp
         else:
             corpuslib.check_corp(corp)
             self.corp = corp.copy()  # corpus-level isolation (LDA.jl:44)
@@ -119,12 +118,7 @@ class TopicModel:
                 with_readers=self._uses_readers,
                 dtype=np.dtype(self.runtime.dtype),
             )
-            # computed once (immutable for the model's lifetime); the
-            # auto-checkpoint cadence would otherwise rehash the corpus
-            # on every tick
-            from .checkpoint import corpus_fingerprint
-
-            self._fingerprint = corpus_fingerprint(self.corp)
+            self._fp_src = self.corp
         if self._uses_readers and (
             self.packed.readers is None or self.packed.ratings is None
             or self.packed.R is None
@@ -150,6 +144,22 @@ class TopicModel:
         self.trainer: Optional[Trainer] = None
         self.topics: Optional[np.ndarray] = None  # [K, V] 1-based rankings
         self._init_state()
+
+    @property
+    def _fingerprint(self) -> str:
+        """Corpus fingerprint for checkpoints — computed lazily on the
+        first checkpoint (hashing the full corpus costs seconds at NSF
+        scale) and cached (immutable for the model's lifetime; the
+        auto-checkpoint cadence must not rehash per tick)."""
+        if getattr(self, "_fingerprint_cache", None) is None:
+            from .checkpoint import corpus_fingerprint, packed_fingerprint
+
+            src = self._fp_src
+            self._fingerprint_cache = (
+                corpus_fingerprint(src) if isinstance(src, Corpus)
+                else packed_fingerprint(src))
+            self._fp_src = None   # drop the pre-bucket reference
+        return self._fingerprint_cache
 
     # ── subclass hooks ──
     def _init_state(self):
