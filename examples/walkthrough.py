@@ -106,4 +106,23 @@ resumed = tm.load_checkpoint("/tmp/walkthrough_lda.ckpt", corp)
 resumed.train(iter=5, tol=0.0, checkelbo=5)
 print("resumed model continues from ELBO", f"{resumed.elbo:.1f}")
 
+# ── 8. evaluation metrics (beyond the reference) ──
+section("8. held-out perplexity + topic coherence")
+ppl = tm.perplexity(test_corp, m)
+coh = tm.topic_coherence(lda, N=8)
+print(f"held-out perplexity: {ppl:.1f}  (vocab size {len(corp.vocab)})")
+print("UMass coherence per topic:", np.round(coh, 1))
+
+# ── 9. streaming + online training (beyond the reference) ──
+section("9. beyond-memory streaming and one-pass online training")
+from topicmodelsvb_jl_tpu.datasets import synth_packed_nsf_scale
+from topicmodelsvb_jl_tpu.streaming import StreamingLDA
+
+packed = synth_packed_nsf_scale(M=4096, V=2000, mean_terms=40,
+                                chunk_docs=256)
+s = StreamingLDA(packed, 20, batch_docs=1024, chunk_docs=256)
+s.train_online(epochs=1, tau0=8.0, checkelbo=1, printelbo=False)
+print(f"one online pass over {packed.M} host-resident docs: "
+      f"ELBO {s.trace[-1][1]:.0f}")
+
 print("\nwalkthrough complete.")
