@@ -47,3 +47,20 @@ def test_cli_ctm_runs():
     ])
     deltas = summary["final_elbo"]
     assert np.isfinite(deltas)
+
+
+def test_cli_streaming_and_online():
+    s = run([
+        "--model", "lda", "--corpus", "synth", "--synth-m", "96",
+        "--synth-v", "40", "--k", "3", "--iter", "3", "--checkelbo", "1",
+        "--dtype", "float64", "--chunk-docs", "16", "--pad-multiple", "8",
+        "--streaming", "--batch-docs", "48", "--quiet",
+    ])
+    assert s["mode"] == "streaming" and np.isfinite(s["final_elbo"])
+    o = run([
+        "--model", "lda", "--corpus", "synth", "--synth-m", "96",
+        "--synth-v", "40", "--k", "3", "--iter", "2", "--checkelbo", "1",
+        "--dtype", "float64", "--chunk-docs", "16", "--pad-multiple", "8",
+        "--online", "--batch-docs", "48", "--tau0", "4", "--quiet",
+    ])
+    assert o["mode"] == "online" and np.isfinite(o["final_elbo"])

@@ -88,6 +88,18 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--n-devices", type=int, default=None,
                    help="limit the mesh to this many devices")
 
+    # ── streaming / online (host-resident corpus, LDA only) ──
+    s = p.add_argument_group("streaming")
+    s.add_argument("--streaming", action="store_true",
+                   help="host-resident corpus+state, device memory "
+                        "O(batch) (StreamingLDA; --model lda only)")
+    s.add_argument("--online", action="store_true",
+                   help="per-minibatch SVI-schedule updates (implies "
+                        "--streaming); --iter counts epochs")
+    s.add_argument("--batch-docs", type=int, default=8192)
+    s.add_argument("--tau0", type=float, default=64.0)
+    s.add_argument("--kappa", type=float, default=0.7)
+
     p.add_argument("--json", action="store_true",
                    help="suppress prints; emit one JSON summary line")
     p.add_argument("--save", default=None, help="checkpoint path to save to")
@@ -155,6 +167,11 @@ def run(argv=None) -> dict:
                       axis_names=(runtime.data_axis,))
             if args.n_devices else None)
 
+    if args.streaming or args.online:
+        if args.model != "lda":
+            raise SystemExit("--streaming/--online support --model lda only")
+        return _run_streaming(args, corp, runtime)
+
     cls = {"lda": api.LDA, "flda": api.fLDA, "ctm": api.CTM,
            "fctm": api.fCTM, "ctpf": api.CTPF, "dtm": api.DTM}[args.model]
     ctor_kw = dict(runtime=runtime, mesh=mesh,
@@ -180,6 +197,43 @@ def run(argv=None) -> dict:
     summary = model.trainer.summary()
     summary.update(model=args.model, K=args.k, M=model.M, V=model.V)
     return summary
+
+
+def _run_streaming(args, corp, runtime) -> dict:
+    import numpy as np
+
+    from .corpus import Corpus
+    from .ops.packing import pack_corpus
+    from .streaming import StreamingLDA
+
+    if isinstance(corp, Corpus):
+        packed = pack_corpus(corp, pad_multiple=runtime.pad_multiple,
+                             docs_multiple=min(args.batch_docs,
+                                               runtime.chunk_docs),
+                             dtype=np.dtype(runtime.dtype))
+    else:
+        packed = corp
+    batch = args.batch_docs
+    while packed.M_pad % batch:
+        batch //= 2
+    s = StreamingLDA(packed, args.k, batch_docs=batch,
+                     chunk_docs=min(runtime.chunk_docs, batch),
+                     dtype=runtime.dtype,
+                     seed=0 if args.seed is None else args.seed)
+    checkelbo = float("inf") if str(args.checkelbo).lower() in ("inf", "none") \
+        else int(args.checkelbo)
+    quiet = not (args.quiet or args.json)
+    if args.online:
+        s.train_online(epochs=args.iter, tau0=args.tau0, kappa=args.kappa,
+                       viter=args.viter, vtol=args.vtol, niter=args.niter,
+                       ntol=args.ntol, checkelbo=checkelbo, printelbo=quiet)
+    else:
+        s.train(iter=args.iter, tol=args.tol, viter=args.viter,
+                vtol=args.vtol, niter=args.niter, ntol=args.ntol,
+                checkelbo=checkelbo, printelbo=quiet)
+    return dict(model="lda", mode="online" if args.online else "streaming",
+                K=args.k, M=s.M, V=s.V, batch_docs=batch,
+                final_elbo=(s.trace[-1][1] if s.trace else None))
 
 
 def main(argv=None) -> int:
