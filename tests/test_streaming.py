@@ -120,3 +120,32 @@ def test_online_training_elbo_climbs_across_epochs():
     with pytest.raises(ValueError):
         s.train_online(epochs=1, kappa=0.3)
 
+
+
+def test_streaming_over_mesh_matches_single_device():
+    """Streaming + DP: each batch shards over a 4-device mesh, stats
+    psum across devices — trajectory identical to single-device
+    streaming and to the in-memory path."""
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+    K, iters = 3, 3
+    packed = _packed(M=96, seed=4)
+    ref, _ = _inmemory_run(packed, K, iters)
+
+    s = StreamingLDA(packed, K, batch_docs=32, chunk_docs=8,
+                     dtype=jnp.float64, seed=3,
+                     mesh=make_mesh(n_devices=4, axis_names=("data",)))
+    s.train(iter=iters, checkelbo=float("inf"), viter=5, printelbo=False)
+    np.testing.assert_allclose(np.asarray(s.beta), np.asarray(ref.beta),
+                               rtol=1e-12)
+    np.testing.assert_allclose(s.gamma, np.asarray(ref.gamma), rtol=1e-10)
+
+    o = StreamingLDA(packed, K, batch_docs=32, chunk_docs=8,
+                     dtype=jnp.float64, seed=3,
+                     mesh=make_mesh(n_devices=4, axis_names=("data",)))
+    o.train_online(epochs=2, tau0=4.0, checkelbo=1, printelbo=False)
+    o1 = StreamingLDA(packed, K, batch_docs=32, chunk_docs=8,
+                      dtype=jnp.float64, seed=3)
+    o1.train_online(epochs=2, tau0=4.0, checkelbo=1, printelbo=False)
+    np.testing.assert_allclose(np.asarray(o.beta), np.asarray(o1.beta),
+                               rtol=1e-11)

@@ -43,12 +43,16 @@ from .utils.numerics import (
 
 
 def make_batch_sweep(V: int, K: int, viter: int, vtol: float,
-                     chunk_docs: int):
+                     chunk_docs: int, mesh=None, data_axis: str = "data"):
     """Jitted E-sweep over one document batch: returns updated per-doc
     state plus the batch's (beta_temp, Elogtheta_sum) accumulated into
-    the running device buffers."""
+    the running device buffers.
 
-    @jax.jit
+    With ``mesh`` the batch is additionally data-parallel: its rows
+    shard over ``data_axis``, the statistics psum across devices into
+    replicated accumulators — streaming a beyond-memory corpus through
+    a whole mesh, not one chip."""
+
     def sweep(beta, alpha, terms, counts, doc_mask, gamma, El, Elo,
               beta_temp_acc, El_sum_acc):
         logbetaT = jnp.log(beta + jnp.asarray(EPSILON, beta.dtype)).T
@@ -63,14 +67,29 @@ def make_batch_sweep(V: int, K: int, viter: int, vtol: float,
         n = terms.shape[0]
         B = min(chunk_docs, n)
         sh = lambda a: a.reshape((n // B, B) + a.shape[1:])
+        zero = (jnp.zeros_like(beta_temp_acc), jnp.zeros_like(El_sum_acc))
         (bt, es), (g, el, elo) = jax.lax.scan(
-            body, (beta_temp_acc, El_sum_acc),
+            body, zero,
             (sh(terms), sh(counts), sh(doc_mask),
              sh(gamma), sh(El), sh(Elo)))
+        if mesh is not None:
+            bt = jax.lax.psum(bt, data_axis)
+            es = jax.lax.psum(es, data_axis)
         unsh = lambda a: a.reshape((n,) + a.shape[2:])
-        return unsh(g), unsh(el), unsh(elo), bt, es
+        return (unsh(g), unsh(el), unsh(elo),
+                beta_temp_acc + bt, El_sum_acc + es)
 
-    return sweep
+    if mesh is None:
+        return jax.jit(sweep)
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.shard import shard_map
+
+    d = P(data_axis)
+    return jax.jit(shard_map(
+        sweep, mesh=mesh,
+        in_specs=(P(), P(), d, d, d, d, d, d, P(), P()),
+        out_specs=(d, d, d, P(), P()), check_vma=False))
 
 
 @jax.jit
@@ -81,10 +100,10 @@ def _mstep(beta_temp, El_sum, alpha, M_total, niter, ntol):
     return beta_new, alpha_new
 
 
-def make_batch_elbo(V: int, K: int, chunk_docs: int):
+def make_batch_elbo(V: int, K: int, chunk_docs: int, mesh=None,
+                    data_axis: str = "data"):
     """Jitted per-batch ELBO contribution (reference LDA.jl:50-93)."""
 
-    @jax.jit
     def batch_elbo(beta, beta_old, alpha, terms, counts, doc_mask,
                    gamma, El, Elo, acc):
         eps = jnp.asarray(EPSILON, beta.dtype)
@@ -108,13 +127,25 @@ def make_batch_elbo(V: int, K: int, chunk_docs: int):
         n = terms.shape[0]
         B = min(chunk_docs, n)
         sh = lambda x: x.reshape((n // B, B) + x.shape[1:])
-        acc, _ = jax.lax.scan(
-            body, acc,
+        part, _ = jax.lax.scan(
+            body, jnp.zeros_like(acc),
             (sh(terms), sh(counts), sh(doc_mask),
              sh(gamma), sh(El), sh(Elo)))
-        return acc
+        if mesh is not None:
+            part = jax.lax.psum(part, data_axis)
+        return acc + part
 
-    return batch_elbo
+    if mesh is None:
+        return jax.jit(batch_elbo)
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.shard import shard_map
+
+    d = P(data_axis)
+    return jax.jit(shard_map(
+        batch_elbo, mesh=mesh,
+        in_specs=(P(), P(), P(), d, d, d, d, d, d, P()),
+        out_specs=P(), check_vma=False))
 
 
 class StreamingLDA:
@@ -131,10 +162,16 @@ class StreamingLDA:
     """
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
-                 chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0):
+                 chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
+                 mesh=None, data_axis: str = "data"):
+        """``mesh`` makes each streamed batch data-parallel over its
+        devices (stats psum'd): a beyond-memory corpus streams through a
+        whole mesh.  Batch rows must divide chunk_docs × mesh size."""
         if packed.segments is not None:
             raise ValueError("StreamingLDA takes a dense (non-bucketed) "
                              "PackedCorpus.")
+        self.mesh = mesh
+        self.data_axis = data_axis
         self.packed = packed
         self.K = int(K)
         self.M, self.V = packed.M, packed.V
@@ -144,11 +181,13 @@ class StreamingLDA:
             raise ValueError(
                 f"batch_docs must divide the padded doc count {M_pad} "
                 f"(got {self.batch_docs})")
-        self.chunk_docs = min(chunk_docs, self.batch_docs)
-        if self.batch_docs % self.chunk_docs:
+        n_sh = 1 if mesh is None else mesh.shape[data_axis]
+        self.chunk_docs = min(chunk_docs, self.batch_docs // n_sh)
+        if (self.batch_docs // n_sh) % self.chunk_docs or \
+                self.batch_docs % n_sh:
             raise ValueError(
-                f"chunk_docs ({self.chunk_docs}) must divide batch_docs "
-                f"({self.batch_docs})")
+                f"chunk_docs ({self.chunk_docs}) × mesh size ({n_sh}) "
+                f"must divide batch_docs ({self.batch_docs})")
         self.dtype = jnp.dtype(dtype)
         npdt = np.dtype(dtype)
 
@@ -195,8 +234,11 @@ class StreamingLDA:
                           printelbo=printelbo).resolved(self.K)
         cfg.validate()
         sweep = make_batch_sweep(self.V, self.K, cfg.viter, cfg.vtol,
-                                 self.chunk_docs)
-        batch_elbo = make_batch_elbo(self.V, self.K, self.chunk_docs)
+                                 self.chunk_docs, mesh=self.mesh,
+                                 data_axis=self.data_axis)
+        batch_elbo = make_batch_elbo(self.V, self.K, self.chunk_docs,
+                                     mesh=self.mesh,
+                                     data_axis=self.data_axis)
         p = self.packed
         M_total = jnp.asarray(float(self.M), self.dtype)
 
@@ -269,8 +311,11 @@ class StreamingLDA:
                           printelbo=printelbo).resolved(self.K)
         cfg.validate()
         sweep = make_batch_sweep(self.V, self.K, cfg.viter, cfg.vtol,
-                                 self.chunk_docs)
-        batch_elbo = make_batch_elbo(self.V, self.K, self.chunk_docs)
+                                 self.chunk_docs, mesh=self.mesh,
+                                 data_axis=self.data_axis)
+        batch_elbo = make_batch_elbo(self.V, self.K, self.chunk_docs,
+                                     mesh=self.mesh,
+                                     data_axis=self.data_axis)
         p = self.packed
         M_total = jnp.asarray(float(self.M), self.dtype)
         n_batches = p.M_pad // self.batch_docs
