@@ -253,3 +253,40 @@ def test_corpus_container_surface():
     assert corp.findfirst(Document(terms=[2])) is None
     corp.push(c)
     assert corp.findall(c) == [0, 1]
+
+
+def test_fixcorp_fuzz_preserves_invariants():
+    """Randomized corpora through random fixcorp configurations must
+    always yield a corpus that passes check_corp (the reference's
+    invariant layer, Corpus.jl:111-122)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    words = ["the", "with", "apple", "zebra", "quantum", "physics",
+             "cat", "dog", "science", "data"]
+    for trial in range(25):
+        V = int(rng.integers(3, 11))
+        M = int(rng.integers(1, 12))
+        docs = []
+        for _ in range(M):
+            n = int(rng.integers(0, 7))
+            terms = (rng.integers(0, V, size=n) + 1).tolist()
+            counts = (1 + rng.poisson(1.0, size=n)).tolist()
+            docs.append(Document(terms=terms, counts=counts))
+        vocab = {j + 1: words[j % len(words)] for j in range(V)}
+        corp = Corpus(docs=docs, vocab=vocab)
+        kw = dict(
+            abridge=int(rng.integers(0, 3)),
+            alphabetize=bool(rng.integers(2)),
+            condense=bool(rng.integers(2)),
+            pad=bool(rng.integers(2)),
+            remove_empty_docs=bool(rng.integers(2)),
+            remove_redundant=bool(rng.integers(2)),
+            stop=bool(rng.integers(2)),
+            trim=bool(rng.integers(2)),
+        )
+        fixcorp(corp, **kw)
+        check_corp(corp)          # must never raise
+        for doc in corp.docs:     # per-doc invariants too
+            assert len(doc.terms) == len(doc.counts)
+            assert all(c > 0 for c in doc.counts)
