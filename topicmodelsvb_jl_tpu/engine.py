@@ -38,6 +38,11 @@ class IterationRecord:
     elbo: Optional[float] = None
     delta_elbo: Optional[float] = None
     host_sync_s: Optional[float] = None
+    # steps dispatch asynchronously, so wall time is only observable at
+    # sync points: step_time_s/docs_per_s/tokens_per_s are the AVERAGE
+    # over the `span` iterations ending at this row's sync (span=1 means
+    # true per-iteration resolution, e.g. under checkelbo=1)
+    span: int = 1
 
 
 class Trainer:
@@ -153,6 +158,7 @@ class Trainer:
                 span = time.perf_counter() - span_start
                 per = span / len(span_recs)
                 for r in span_recs:
+                    r.span = len(span_recs)
                     r.step_time_s = per
                     r.docs_per_s = self.M / max(per, 1e-12)
                     r.tokens_per_s = self.C / max(per, 1e-12)

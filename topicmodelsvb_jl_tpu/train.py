@@ -170,7 +170,12 @@ def run(argv=None) -> dict:
     if args.streaming or args.online:
         if args.model != "lda":
             raise SystemExit("--streaming/--online support --model lda only")
-        return _run_streaming(args, corp, runtime)
+        if args.metrics or args.profile_dir:
+            raise SystemExit(
+                "--metrics/--profile-dir are not supported with "
+                "--streaming/--online (the streaming driver has no "
+                "JSONL metrics sink)")
+        return _run_streaming(args, corp, runtime, mesh)
 
     cls = {"lda": api.LDA, "flda": api.fLDA, "ctm": api.CTM,
            "fctm": api.fCTM, "ctpf": api.CTPF, "dtm": api.DTM}[args.model]
@@ -199,7 +204,7 @@ def run(argv=None) -> dict:
     return summary
 
 
-def _run_streaming(args, corp, runtime) -> dict:
+def _run_streaming(args, corp, runtime, mesh=None) -> dict:
     import numpy as np
 
     from .corpus import Corpus
@@ -213,13 +218,19 @@ def _run_streaming(args, corp, runtime) -> dict:
                              dtype=np.dtype(runtime.dtype))
     else:
         packed = corp
+    n_dev = 1 if mesh is None else mesh.shape[runtime.data_axis]
     batch = args.batch_docs
-    while packed.M_pad % batch:
+    while batch > n_dev and (packed.M_pad % batch or batch % n_dev):
         batch //= 2
+    per_dev = max(batch // n_dev, 1)
+    chunk = min(runtime.chunk_docs, per_dev)
+    while per_dev % chunk:   # StreamingLDA needs chunk | batch/n_dev
+        chunk -= 1
     s = StreamingLDA(packed, args.k, batch_docs=batch,
-                     chunk_docs=min(runtime.chunk_docs, batch),
+                     chunk_docs=chunk,
                      dtype=runtime.dtype,
-                     seed=0 if args.seed is None else args.seed)
+                     seed=0 if args.seed is None else args.seed,
+                     mesh=mesh, data_axis=runtime.data_axis)
     checkelbo = float("inf") if str(args.checkelbo).lower() in ("inf", "none") \
         else int(args.checkelbo)
     quiet = not (args.quiet or args.json)

@@ -19,39 +19,53 @@ import numpy as np
 
 
 class _Checks:
-    """Collects named on-device boolean predicates."""
+    """Collects named deferred predicates (fn, array) so every reduction
+    traces inside ONE jitted program — a single dispatch, only the
+    stacked boolean vector crosses the host boundary."""
 
     def __init__(self):
         self.names = []
-        self.preds = []
+        self.fns = []
+        self.args = []
 
-    def add(self, name: str, pred) -> None:
+    def add(self, name: str, fn, a) -> None:
         self.names.append(name)
-        self.preds.append(pred)
+        self.fns.append(fn)
+        self.args.append(a)
 
     # ── predicate builders (reference modelutils.jl idioms) ──
     def finite(self, name, a):
-        self.add(f"{name} must be finite", jnp.all(jnp.isfinite(a)))
+        self.add(f"{name} must be finite",
+                 lambda x: jnp.all(jnp.isfinite(x)), a)
 
     def positive(self, name, a):
-        self.add(f"{name} must be positive", jnp.all(a > 0) & jnp.all(jnp.isfinite(a)))
+        self.add(f"{name} must be positive",
+                 lambda x: jnp.all(x > 0) & jnp.all(jnp.isfinite(x)), a)
 
     def nonnegative(self, name, a):
-        self.add(f"{name} must be nonnegative", jnp.all(a >= 0) & jnp.all(jnp.isfinite(a)))
+        self.add(f"{name} must be nonnegative",
+                 lambda x: jnp.all(x >= 0) & jnp.all(jnp.isfinite(x)), a)
 
     def stochastic(self, name, a, axis, atol=1e-3):
         """Rows/cols sum to 1 (reference isstochastic, utils.jl:144-154)."""
-        s = jnp.sum(a, axis=axis)
-        ok = jnp.all(jnp.abs(s - 1.0) <= atol) & jnp.all(a >= 0)
-        self.add(f"{name} must be a stochastic matrix", ok)
+
+        def ok(x):
+            s = jnp.sum(x, axis=axis)
+            return jnp.all(jnp.abs(s - 1.0) <= atol) & jnp.all(x >= 0)
+
+        self.add(f"{name} must be a stochastic matrix", ok, a)
 
     def unit_interval(self, name, a):
         self.add(f"{name} must be in [0, 1]",
-                 jnp.all((a >= 0) & (a <= 1)) & jnp.all(jnp.isfinite(a)))
+                 lambda x: jnp.all((x >= 0) & (x <= 1))
+                 & jnp.all(jnp.isfinite(x)), a)
 
 
 def _run(checks: _Checks) -> Dict[str, bool]:
-    flags = jax.jit(lambda preds: jnp.stack(preds))(checks.preds)
+    fns = tuple(checks.fns)
+    flags = jax.jit(
+        lambda args: jnp.stack([f(a) for f, a in zip(fns, args)])
+    )(tuple(checks.args))
     return dict(zip(checks.names, np.asarray(flags).tolist()))
 
 
