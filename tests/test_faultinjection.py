@@ -7,8 +7,10 @@ tmp+rename callback), checkpoint portability (checkpoint.py), and
 exact ELBO-trace continuation on resume.
 """
 
+import json
 import os
 import signal
+import socket
 import subprocess
 import sys
 import time
@@ -17,6 +19,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _WORKER = os.path.join(_HERE, "faultinject_worker.py")
+_MP_WORKER = os.path.join(_HERE, "faultinject_mp_worker.py")
 
 
 def _wait_for_checkpoints(ckpt_dir, min_count, timeout_s=240):
@@ -78,3 +81,91 @@ def test_sigkill_and_resume_reproduces_elbo_trace(tmp_path):
     np.testing.assert_allclose(res_trace, ref_trace[k_ckpt:], rtol=1e-10)
     np.testing.assert_allclose(np.asarray(resumed.beta), np.asarray(ref.beta),
                                rtol=1e-10)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _spawn_mp(proc_id, nproc, port, ckpt_dir, mode, extra=()):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)  # worker pins cpu via jax.config
+    return subprocess.Popen(
+        [sys.executable, _MP_WORKER, str(proc_id), str(nproc), str(port),
+         ckpt_dir, mode, *map(str, extra)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd=os.path.dirname(_HERE), text=True,
+    )
+
+
+def test_multiprocess_sigkill_and_resume(tmp_path):
+    """The distributed recovery bar (VERDICT r2 #1): SIGKILL a
+    2-OS-process training run mid-flight, resume it as 2 processes from
+    the last directory checkpoint, and reproduce the uninterrupted ELBO
+    trace to 1e-10.  Also restores the same checkpoint single-process —
+    per-doc leaves are keyed by doc id, so the format is process-count
+    portable."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu import checkpoint as ckptlib
+    from topicmodelsvb_jl_tpu.api import LDA
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+    from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    nproc, port = 2, _free_port()
+    procs = [_spawn_mp(i, nproc, port, ckpt_dir, "train")
+             for i in range(nproc)]
+    try:
+        _wait_for_checkpoints(ckpt_dir, min_count=2)
+        for p in procs:            # kill every "host" without warning
+            p.send_signal(signal.SIGKILL)
+        for p in procs:
+            p.wait(timeout=60)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == -signal.SIGKILL for p in procs)
+
+    done = sorted(d for d in os.listdir(ckpt_dir)
+                  if d.startswith("ckpt_iter") and not d.endswith(".tmp"))
+    assert done, "no completed checkpoint survived the kill"
+    last = done[-1]
+    assert os.path.isdir(os.path.join(ckpt_dir, last))
+    assert os.path.exists(os.path.join(ckpt_dir, last, "manifest.json"))
+    k_ckpt = int(last.replace("ckpt_iter", ""))
+    total = k_ckpt + 3
+
+    # uninterrupted single-process reference on a 4-device mesh (the
+    # same global device count the 2×2-device workers had)
+    corp = tm.synth_corpus(M=64, V=40, K=3, seed=21)
+    rt = RuntimeConfig(chunk_docs=8, dtype="float64", pad_multiple=8)
+    ref = LDA(corp, 3, runtime=rt, mesh=make_mesh(n_devices=4), seed=9)
+    ref.train(iter=total, tol=0.0, checkelbo=1, printelbo=False)
+    ref_trace = [r.elbo for r in ref.trainer.trace if r.elbo is not None]
+
+    # resume as 2 fresh OS processes
+    port2 = _free_port()
+    rprocs = [_spawn_mp(i, nproc, port2, ckpt_dir, "resume", (total,))
+              for i in range(nproc)]
+    outs = []
+    for p in rprocs:
+        out, err = p.communicate(timeout=480)
+        assert p.returncode == 0, f"resume worker failed:\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert outs[0]["k_ckpt"] == k_ckpt
+    np.testing.assert_array_equal(outs[0]["beta"], outs[1]["beta"])
+    np.testing.assert_allclose(outs[0]["elbo"], ref_trace[k_ckpt:],
+                               rtol=1e-10)
+    np.testing.assert_allclose(outs[0]["beta"], np.asarray(ref.beta),
+                               rtol=1e-10)
+
+    # cross-process-count restore: the 2-process checkpoint loads and
+    # continues in THIS single process, matching the same trajectory
+    single = ckptlib.load(os.path.join(ckpt_dir, last), corp)
+    single.train(iter=total - k_ckpt, tol=0.0, checkelbo=1, printelbo=False)
+    strace = [r.elbo for r in single.trainer.trace if r.elbo is not None]
+    np.testing.assert_allclose(strace, ref_trace[k_ckpt:], rtol=1e-10)
