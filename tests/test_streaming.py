@@ -149,3 +149,190 @@ def test_streaming_over_mesh_matches_single_device():
     o1.train_online(epochs=2, tau0=4.0, checkelbo=1, printelbo=False)
     np.testing.assert_allclose(np.asarray(o.beta), np.asarray(o1.beta),
                                rtol=1e-11)
+
+
+# ─────────────────────────── StreamingCTPF ───────────────────────────
+
+def _packed_readers(M=96, V=50, U=20, seed=4, docs_multiple=32):
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+
+    corp = tm.synth_corpus(M=M, V=V, U=U, K=3, seed=seed, mean_terms=10,
+                           mean_readers=3)
+    return pack_corpus(corp, pad_multiple=8, docs_multiple=docs_multiple,
+                       with_readers=True, dtype=np.float64)
+
+
+def _inmemory_ctpf(packed, K, iters, viter=5):
+    from topicmodelsvb_jl_tpu.models import ctpf as ctpf_mod
+
+    state = ctpf_mod.init(jax.random.PRNGKey(3), packed, K, jnp.float64)
+    vtol = 1.0 / K**2
+    step = jax.jit(ctpf_mod.make_step(
+        packed, K, viter=viter, vtol=vtol, chunk_docs=16, axis_name=None,
+        use_pallas=False))
+    elbo = jax.jit(ctpf_mod.make_elbo(packed, K, chunk_docs=16))
+    data = (jnp.asarray(packed.terms),
+            jnp.asarray(packed.counts.astype(np.float64)),
+            jnp.asarray(packed.readers),
+            jnp.asarray(packed.ratings.astype(np.float64)),
+            jnp.asarray(packed.doc_mask.astype(np.float64)))
+    for _ in range(iters):
+        state = step(state, *data)
+    return state, float(elbo(state, *data))
+
+
+def test_streaming_ctpf_matches_inmemory_trajectory():
+    from topicmodelsvb_jl_tpu.streaming import StreamingCTPF
+
+    K, iters = 3, 4
+    packed = _packed_readers()
+    ref, ref_elbo = _inmemory_ctpf(packed, K, iters)
+
+    s = StreamingCTPF(packed, K, batch_docs=32, chunk_docs=16,
+                      dtype=jnp.float64, seed=3)
+    s.train(iter=iters, checkelbo=float("inf"), viter=5, printelbo=False)
+
+    for name in ("alef", "bet", "dalet", "he", "vav", "het"):
+        np.testing.assert_allclose(np.asarray(getattr(s, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=1e-12, err_msg=name)
+    np.testing.assert_allclose(s.gimel, np.asarray(ref.gimel), rtol=1e-10)
+    np.testing.assert_allclose(s.zayin, np.asarray(ref.zayin), rtol=1e-10)
+    # streamed ELBO equals the in-memory bound
+    np.testing.assert_allclose(s._sweep_elbo(), ref_elbo, rtol=1e-10)
+
+
+def test_streaming_ctpf_batch_partition_invariance():
+    from topicmodelsvb_jl_tpu.streaming import StreamingCTPF
+
+    K, iters = 3, 3
+    packed = _packed_readers(seed=9)
+    runs = []
+    for batch in (96, 48, 16):
+        s = StreamingCTPF(packed, K, batch_docs=batch, chunk_docs=16,
+                          dtype=jnp.float64, seed=3)
+        s.train(iter=iters, checkelbo=1, printelbo=False, viter=5, tol=0.0)
+        runs.append(s)
+    for s in runs[1:]:
+        np.testing.assert_allclose(np.asarray(s.alef),
+                                   np.asarray(runs[0].alef), rtol=1e-12)
+        np.testing.assert_allclose([t[1] for t in s.trace],
+                                   [t[1] for t in runs[0].trace],
+                                   rtol=1e-12)
+
+
+def test_streaming_ctpf_over_mesh_matches_single_device():
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+    from topicmodelsvb_jl_tpu.streaming import StreamingCTPF
+
+    K, iters = 3, 3
+    packed = _packed_readers(seed=5)
+    ref, ref_elbo = _inmemory_ctpf(packed, K, iters, viter=5)
+
+    s = StreamingCTPF(packed, K, batch_docs=32, chunk_docs=8,
+                      dtype=jnp.float64, seed=3,
+                      mesh=make_mesh(n_devices=4, axis_names=("data",)))
+    s.train(iter=iters, checkelbo=float("inf"), viter=5, printelbo=False)
+    np.testing.assert_allclose(np.asarray(s.alef), np.asarray(ref.alef),
+                               rtol=1e-12)
+    np.testing.assert_allclose(s.gimel, np.asarray(ref.gimel), rtol=1e-10)
+    np.testing.assert_allclose(s._sweep_elbo(), ref_elbo, rtol=1e-10)
+
+
+def test_streaming_ctpf_online_climbs_and_scores():
+    from topicmodelsvb_jl_tpu.streaming import StreamingCTPF
+
+    K = 3
+    packed = _packed_readers(M=256, seed=7, docs_multiple=64)
+    s = StreamingCTPF(packed, K, batch_docs=64, chunk_docs=16,
+                      dtype=jnp.float64, seed=2)
+    s.train_online(epochs=4, tau0=4.0, checkelbo=1, printelbo=False)
+    elbos = [t[1] for t in s.trace]
+    assert elbos[-1] > elbos[0]
+    assert s.topics is not None and s.topics.shape == (K, packed.V)
+    sc = s.scores()
+    assert sc.shape == (s.M, s.U) and np.all(sc >= 0)
+    with pytest.raises(ValueError):
+        s.train_online(epochs=1, kappa=0.3)
+
+
+# ───────────────── streaming checkpoint/resume (VERDICT r2 #3) ─────────────────
+
+def test_streaming_lda_checkpoint_resume(tmp_path):
+    from topicmodelsvb_jl_tpu import streaming as st
+
+    K, total, k_cut = 3, 6, 3
+    packed = _packed(M=96, seed=8)
+    ref = st.StreamingLDA(packed, K, batch_docs=32, chunk_docs=16,
+                          dtype=jnp.float64, seed=3)
+    ref.train(iter=total, checkelbo=1, tol=0.0, printelbo=False)
+
+    s = st.StreamingLDA(packed, K, batch_docs=32, chunk_docs=16,
+                        dtype=jnp.float64, seed=3)
+    s.train(iter=k_cut, checkelbo=1, tol=0.0, printelbo=False)
+    path = str(tmp_path / "stream.ckpt")
+    s.save(path)
+
+    r = st.load(path, packed)
+    assert isinstance(r, st.StreamingLDA)
+    r.train(iter=total - k_cut, checkelbo=1, tol=0.0, printelbo=False)
+    np.testing.assert_allclose(np.asarray(r.beta), np.asarray(ref.beta),
+                               rtol=1e-12)
+    np.testing.assert_allclose([t[1] for t in r.trace],
+                               [t[1] for t in ref.trace], rtol=1e-12)
+    # fingerprint guard
+    other = _packed(M=96, seed=12345)
+    with pytest.raises(ValueError):
+        st.load(path, other)
+
+
+def test_streaming_ctpf_checkpoint_resume(tmp_path):
+    from topicmodelsvb_jl_tpu import streaming as st
+
+    K, total, k_cut = 3, 5, 2
+    packed = _packed_readers(seed=6)
+    ref = st.StreamingCTPF(packed, K, batch_docs=32, chunk_docs=16,
+                           dtype=jnp.float64, seed=3)
+    ref.train(iter=total, checkelbo=1, tol=0.0, printelbo=False)
+
+    s = st.StreamingCTPF(packed, K, batch_docs=32, chunk_docs=16,
+                         dtype=jnp.float64, seed=3)
+    s.train(iter=k_cut, checkelbo=1, tol=0.0, printelbo=False)
+    path = str(tmp_path / "stream_ctpf.ckpt")
+    s.save(path)
+
+    r = st.load(path, packed)
+    assert isinstance(r, st.StreamingCTPF)
+    r.train(iter=total - k_cut, checkelbo=1, tol=0.0, printelbo=False)
+    np.testing.assert_allclose(np.asarray(r.alef), np.asarray(ref.alef),
+                               rtol=1e-12)
+    np.testing.assert_allclose([t[1] for t in r.trace],
+                               [t[1] for t in ref.trace], rtol=1e-12)
+
+
+def test_streaming_online_checkpoint_resume(tmp_path):
+    """Online resume must replay the shuffle schedule AND the running
+    SVI statistics: the resumed trajectory equals the uninterrupted
+    one exactly."""
+    from topicmodelsvb_jl_tpu import streaming as st
+
+    K = 3
+    packed = _packed(M=96, seed=10)
+    ref = st.StreamingLDA(packed, K, batch_docs=32, chunk_docs=16,
+                          dtype=jnp.float64, seed=3)
+    ref.train_online(epochs=4, tau0=4.0, checkelbo=1, printelbo=False)
+
+    s = st.StreamingLDA(packed, K, batch_docs=32, chunk_docs=16,
+                        dtype=jnp.float64, seed=3)
+    s.train_online(epochs=2, tau0=4.0, checkelbo=1, printelbo=False)
+    path = str(tmp_path / "stream_online.ckpt")
+    s.save(path)
+
+    r = st.load(path, packed)
+    assert r._svi_t == s._svi_t and r._epochs_done == 2
+    r.train_online(epochs=2, tau0=4.0, checkelbo=1, printelbo=False)
+    np.testing.assert_allclose(np.asarray(r.beta), np.asarray(ref.beta),
+                               rtol=1e-12)
+    np.testing.assert_allclose([t[1] for t in r.trace],
+                               [t[1] for t in ref.trace], rtol=1e-12)

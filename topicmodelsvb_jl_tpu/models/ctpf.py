@@ -348,11 +348,14 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
               hyper: dict = HYPER,
               vocab_axis: Optional[str] = None, user_axis: Optional[str] = None,
-              seq_axis: Optional[str] = None):
+              seq_axis: Optional[str] = None,
+              include_global_terms: bool = True):
     """Closed-form ELBO (CTPF.jl:110-247 with the E[lnΓ(y+1)] cancellation).
 
     phi/xi recomputed from the *_old parameter set (CTPF.jl:240-241);
-    all bound terms use current parameters.
+    all bound terms use current parameters.  ``include_global_terms=False``
+    returns only the per-document/token part — the streaming driver sums
+    batch contributions and adds the data-independent alef/he terms once.
     """
     V, U = packed.V, packed.U
     U_seg = max(U, 1)
@@ -403,21 +406,25 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         dg_alefT_cur = dg_alef.T
         dg_heT_cur = dg_he.T
 
-        # ── global terms ──
-        # Elogpbeta (CTPF.jl:144-150) − Elogqbeta (CTPF.jl:198-204)
-        e_pbeta = V * K * (a * jnp.log(jnp.asarray(b, dt)) - lgamma(jnp.asarray(a, dt))) \
-            + jnp.sum((a - 1.0) * (dg_alef - log_bet[:, None])
-                      - b * alef / state.bet[:, None])
-        e_qbeta_ent = jnp.sum(gamma_entropy(alef, state.bet[:, None]))
-        # Elogpeta (CTPF.jl:162-168) − Elogqeta (CTPF.jl:216-222)
-        if U > 0:
-            e_peta = U * K * (e * jnp.log(jnp.asarray(f, dt)) - lgamma(jnp.asarray(e, dt))) \
-                + jnp.sum((e - 1.0) * (dg_he - log_vav[:, None])
-                          - f * he / state.vav[:, None])
-            e_qeta_ent = jnp.sum(gamma_entropy(he, state.vav[:, None]))
+        # ── global terms (data-independent; skipped for streamed batch
+        # contributions past the first, include_global_terms=False) ──
+        if include_global_terms:
+            # Elogpbeta (CTPF.jl:144-150) − Elogqbeta (CTPF.jl:198-204)
+            e_pbeta = V * K * (a * jnp.log(jnp.asarray(b, dt)) - lgamma(jnp.asarray(a, dt))) \
+                + jnp.sum((a - 1.0) * (dg_alef - log_bet[:, None])
+                          - b * alef / state.bet[:, None])
+            e_qbeta_ent = jnp.sum(gamma_entropy(alef, state.bet[:, None]))
+            # Elogpeta (CTPF.jl:162-168) − Elogqeta (CTPF.jl:216-222)
+            if U > 0:
+                e_peta = U * K * (e * jnp.log(jnp.asarray(f, dt)) - lgamma(jnp.asarray(e, dt))) \
+                    + jnp.sum((e - 1.0) * (dg_he - log_vav[:, None])
+                              - f * he / state.vav[:, None])
+                e_qeta_ent = jnp.sum(gamma_entropy(he, state.vav[:, None]))
+            else:
+                e_peta = jnp.zeros((), dt)
+                e_qeta_ent = jnp.zeros((), dt)
         else:
-            e_peta = jnp.zeros((), dt)
-            e_qeta_ent = jnp.zeros((), dt)
+            e_pbeta = e_qbeta_ent = e_peta = e_qeta_ent = jnp.zeros((), dt)
 
         def scan_body(acc, xs):
             t, cnt, rd, rt, dm, gi, gio, za, zao = xs
