@@ -70,3 +70,29 @@ def test_topic_coherence_prefers_planted_topics():
     fake = topic_coherence(m, N=8)
     m.topics = saved
     assert real.mean() > fake.mean()
+
+
+def test_perplexity_matches_per_doc_loop(split):
+    """The vectorized packed-array scorer must equal the straightforward
+    per-document loop exactly (VERDICT r2 #9)."""
+    from topicmodelsvb_jl_tpu.api import predict
+
+    train, test = split
+    m = LDA(train, 3, runtime=_rt(), mesh=make_mesh(n_devices=1), seed=1)
+    m.train(iter=8, checkelbo=np.inf, printelbo=False, tol=0.0)
+    p_vec = perplexity(test, m)
+
+    pred = predict(test, m, iter=10)
+    beta = np.asarray(m.beta, np.float64)
+    theta = np.asarray(pred._topicdist_rows(pred._doc_rows()), np.float64)
+    ll, n = 0.0, 0.0
+    for d, doc in enumerate(test.docs):
+        if not doc.terms:
+            continue
+        t = np.asarray(doc.terms, np.int64) - 1
+        c = np.asarray(doc.counts, np.float64)
+        mix = np.maximum(theta[d] @ beta[:, t], 1e-300)
+        ll += float(np.dot(c, np.log(mix)))
+        n += float(c.sum())
+    p_loop = float(np.exp(-ll / n))
+    np.testing.assert_allclose(p_vec, p_loop, rtol=1e-12)

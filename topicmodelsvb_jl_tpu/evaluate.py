@@ -14,6 +14,10 @@ standard quantitative metrics of the topic-modeling literature:
   ``C_k = Σ_{i<j≤N} log[(D(w_i, w_j) + 1) / D(w_j)]`` over each topic's
   top-N words, with document (co-)occurrence counts from a reference
   corpus.  Higher (closer to 0) is better.
+* :func:`holdout_readers` / :func:`heldout_reader_rank` /
+  :func:`recall_at_k` — the leave-one-reader-out recommender protocol
+  the reference demonstrates by hand (README.md:512-560, plots.R:20-31),
+  as library calls.
 """
 
 from __future__ import annotations
@@ -26,12 +30,16 @@ from .corpus import Corpus
 
 
 def perplexity(corp: Corpus, train_model, iter: int = 10,
-               tol: Optional[float] = None) -> float:
+               tol: Optional[float] = None, chunk: int = 4096) -> float:
     """Held-out per-word perplexity of ``corp`` under ``train_model``.
 
     Supported for LDA/fLDA/CTM/fCTM (the models with a document-topic
     simplex and a topic-word matrix).  fLDA/fCTM use the full mixture
     ``eta·(θβ)_w + (1−eta)·κ_w`` (fLDA.jl's generative story).
+
+    Scores from the packed dense arrays — one beta gather + einsum per
+    ``chunk`` documents, padding masked by counts — in f64; never the
+    dense [M, V] mixture (tens of GB at the corpus scales this targets).
     """
     from .api import CTM, LDA, fCTM, fLDA, predict
 
@@ -43,25 +51,28 @@ def perplexity(corp: Corpus, train_model, iter: int = 10,
     beta = np.asarray(train_model.beta, np.float64)        # [K, V]
     rows = pred._doc_rows()
     theta = np.asarray(pred._topicdist_rows(rows), np.float64)  # [M, K]
-    # per-document mixture only at the observed terms — never the dense
-    # [M, V] matrix (tens of GB at the corpus scales this targets)
     filtered = isinstance(train_model, (fLDA, fCTM))
     if filtered:
         eta = float(train_model.eta)
         kappa = np.asarray(train_model.state.kappa, np.float64)
 
+    # doc-order packed views (bucketize keeps the dense copies)
+    p = pred.packed
+    terms = p.terms[rows]                                   # [M, L] 0-based
+    counts = p.counts[rows].astype(np.float64)              # 0 on padding
+
     ll = 0.0
     n_tokens = 0.0
-    for d, doc in enumerate(corp.docs):
-        if not doc.terms:
-            continue
-        t = np.asarray(doc.terms, np.int64) - 1
-        c = np.asarray(doc.counts, np.float64)
-        p = theta[d] @ beta[:, t]
+    for lo in range(0, terms.shape[0], chunk):
+        t = terms[lo:lo + chunk]
+        c = counts[lo:lo + chunk]
+        mix = np.einsum("bk,kbl->bl", theta[lo:lo + chunk], beta[:, t])
         if filtered:
-            p = eta * p + (1.0 - eta) * kappa[t]
-        p = np.maximum(p, 1e-300)
-        ll += float(np.dot(c, np.log(p)))
+            mix = eta * mix + (1.0 - eta) * kappa[t]
+        mix = np.maximum(mix, 1e-300)
+        live = c > 0
+        ll += float(np.sum(c * np.log(np.where(live, mix, 1.0)),
+                           where=live))
         n_tokens += float(c.sum())
     if n_tokens == 0:
         raise ValueError("perplexity needs at least one token.")
@@ -110,3 +121,68 @@ def topic_coherence(model, N: int = 10,
                 s += np.log((CO[ids[i], ids[j]] + 1.0) / denom)
         scores[k] = s
     return scores
+
+
+# ───────────── leave-one-reader-out recommender protocol ─────────────
+# The reference demonstrates this evaluation by hand in its README
+# (README.md:512-560) and scores it in R (plots.R:20-31): hide one
+# reader per document before training, then ask where the trained
+# model ranks the hidden reader among the document's non-readers.
+
+def holdout_readers(corp: Corpus, seed: int = 0, min_readers: int = 2):
+    """Remove one random reader (and a rating) from every document with
+    at least ``min_readers`` readers, **mutating** ``corp``; returns the
+    held-out ``[(doc, user)]`` pairs (1-based ids).  Train on the
+    mutated corpus, then score with :func:`heldout_reader_rank` /
+    :func:`recall_at_k`."""
+    rng = np.random.default_rng(seed)
+    held = []
+    for d, doc in enumerate(corp.docs, start=1):
+        if len(doc.readers) >= min_readers:
+            i = int(rng.integers(len(doc.readers)))
+            held.append((d, doc.readers.pop(i)))
+            doc.ratings.pop()
+    return held
+
+
+def _ranked_users(model, d: int):
+    """Ranked non-reader users for 1-based doc ``d`` (1-based ids).
+
+    api.CTPF exposes this as the lazy ``drecs`` row; a streaming CTPF
+    exposes per-doc ``scores`` plus the packed reader arrays."""
+    if hasattr(model, "drecs"):
+        return model.drecs[d - 1]
+    # StreamingCTPF path: rank from the scores row, excluding the
+    # document's current readers (same stable order as api._rec_row)
+    p = model.packed
+    row = np.asarray(model.scores(slice(d - 1, d))[0])
+    order = np.argsort(-row, kind="stable")
+    mask = np.ones(row.shape[0], dtype=bool)
+    r = int(p.R[d - 1])
+    if r:
+        mask[p.readers[d - 1, :r]] = False
+    return (order[mask[order]] + 1).tolist()
+
+
+def heldout_reader_rank(model, held) -> np.ndarray:
+    """Normalized rank in [0, 1] of each held-out reader among the
+    document's ranked non-readers (0 = top recommendation; 0.5 ≈
+    random).  ``model`` is a trained CTPF (api or streaming); ``held``
+    comes from :func:`holdout_readers`."""
+    ranks = []
+    for d, u in held:
+        recs = _ranked_users(model, d)
+        ranks.append(recs.index(u) / max(len(recs) - 1, 1))
+    return np.asarray(ranks)
+
+
+def recall_at_k(model, held, k: int = 20) -> float:
+    """Fraction of held-out readers appearing in the top-``k``
+    recommendations for their document."""
+    if k <= 0:
+        raise ValueError("k must be a positive integer.")
+    hits = 0
+    for d, u in held:
+        if u in _ranked_users(model, d)[:k]:
+            hits += 1
+    return hits / max(len(held), 1)
