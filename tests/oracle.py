@@ -693,6 +693,299 @@ class CTPFOracle:
         return elbos
 
 
+class DTMOracle:
+    """Reference v0.6 DTM (v0.6/src/DTM.jl), float64, per-doc sweep.
+
+    The ELBO is the reference's ``updateELBO!`` (DTM.jl:119-174)
+    transliterated term by term.  The update trajectory mirrors the
+    repo's documented divergences from the v0.6 reference (PARITY.md
+    "Known reference bugs deliberately fixed") so the two traces can be
+    compared:
+
+    * ``Elogtheta`` is refreshed from the new gamma every viter
+      iteration (the reference only refreshes it in ``fixmodel!``);
+    * the overflow guard is the log-domain ``maximum(x)`` of
+      ``updateMbeta!`` (DTM.jl:227), applied consistently;
+    * the CG gradient is the COMPLETED Jacobian recursion (the
+      reference truncates the backward ``mbetagrad`` recursion at
+      t = s and drops the smoothed-anchor derivative, DTM.jl:265-268);
+    * the CG control flow follows the repo's safeguarded variant of
+      DTM.jl:286-301 (Polak–Ribière clipped to [0,1] as the reference
+      does, plus: restart on a non-ascent direction, rejection of a
+      step that fails the Armijo condition after back-tracking, rho
+      capped at 1, and a cgtol stop on small accepted improvement);
+    * phi inside the ELBO is recomputed from the post-step state
+      (post-CG mbeta + final Elogtheta/lzeta), where the reference
+      reuses the E-step phi computed against the pre-CG mbeta.
+
+    Hyperparameters fixed as in the reference constructor
+    (DTM.jl:98-103): sigmasq = bsq = v0 = 1, m0 = 0.
+    """
+
+    S2 = B2 = V0 = 1.0
+    M0 = 0.0
+
+    def __init__(self, docs, sid, V, K, T, betahat0, alpha0=None):
+        """docs: list of (terms0based, counts); sid: 0-based slice ids."""
+        self.docs = [(np.asarray(t, np.int64), np.asarray(c, np.float64))
+                     for t, c in docs]
+        self.sid = np.asarray(sid, np.int64)
+        self.M, self.V, self.K, self.T = len(docs), V, K, T
+        self.alpha = (np.ones((T, K)) if alpha0 is None
+                      else np.asarray(alpha0, np.float64).copy())
+        self.betahat = np.asarray(betahat0, np.float64).copy()
+        self.gamma = np.ones((self.M, K))
+        self.Elogtheta = digamma(self.gamma) - digamma(
+            self.gamma.sum(1, keepdims=True))
+        self.lzeta = np.ones(self.M)
+        self.v_filt, self.vbeta = self._variance_smoother()
+        self.mbeta = self._mean_smoother(self.betahat)
+
+    # updateVbeta! (DTM.jl:231-242); eps as in the repo's scan carries
+    def _variance_smoother(self):
+        T, K, V = self.T, self.K, self.V
+        v = np.zeros((T, K, V))
+        vp = np.full((K, V), self.V0)
+        for t in range(T):
+            v[t] = (self.B2 / (vp + self.S2 + self.B2)) * (vp + self.S2) + EPS
+            vp = v[t]
+        vb = np.zeros((T, K, V))
+        vb[T - 1] = v[T - 1]
+        for t in range(T - 1, 0, -1):
+            vb[t - 1] = (v[t - 1] + (v[t - 1] / (v[t - 1] + self.S2)) ** 2
+                         * (vb[t] - v[t - 1] - self.S2) + EPS)
+        return v, vb
+
+    # updateMbeta! (DTM.jl:209-223)
+    def _mean_smoother(self, bh):
+        T, K, V = self.T, self.K, self.V
+        m = np.zeros((T, K, V))
+        mp = np.full((K, V), self.M0)
+        vp = np.full((K, V), self.V0)
+        for t in range(T):
+            q = self.B2 / (vp + self.S2 + self.B2)
+            m[t] = q * mp + (1.0 - q) * bh[t]
+            mp = m[t]
+            vp = self.v_filt[t]
+        mb = np.zeros((T, K, V))
+        mb[T - 1] = m[T - 1]
+        for t in range(T - 1, 0, -1):
+            q = self.S2 / (self.v_filt[t - 1] + self.S2)
+            mb[t - 1] = q * m[t - 1] + (1.0 - q) * mb[t]
+        return mb
+
+    # smoothed time-0 anchors (updateMbeta!/updateVbeta!, DTM.jl:222,241)
+    def _anchors(self):
+        q0 = self.S2 / (self.V0 + self.S2)
+        mbeta0 = q0 * self.M0 + (1.0 - q0) * self.mbeta[0]
+        vbeta0 = self.V0 + (self.V0 / (self.V0 + self.S2)) ** 2 * (
+            self.vbeta[0] - self.V0 - self.S2)
+        return mbeta0, vbeta0
+
+    # per-slice overflow-safe pieces of Σ_v exp(mbeta + vbeta/2)
+    # (updateMbeta!, DTM.jl:225-228; log-domain max per PARITY.md)
+    def _ovfl(self):
+        x = self.mbeta + 0.5 * self.vbeta
+        maxl = x.max(axis=(1, 2))                       # [T]
+        rowsum = np.exp(x - maxl[:, None, None]).sum(axis=2)  # [T, K]
+        return maxl, rowsum
+
+    def _phi(self, d, maxl, rowsum):
+        t = self.sid[d]
+        terms, _ = self.docs[d]
+        decay = np.exp(maxl[t] - self.lzeta[d]) * rowsum[t]     # [K]
+        logits = (self.mbeta[t][:, terms] - decay[:, None]
+                  + self.Elogtheta[d][:, None])
+        return _softmax_cols(logits)
+
+    # updateGamma!/updatePhi!/updateLzeta! fixpoint (DTM.jl:199-207,
+    # 306-309, train! inner loop DTM.jl:317-328)
+    def estep(self, viter, vtol, maxl, rowsum):
+        for d in range(self.M):
+            t = self.sid[d]
+            _, counts = self.docs[d]
+            for _ in range(viter):
+                phi = self._phi(d, maxl, rowsum)
+                pc = phi @ counts
+                g_new = self.alpha[t] + pc + EPS
+                delta = np.linalg.norm(g_new - self.gamma[d])
+                self.gamma[d] = g_new
+                self.Elogtheta[d] = digamma(g_new) - digamma(g_new.sum())
+                self.lzeta[d] = maxl[t] + np.log(pc @ rowsum[t] + EPS)
+                if delta < vtol:
+                    break
+
+    # per-slice sufficient statistics from the final phi
+    def _cg_stats(self, maxl, rowsum):
+        A = np.zeros((self.T, self.K, self.V))
+        wz = np.zeros((self.T, self.K))
+        for d in range(self.M):
+            t = self.sid[d]
+            terms, counts = self.docs[d]
+            phi = self._phi(d, maxl, rowsum)
+            np.add.at(A[t], (slice(None), terms), phi * counts[None, :])
+            wz[t] += np.exp(-self.lzeta[d]) * (phi @ counts)
+        return A, wz
+
+    # updateAlpha! (DTM.jl:176-197), per slice
+    def update_alpha(self, niter, ntol):
+        for t in range(self.T):
+            docs_t = np.nonzero(self.sid == t)[0]
+            St = max(len(docs_t), 1.0)
+            elsum = (self.Elogtheta[docs_t].sum(0) if len(docs_t)
+                     else np.zeros(self.K))
+            a = self.alpha[t].copy()
+            nu = float(self.K)
+            for _ in range(niter):
+                a0 = a.sum()
+                grad = nu / a + St * (digamma(a0) - digamma(a)) + elsum
+                h_inv = -1.0 / (St * polygamma(1, a) + nu / a**2)
+                p = (grad - grad @ h_inv
+                     / (1.0 / (St * polygamma(1, a0)) + h_inv.sum())) * h_inv
+                rho = 1.0
+                while np.min(a - rho * p) < 0:
+                    rho *= 0.5
+                a = a - rho * p
+                if (rho * np.linalg.norm(grad) < ntol) and (nu / self.K < ntol):
+                    break
+                nu *= 0.5
+            self.alpha[t] = a + EPS
+
+    # calcstep (DTM.jl:254): Σ_t Elogpw + Elogpbeta as a function of
+    # betahat through the smoother, constants dropped
+    def _cg_objective(self, bh, A, wz):
+        mb = self._mean_smoother(bh)
+        lin = np.sum(A * mb)
+        rowsum = np.exp(mb + 0.5 * self.vbeta).sum(axis=2)   # [T, K]
+        expterm = np.sum(wz * rowsum)
+        q0 = self.S2 / (self.V0 + self.S2)
+        mb0 = q0 * self.M0 + (1.0 - q0) * mb[0]
+        prev = np.concatenate([mb0[None], mb[:-1]], 0)
+        pbeta = -(0.5 / self.S2) * np.sum((mb - prev) ** 2)
+        return lin - expterm + pbeta
+
+    # gradient via the COMPLETED Jacobian recursions (mgrad/mbetagrad/
+    # betahatgrad, DTM.jl:247-284; completion per PARITY.md)
+    def _cg_gradient(self, bh, A, wz):
+        T = self.T
+        v = self.v_filt
+        vprev = np.concatenate([np.full((1, self.K, self.V), self.V0),
+                                v[:-1]], 0)
+        mb = self._mean_smoother(bh)
+        q0 = self.S2 / (self.V0 + self.S2)
+        mb0 = q0 * self.M0 + (1.0 - q0) * mb[0]
+        Eexp = np.exp(mb + 0.5 * self.vbeta)
+        grad = np.zeros_like(bh)
+        for s in range(T):
+            mgrad = np.zeros((T, self.K, self.V))
+            mgrad[s] = 1.0 - self.B2 / (vprev[s] + self.S2 + self.B2)
+            for t in range(s + 1, T):
+                mgrad[t] = (self.B2 / (v[t - 1] + self.S2 + self.B2)) * mgrad[t - 1]
+            mbg = np.zeros((T, self.K, self.V))
+            mbg[T - 1] = mgrad[T - 1]
+            for t in range(T - 1, 0, -1):
+                q = self.S2 / (v[t - 1] + self.S2)
+                mbg[t - 1] = q * mgrad[t - 1] + (1.0 - q) * mbg[t]
+            mb0g = (1.0 - q0) * mbg[0]
+            g = -(1.0 / self.S2) * (mb[0] - mb0) * (mbg[0] - mb0g)
+            for t in range(1, T):
+                g += -(1.0 / self.S2) * (mb[t] - mb[t - 1]) * (mbg[t] - mbg[t - 1])
+            for t in range(T):
+                g += (A[t] - wz[t][:, None] * Eexp[t]) * mbg[t]
+            grad[s] = g
+        return grad
+
+    # updateBetahat! (DTM.jl:244-304) with the repo's safeguards
+    def update_betahat(self, cgiter, cgtol, A, wz):
+        bh = self.betahat
+        p_dir = np.zeros_like(bh)
+        g_old = np.ones_like(bh)
+        rho, f0, done = 1.0, np.inf, False
+        for _ in range(cgiter):
+            f_val = self._cg_objective(bh, A, wz)
+            g = self._cg_gradient(bh, A, wz)
+            if not np.isfinite(f0):
+                f0 = f_val
+            denom = max(np.sum(g_old * g_old), 1e-30)
+            pr = np.clip(np.sum(g * (g - g_old)) / denom, 0.0, 1.0)
+            p_dir = g + pr * p_dir
+            slope = np.sum(g * p_dir)
+            if slope <= 0.0:            # restart from steepest ascent
+                p_dir = g.copy()
+                slope = np.sum(g * g)
+            r = rho
+            f = self._cg_objective(bh + r * p_dir, A, wz)
+            it = 0
+            while (f <= f0 + 1e-4 * r * slope) and (it < 10):
+                r *= 0.5
+                f = self._cg_objective(bh + r * p_dir, A, wz)
+                it += 1
+            ok = f > f0 + 1e-4 * r * slope
+            if ok and not done:
+                bh = bh + r * p_dir
+                f_acc = f
+            else:
+                f_acc = f0
+            if ok and (f_acc - f0 < cgtol):
+                done = True
+            rho = min(r * 2.0, 1.0)
+            g_old = g
+            f0 = f_acc
+        self.betahat = bh
+        self.mbeta = self._mean_smoother(bh)
+
+    # updateELBO! (DTM.jl:119-174)
+    def update_elbo(self):
+        maxl, rowsum = self._ovfl()
+        mbeta0, vbeta0 = self._anchors()
+        prev_m = np.concatenate([mbeta0[None], self.mbeta[:-1]], 0)
+        prev_v = np.concatenate([vbeta0[None], self.vbeta[:-1]], 0)
+        # Elogpbeta (DTM.jl:119-126) − Elogqbeta (DTM.jl:145-148)
+        total = (-0.5 * self.T * self.K * self.V * np.log(2 * np.pi * self.S2)
+                 - (0.5 / self.S2) * np.sum((self.mbeta - prev_m) ** 2
+                                            + self.vbeta + prev_v))
+        total += 0.5 * np.sum(np.log(2 * np.pi * np.e * self.vbeta))
+        for d in range(self.M):
+            t = self.sid[d]
+            terms, counts = self.docs[d]
+            a, g, el = self.alpha[t], self.gamma[d], self.Elogtheta[d]
+            phi = self._phi(d, maxl, rowsum)
+            pc = phi @ counts
+            # Elogptheta (DTM.jl:128-131)
+            total += (gammaln(a.sum()) - gammaln(a).sum() + (a - 1) @ el)
+            # Elogpz (DTM.jl:133-137)
+            total += pc @ el
+            # Elogpw (DTM.jl:139-143)
+            total += (np.sum(phi * self.mbeta[t][:, terms] * counts[None, :])
+                      - (pc @ rowsum[t]) * np.exp(maxl[t] - self.lzeta[d])
+                      - self.lzeta[d] + 1.0)
+            # −Elogqtheta (DTM.jl:150-153): Dirichlet entropy
+            a0 = g.sum()
+            total += (gammaln(g).sum() - gammaln(a0)
+                      + (a0 - self.K) * digamma(a0)
+                      - np.sum((g - 1) * digamma(g)))
+            # −Elogqz (DTM.jl:155-159): categorical entropies
+            total += -np.sum(counts * np.sum(
+                np.where(phi > 0, phi * np.log(phi), 0.0), axis=0))
+        return total
+
+    # train! (DTM.jl:311-335)
+    def train(self, iters, viter=10, vtol=None, niter=1000, ntol=None,
+              cgiter=20, cgtol=None):
+        vtol = 1.0 / self.K**2 if vtol is None else vtol
+        ntol = 1.0 / self.K**2 if ntol is None else ntol
+        cgtol = 1.0 / self.T**2 if cgtol is None else cgtol
+        elbos = []
+        for _ in range(iters):
+            maxl, rowsum = self._ovfl()
+            self.estep(viter, vtol, maxl, rowsum)
+            A, wz = self._cg_stats(maxl, rowsum)
+            self.update_alpha(niter, ntol)
+            self.update_betahat(cgiter, cgtol, A, wz)
+            elbos.append(self.update_elbo())
+        return elbos
+
+
 def ctpf_docs_from_corpus(corp):
     return [
         (np.asarray(doc.terms, np.int64) - 1, np.asarray(doc.counts, np.float64),

@@ -211,6 +211,41 @@ def test_dtm_estep_matches_perdoc_oracle():
                                rtol=1e-5, atol=1e-8)
 
 
+def test_dtm_elbo_trace_matches_oracle():
+    """Full ELBO-trace parity with a float64 per-doc transliteration of
+    the reference's updateELBO! (DTM.jl:119-174) driven by the same
+    update trajectory — DTM joins the other five models at 1e-8 ELBO
+    parity.  The oracle (tests/oracle.py:DTMOracle) mirrors the repo's
+    documented divergences from the v0.6 reference (PARITY.md) so the
+    trajectories agree; the ELBO formulas themselves are the
+    reference's, term by term."""
+    from oracle import DTMOracle, docs_from_corpus
+
+    corp = _corpus(M=40, V=30, K=3, n_slices=3, seed=6)
+    from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+    rt = RuntimeConfig(chunk_docs=8, dtype="float64", pad_multiple=8)
+    m = tm.DTM(corp, 3, delta=1.0, runtime=rt, seed=4,
+               mesh=make_mesh(n_devices=1))
+    sid = np.zeros(m.M, np.int64)
+    for t, docs in enumerate(m.S):
+        for d in docs:
+            sid[d - 1] = t
+
+    oracle = DTMOracle(docs_from_corpus(corp), sid, V=m.V, K=m.K, T=m.T,
+                       betahat0=np.asarray(m.state.betahat),
+                       alpha0=np.asarray(m.state.alpha))
+    viter, cgiter = 5, 3
+    oracle_elbos = oracle.train(3, viter=viter, cgiter=cgiter)
+
+    m.train(iter=3, tol=0.0, checkelbo=1, printelbo=False, viter=viter,
+            cgiter=cgiter)
+    traced = [r.elbo for r in m.trainer.trace if r.elbo is not None]
+    assert len(traced) == len(oracle_elbos)
+    np.testing.assert_allclose(traced, oracle_elbos, rtol=1e-8)
+
+
 def test_dtm_cg_gradient_matches_hand_derived_jacobian():
     """The autodiff'd CG gradient (jax.grad through the smoother scans)
     must equal the reference's hand-derived Jacobian chain
