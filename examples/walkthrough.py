@@ -92,6 +92,9 @@ print(f"most correlated topic pair: ({i + 1}, {j + 1}) "
 section("6. CTPF: recommendations (warm-started from an LDA)")
 citeu = tm.load_citeu(subset=2000)
 tm.fixcorp(citeu, trim=True)
+# hide one reader per multi-reader doc for the §8 evaluation
+# (the reference's leave-one-out demo, README.md:512-560)
+held = tm.holdout_readers(citeu, seed=7)
 base = tm.LDA(citeu, 30, seed=7)
 base.train(iter=15, tol=0.0, checkelbo=np.inf, printelbo=False)
 ctpf = tm.CTPF(citeu, 30, seed=7).warm_start_from(base)
@@ -107,11 +110,18 @@ resumed.train(iter=5, tol=0.0, checkelbo=5)
 print("resumed model continues from ELBO", f"{resumed.elbo:.1f}")
 
 # ── 8. evaluation metrics (beyond the reference) ──
-section("8. held-out perplexity + topic coherence")
+section("8. held-out perplexity, topic coherence, recommender ranks")
 ppl = tm.perplexity(test_corp, m)
 coh = tm.topic_coherence(lda, N=8)
 print(f"held-out perplexity: {ppl:.1f}  (vocab size {len(corp.vocab)})")
 print("UMass coherence per topic:", np.round(coh, 1))
+# leave-one-reader-out (reference README.md:512-560, plots.R:20-31):
+# where does the trained CTPF rank the §6 held-out readers?
+ranks = tm.heldout_reader_rank(ctpf, held)
+print(f"CTPF leave-one-reader-out: median rank "
+      f"{np.median(ranks):.3f} (0=top), "
+      f"recall@20 {tm.recall_at_k(ctpf, held, 20):.2f} "
+      f"over {len(held)} held-out readers")
 
 # ── 9. streaming + online training (beyond the reference) ──
 section("9. beyond-memory streaming and one-pass online training")

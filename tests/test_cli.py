@@ -64,3 +64,38 @@ def test_cli_streaming_and_online():
         "--online", "--batch-docs", "48", "--tau0", "4", "--quiet",
     ])
     assert o["mode"] == "online" and np.isfinite(o["final_elbo"])
+
+
+def test_cli_streaming_ctm_and_flda():
+    for model in ("ctm", "flda"):
+        o = run([
+            "--model", model, "--corpus", "synth", "--synth-m", "48",
+            "--synth-v", "30", "--k", "3", "--iter", "3",
+            "--checkelbo", "1", "--dtype", "float64", "--chunk-docs", "16",
+            "--pad-multiple", "8", "--streaming", "--batch-docs", "48",
+            "--quiet",
+        ])
+        assert o["mode"] == "streaming" and np.isfinite(o["final_elbo"])
+
+
+def test_cli_streaming_ctpf_with_checkpoint(tmp_path):
+    ckpt_dir = str(tmp_path / "ck")
+    s = run([
+        "--model", "ctpf", "--corpus", "synth", "--synth-m", "64",
+        "--synth-v", "40", "--synth-u", "10", "--k", "3", "--iter", "4",
+        "--checkelbo", "1", "--dtype", "float64", "--chunk-docs", "16",
+        "--pad-multiple", "8", "--streaming", "--batch-docs", "32",
+        "--checkpoint-every", "2", "--checkpoint-dir", ckpt_dir, "--quiet",
+    ])
+    assert s["mode"] == "streaming" and np.isfinite(s["final_elbo"])
+    import os
+    files = [f for f in os.listdir(ckpt_dir) if f.startswith("ckpt_iter")]
+    assert files, "streaming auto-checkpoints missing"
+    o = run([
+        "--model", "ctpf", "--corpus", "synth", "--synth-m", "64",
+        "--synth-v", "40", "--synth-u", "10", "--k", "3", "--iter", "2",
+        "--checkelbo", "1", "--dtype", "float64", "--chunk-docs", "16",
+        "--pad-multiple", "8", "--online", "--batch-docs", "32",
+        "--tau0", "4", "--quiet",
+    ])
+    assert o["mode"] == "online" and np.isfinite(o["final_elbo"])

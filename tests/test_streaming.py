@@ -336,3 +336,136 @@ def test_streaming_online_checkpoint_resume(tmp_path):
                                rtol=1e-12)
     np.testing.assert_allclose([t[1] for t in r.trace],
                                [t[1] for t in ref.trace], rtol=1e-12)
+
+
+# ─────────────── StreamingCTM / StreamingFLDA / StreamingFCTM ───────────────
+
+def _inmemory_generic(name, packed, K, iters, viter=4):
+    """Run the in-memory model step for trajectory comparison."""
+    vtol = 1.0 / K**2
+    key = jax.random.PRNGKey(3)
+    dm = jnp.asarray(packed.doc_mask.astype(np.float64))
+    base = (jnp.asarray(packed.terms),
+            jnp.asarray(packed.counts.astype(np.float64)), dm)
+    M_total = jnp.asarray(float(packed.M), jnp.float64)
+    if name == "ctm":
+        from topicmodelsvb_jl_tpu.models import ctm as mod
+        step = jax.jit(mod.make_step(
+            packed, K, viter=viter, vtol=vtol, niter=50, ntol=vtol,
+            chunk_docs=16, axis_name=None, use_pallas=False))
+        data = base + (M_total,)
+    elif name == "flda":
+        from topicmodelsvb_jl_tpu.models import flda as mod
+        step = jax.jit(mod.make_step(
+            packed, K, viter=viter, vtol=vtol, niter=50, ntol=vtol,
+            chunk_docs=16, axis_name=None, use_pallas=False))
+        C_total = jnp.asarray(float(packed.C.sum()), jnp.float64)
+        data = base + (M_total, C_total)
+    else:
+        from topicmodelsvb_jl_tpu.models import fctm as mod
+        step = jax.jit(mod.make_step(
+            packed, K, viter=viter, vtol=vtol, niter=50, ntol=vtol,
+            chunk_docs=16, axis_name=None))
+        data = base + (M_total,)
+    elbo = jax.jit(mod.make_elbo(packed, K, chunk_docs=16))
+    state = mod.init(key, packed, K, jnp.float64)
+    for _ in range(iters):
+        state = step(state, *data)
+    return state, float(elbo(state, *base))
+
+
+_STREAM_CASES = {
+    "ctm": ("StreamingCTM",
+            ("mu", "sigma", "invsigma", "beta"),
+            ("lam", "vsq", "logzeta")),
+    "flda": ("StreamingFLDA",
+             ("eta", "alpha", "kappa", "beta"),
+             ("gamma", "Elogtheta", "tau")),
+    "fctm": ("StreamingFCTM",
+             ("eta", "mu", "sigma", "kappa", "beta"),
+             ("lam", "vsq", "logzeta", "tau")),
+}
+
+
+@pytest.mark.parametrize("name", list(_STREAM_CASES))
+def test_streaming_generic_matches_inmemory(name):
+    """CTM/fLDA/fCTM host-streamed training reproduces the in-memory
+    trajectory exactly (globals frozen within a sweep), including the
+    streamed ELBO."""
+    from topicmodelsvb_jl_tpu import streaming as st
+
+    K, iters, viter = 3, 3, 4
+    packed = _packed(M=64, V=40, seed=5)
+    ref, ref_elbo = _inmemory_generic(name, packed, K, iters, viter=viter)
+
+    cls_name, globals_, docs_ = _STREAM_CASES[name]
+    s = getattr(st, cls_name)(packed, K, batch_docs=32, chunk_docs=16,
+                              dtype=jnp.float64, seed=3)
+    s.train(iter=iters, checkelbo=float("inf"), viter=viter,
+            niter=50, printelbo=False)
+
+    for g in globals_:
+        np.testing.assert_allclose(np.asarray(getattr(s, g)),
+                                   np.asarray(getattr(ref, g)),
+                                   rtol=1e-10, err_msg=g)
+    for d in docs_:
+        np.testing.assert_allclose(np.asarray(getattr(s, d)),
+                                   np.asarray(getattr(ref, d)),
+                                   rtol=1e-9, atol=1e-12, err_msg=d)
+    np.testing.assert_allclose(s._sweep_elbo(), ref_elbo, rtol=1e-10)
+
+
+@pytest.mark.parametrize("name", list(_STREAM_CASES))
+def test_streaming_generic_batch_partition_invariance(name):
+    from topicmodelsvb_jl_tpu import streaming as st
+
+    K = 3
+    packed = _packed(M=64, V=40, seed=8)
+    cls = getattr(st, _STREAM_CASES[name][0])
+    runs = []
+    for batch in (64, 16):
+        s = cls(packed, K, batch_docs=batch, chunk_docs=16,
+                dtype=jnp.float64, seed=3)
+        s.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+        runs.append(s)
+    np.testing.assert_allclose(np.asarray(runs[0].beta),
+                               np.asarray(runs[1].beta), rtol=1e-12)
+    np.testing.assert_allclose([t[1] for t in runs[0].trace],
+                               [t[1] for t in runs[1].trace], rtol=1e-12)
+
+
+@pytest.mark.parametrize("name", list(_STREAM_CASES))
+def test_streaming_generic_checkpoint_and_online(name):
+    """Checkpoint/resume continues the exact batch trajectory; one
+    online epoch produces a finite climbing bound and topics."""
+    import tempfile
+
+    from topicmodelsvb_jl_tpu import streaming as st
+
+    K = 3
+    packed = _packed(M=64, V=40, seed=11)
+    cls = getattr(st, _STREAM_CASES[name][0])
+
+    ref = cls(packed, K, batch_docs=32, chunk_docs=16,
+              dtype=jnp.float64, seed=3)
+    ref.train(iter=4, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+
+    s = cls(packed, K, batch_docs=32, chunk_docs=16,
+            dtype=jnp.float64, seed=3)
+    s.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/stream.ckpt"
+        s.save(path)
+        r = st.load(path, packed)
+    r.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+    np.testing.assert_allclose(np.asarray(r.beta), np.asarray(ref.beta),
+                               rtol=1e-12)
+    np.testing.assert_allclose([t[1] for t in r.trace],
+                               [t[1] for t in ref.trace], rtol=1e-10)
+
+    o = cls(packed, K, batch_docs=16, chunk_docs=16,
+            dtype=jnp.float64, seed=3)
+    o.train_online(epochs=2, tau0=4.0, checkelbo=1, printelbo=False)
+    elbos = [t[1] for t in o.trace]
+    assert np.isfinite(elbos).all() and elbos[-1] >= elbos[0] - 1e-6
+    assert o.topics is not None and o.topics.shape == (K, packed.V)

@@ -22,8 +22,14 @@ from .api import (
     CTM, CTPF, DTM, LDA, TopicModel, TopicModelError, fCTM, fLDA,
     gencorp, gendoc, predict,
 )
-from .evaluate import perplexity, topic_coherence
-from .streaming import StreamingLDA
+from .evaluate import (
+    heldout_reader_rank, holdout_readers, perplexity, recall_at_k,
+    topic_coherence,
+)
+from .streaming import (
+    StreamingCTM, StreamingCTPF, StreamingFCTM, StreamingFLDA, StreamingLDA,
+)
+from .streaming import load as load_streaming_checkpoint
 from .checkpoint import load as load_checkpoint
 from .checkpoint import save as save_checkpoint
 from .validate import check_model
@@ -37,6 +43,10 @@ __all__ = [
     "load_nsf", "load_citeu", "load_stopwords", "synth_corpus",
     "LDA", "fLDA", "CTM", "fCTM", "CTPF", "DTM", "TopicModel",
     "predict", "gendoc", "gencorp", "save_checkpoint", "load_checkpoint",
+    "StreamingLDA", "StreamingFLDA", "StreamingCTM", "StreamingFCTM",
+    "StreamingCTPF", "load_streaming_checkpoint",
+    "perplexity", "topic_coherence", "holdout_readers",
+    "heldout_reader_rank", "recall_at_k",
     "check_model",
     "TrainConfig", "RuntimeConfig",
 ]

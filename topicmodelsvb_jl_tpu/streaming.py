@@ -28,8 +28,11 @@ fetch is deferred one batch for the same reason.
 
 The batch pipeline itself (:class:`_StreamingModel`) is model-generic —
 a subclass supplies the jitted batch sweep, the stat pytree, the global
-update, and the batch ELBO; :class:`StreamingLDA` and
-:class:`StreamingCTPF` are the two instantiations (VERDICT r2 #2).
+update, and the batch ELBO.  Every static model streams:
+:class:`StreamingLDA`, :class:`StreamingFLDA`, :class:`StreamingCTM`,
+:class:`StreamingFCTM` and :class:`StreamingCTPF` (VERDICT r2 #2; DTM
+is the one exception — its scaling axis is the [T, K, V] smoother
+state, not the per-doc arrays, see models/dtm.py).
 Both support checkpoint/resume (:meth:`_StreamingModel.save` /
 :func:`load`) including an auto-checkpoint cadence inside ``train`` /
 ``train_online``, so a SIGKILLed streaming run resumes and reproduces
@@ -49,7 +52,10 @@ import numpy as np
 
 from .ops.newton import dirichlet_newton
 from .models.lda import _estep_chunk, _phi, topics_ranking
+from .models import ctm as ctm_mod
 from .models import ctpf as ctpf_mod
+from .models import fctm as fctm_mod
+from .models import flda as flda_mod
 from .utils.config import TrainConfig
 from .utils.numerics import (
     EPSILON, categorical_entropy, digamma, dirichlet_entropy, finite, lgamma,
@@ -164,6 +170,54 @@ def make_batch_elbo(V: int, K: int, chunk_docs: int, mesh=None,
         batch_elbo, mesh=mesh,
         in_specs=(P(), P(), P(), d, d, d, d, d, d, P()),
         out_specs=P(), check_vma=False))
+
+
+def make_generic_batch_sweep(prep, chunk_call, chunk_docs: int, mesh=None,
+                             data_axis: str = "data"):
+    """Jitted batch sweep shared by the streaming models: scan the
+    model's fused E-step chunk function over one document batch,
+    accumulating its sufficient-statistic pytree.
+
+    ``prep(globs)`` runs once per batch (log/transpose of the global
+    parameters); ``chunk_call(prepped, data_chunk, state_chunk)`` wraps
+    the model's ``_estep_chunk`` and returns ``(new_state_tuple,
+    stat_tuple)``.  All four sweep arguments are pytrees (tuples), so
+    one factory serves every model.  With ``mesh`` the batch rows shard
+    over ``data_axis`` and the statistics psum into replicated
+    accumulators (same contract as :func:`make_batch_sweep`)."""
+
+    def sweep(globs, data, states, accs):
+        prepped = prep(globs)
+        n = jax.tree_util.tree_leaves(data)[0].shape[0]
+        B = min(chunk_docs, n)
+        sh = lambda a: a.reshape((n // B, B) + a.shape[1:])
+
+        def body(carry, xs):
+            d, s = xs
+            s2, st = chunk_call(prepped, d, s)
+            return jax.tree_util.tree_map(jnp.add, carry, st), s2
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, accs)
+        carry, ys = jax.lax.scan(
+            body, zero,
+            (jax.tree_util.tree_map(sh, data),
+             jax.tree_util.tree_map(sh, states)))
+        if mesh is not None:
+            carry = jax.lax.psum(carry, data_axis)
+        unsh = lambda a: a.reshape((n,) + a.shape[2:])
+        return (jax.tree_util.tree_map(unsh, ys),
+                jax.tree_util.tree_map(jnp.add, accs, carry))
+
+    if mesh is None:
+        return jax.jit(sweep)
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.shard import shard_map
+
+    d = P(data_axis)
+    return jax.jit(shard_map(
+        sweep, mesh=mesh, in_specs=(P(), d, d, P()),
+        out_specs=(d, P()), check_vma=False))
 
 
 # ─────────────────────────── generic driver ───────────────────────────
@@ -335,6 +389,130 @@ class _StreamingModel:
         self.save(tmp)            # atomic: a SIGKILL mid-write never
         os.replace(tmp, final)    # leaves a torn latest checkpoint
 
+    def _wrap_batch_elbo(self, fn, spec, n_data: int = 3):
+        """Jit a model's in-memory ``make_elbo`` for per-batch use; with
+        a mesh, shard the batch rows like the sweep (``spec`` is the
+        model's state partition spec)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.shard import shard_map
+
+        d = P(self.data_axis)
+        return jax.jit(shard_map(
+            fn, mesh=self.mesh, in_specs=(spec,) + (d,) * n_data,
+            out_specs=P(), check_vma=False))
+
+    # ── shared training loops (every subclass delegates here) ──
+    def _train_loop(self, cfg, checkpoint_every, checkpoint_dir):
+        """Batch CAVI: full streamed sweep, one global update, the
+        check_elbo! cadence, optional auto-checkpointing."""
+        cfg.validate()
+        self._cfg = cfg
+        self._compile(cfg)
+
+        if cfg.checkelbo <= cfg.iter and not self.trace:
+            self.elbo = self._sweep_elbo()
+
+        for k in range(1, cfg.iter + 1):
+            stats = self._streamed_sweep(self._zero_stats())
+            self._global_update(stats)
+            delta = self._check(k, cfg)
+            self._auto_ckpt(k, checkpoint_every, checkpoint_dir)
+            if delta is not None and delta < cfg.tol:
+                break
+
+        self._finalize()
+        return self
+
+    # whether the first online step takes the batch statistic whole
+    # (ρ=1); classes whose _svi_init_stats seeds from positive priors
+    # set this False so the prior never fully drops out (StreamingCTM:
+    # its E-step uses the reference's raw log(beta), CTM.jl:177, so a
+    # beta column zeroed by one vocab-incomplete minibatch would NaN
+    # every later batch's softmax on that term)
+    _svi_first_step_whole = True
+
+    def _svi_init_stats(self):
+        """Initial running statistics for ``train_online`` (override to
+        seed from priors rather than zeros)."""
+        return self._zero_stats()
+
+    def _train_online_loop(self, cfg, tau0, kappa, shuffle_seed,
+                           checkpoint_every, checkpoint_dir):
+        """Online (stochastic) variational training — one or few passes.
+
+        Beyond the reference's capability surface: after each document
+        minibatch the global sufficient statistics are blended with the
+        batch's corpus-scaled statistics at step size
+        ``ρ_t = (τ0 + t)^(−κ)`` (Hoffman et al. 2010/2013 SVI schedule;
+        online EM over the model's closed-form M-step, Cappé & Moulines
+        2009), and the globals update immediately — so a single pass
+        over a huge corpus already yields useful parameters, where batch
+        CAVI would need many full sweeps.  ``kappa`` in (0.5, 1]
+        guarantees the Robbins–Monro conditions.
+
+        ELBO is checked per EPOCH (a full-corpus streamed evaluation).
+        A resumed run (``load``) replays the shuffle rng past its
+        completed epochs, so the batch schedule — and therefore the
+        trajectory — continues exactly.
+        """
+        if not (0.5 < kappa <= 1.0):
+            raise ValueError("kappa must be in (0.5, 1].")
+        cfg.validate()
+        self._cfg = cfg
+        self._compile(cfg)
+        p = self.packed
+        n_batches = p.M_pad // self.batch_docs
+        # per-batch corpus scale M / (real docs in batch): pad rows carry
+        # zero statistics, so scaling by the padded ratio M_pad/batch_docs
+        # would give a pad-heavy trailing batch full rho weight with
+        # near-zero stats (avoidable gradient variance when M_pad >> M);
+        # all-padding batches are dropped from the schedule entirely
+        real_docs = np.array([
+            float(p.doc_mask[b * self.batch_docs:(b + 1) * self.batch_docs]
+                  .sum()) for b in range(n_batches)])
+        live = np.nonzero(real_docs > 0)[0]
+
+        if self._svi_stats is None:
+            self._svi_stats = self._svi_init_stats()
+        # seed the bound like train() so the first reported ∆elbo is
+        # a real improvement, not a difference against 0.0
+        if cfg.checkelbo <= cfg.iter and not self.trace:
+            self.elbo = self._sweep_elbo()
+        rng = np.random.default_rng(shuffle_seed)
+        for _ in range(self._epochs_done):   # resume: replay the schedule
+            rng.permutation(len(live))
+        for _ in range(cfg.iter):
+            order = live[rng.permutation(len(live))]
+            for b in order:
+                scale = float(self.M) / real_docs[b]
+                sl = slice(b * self.batch_docs, (b + 1) * self.batch_docs)
+                updated, batch_stats = self._run_batch(
+                    sl, self._zero_stats())
+                self._store(sl, *updated)
+                # first step takes the batch statistic whole (ρ=1) when
+                # the running stats start from zeros — blending a
+                # near-zero statistic into the global update at full
+                # corpus scale would destabilise it; prior-seeded
+                # classes instead keep the ordinary schedule from t=0
+                t = self._svi_t
+                rho = (1.0 if (t == 0 and self._svi_first_step_whole)
+                       else (tau0 + t) ** (-kappa))
+                self._svi_stats = jax.tree_util.tree_map(
+                    lambda S, s: (1.0 - rho) * S + rho * scale * s,
+                    self._svi_stats, batch_stats)
+                self._global_update(self._svi_stats)
+                self._svi_t = t + 1
+            self._epochs_done += 1
+            self._check(self._epochs_done, cfg)
+            self._auto_ckpt(self._epochs_done, checkpoint_every,
+                            checkpoint_dir)
+
+        self._finalize()
+        return self
+
 
 def load(path: str, packed, strict_corpus: bool = True):
     """Rebuild a streaming model (StreamingLDA/StreamingCTPF) from a
@@ -352,7 +530,8 @@ def load(path: str, packed, strict_corpus: bool = True):
                 "checkpoint corpus fingerprint does not match the given "
                 "packed corpus.")
         cls = {c.__name__: c
-               for c in (StreamingLDA, StreamingCTPF)}[meta["cls"]]
+               for c in (StreamingLDA, StreamingCTM, StreamingFLDA,
+                         StreamingFCTM, StreamingCTPF)}[meta["cls"]]
         model = cls(packed, meta["K"], batch_docs=meta["batch_docs"],
                     chunk_docs=meta["chunk_docs"], dtype=meta["dtype"],
                     seed=meta["seed"])
@@ -451,6 +630,11 @@ class StreamingLDA(_StreamingModel):
     def _finalize(self):
         self.topics = topics_ranking(np.asarray(self.beta))
 
+    def _svi_init_stats(self):
+        # running statistics seeded by one pass worth of the beta prior
+        return (jnp.asarray(np.asarray(self.beta), self.dtype).T,  # [V, K]
+                jnp.zeros((self.K,), self.dtype))
+
     def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
               ntol: Optional[float] = None, viter: int = 10,
               vtol: Optional[float] = None, checkelbo: float = 1,
@@ -459,23 +643,7 @@ class StreamingLDA(_StreamingModel):
         cfg = TrainConfig(iter=iter, tol=tol, niter=niter, ntol=ntol,
                           viter=viter, vtol=vtol, checkelbo=checkelbo,
                           printelbo=printelbo).resolved(self.K)
-        cfg.validate()
-        self._cfg = cfg
-        self._compile(cfg)
-
-        if cfg.checkelbo <= cfg.iter and not self.trace:
-            self.elbo = self._sweep_elbo()
-
-        for k in range(1, cfg.iter + 1):
-            stats = self._streamed_sweep(self._zero_stats())
-            self._global_update(stats)
-            delta = self._check(k, cfg)
-            self._auto_ckpt(k, checkpoint_every, checkpoint_dir)
-            if delta is not None and delta < cfg.tol:
-                break
-
-        self._finalize()
-        return self
+        return self._train_loop(cfg, checkpoint_every, checkpoint_dir)
 
     def train_online(self, epochs: int = 1, tau0: float = 64.0,
                      kappa: float = 0.7, viter: int = 10,
@@ -484,81 +652,13 @@ class StreamingLDA(_StreamingModel):
                      printelbo: bool = True, shuffle_seed: int = 0,
                      checkpoint_every: int = 0,
                      checkpoint_dir: Optional[str] = None):
-        """Online (stochastic) variational training — one or few passes.
-
-        Beyond the reference's capability surface: after each document
-        minibatch the global sufficient statistics are blended with the
-        batch's corpus-scaled statistics at step size
-        ``ρ_t = (τ0 + t)^(−κ)`` (Hoffman et al. 2010/2013 SVI schedule;
-        here as online EM over the reference's normalized-beta M-step,
-        Cappé & Moulines 2009), and beta/alpha update immediately — so a
-        single pass over a huge corpus already yields useful topics,
-        where batch CAVI would need many full sweeps.  ``kappa`` in
-        (0.5, 1] guarantees the Robbins–Monro conditions.
-
-        ELBO is checked per EPOCH (a full-corpus streamed evaluation).
-        A resumed run (``load``) replays the shuffle rng past its
-        completed epochs, so the batch schedule — and therefore the
-        trajectory — continues exactly.
-        """
-        if not (0.5 < kappa <= 1.0):
-            raise ValueError("kappa must be in (0.5, 1].")
+        """Online SVI over the reference's normalized-beta M-step + alpha
+        Newton (see :meth:`_StreamingModel._train_online_loop`)."""
         cfg = TrainConfig(iter=epochs, niter=niter, ntol=ntol, viter=viter,
                           vtol=vtol, checkelbo=checkelbo,
                           printelbo=printelbo).resolved(self.K)
-        cfg.validate()
-        self._cfg = cfg
-        self._compile(cfg)
-        p = self.packed
-        n_batches = p.M_pad // self.batch_docs
-        # per-batch corpus scale M / (real docs in batch): pad rows carry
-        # zero statistics, so scaling by the padded ratio M_pad/batch_docs
-        # would give a pad-heavy trailing batch full rho weight with
-        # near-zero stats (avoidable gradient variance when M_pad >> M);
-        # all-padding batches are dropped from the schedule entirely
-        real_docs = np.array([
-            float(p.doc_mask[b * self.batch_docs:(b + 1) * self.batch_docs]
-                  .sum()) for b in range(n_batches)])
-        live = np.nonzero(real_docs > 0)[0]
-
-        # running statistics, seeded by one pass worth of the priors
-        if self._svi_stats is None:
-            self._svi_stats = (
-                jnp.asarray(np.asarray(self.beta), self.dtype).T,  # [V, K]
-                jnp.zeros((self.K,), self.dtype))
-        # seed the bound like train() so the first reported ∆elbo is
-        # a real improvement, not a difference against 0.0
-        if cfg.checkelbo <= cfg.iter and not self.trace:
-            self.elbo = self._sweep_elbo()
-        rng = np.random.default_rng(shuffle_seed)
-        for _ in range(self._epochs_done):   # resume: replay the schedule
-            rng.permutation(len(live))
-        for _ in range(cfg.iter):
-            order = live[rng.permutation(len(live))]
-            for b in order:
-                scale = float(self.M) / real_docs[b]
-                sl = slice(b * self.batch_docs, (b + 1) * self.batch_docs)
-                (updated, (bt, es)) = self._run_batch(sl, self._zero_stats())
-                self._store(sl, *updated)
-                # first step takes the batch statistic whole (ρ=1): the
-                # running stats start from priors/zero, and blending a
-                # near-zero Elogtheta_sum into the alpha Newton at full
-                # corpus scale would destabilise it
-                t = self._svi_t
-                rho = 1.0 if t == 0 else (tau0 + t) ** (-kappa)
-                S_beta, S_el = self._svi_stats
-                S_beta = (1.0 - rho) * S_beta + rho * scale * bt
-                S_el = (1.0 - rho) * S_el + rho * scale * es
-                self._svi_stats = (S_beta, S_el)
-                self._global_update((S_beta, S_el))
-                self._svi_t = t + 1
-            self._epochs_done += 1
-            self._check(self._epochs_done, cfg)
-            self._auto_ckpt(self._epochs_done, checkpoint_every,
-                            checkpoint_dir)
-
-        self._finalize()
-        return self
+        return self._train_online_loop(cfg, tau0, kappa, shuffle_seed,
+                                       checkpoint_every, checkpoint_dir)
 
 
 # ─────────────────────────── StreamingCTPF ───────────────────────────
@@ -675,30 +775,13 @@ class StreamingCTPF(_StreamingModel):
             self.V, self.K, self.U_seg, cfg.viter, cfg.vtol,
             self.chunk_docs, mesh=self.mesh, data_axis=self.data_axis)
         kw = dict(chunk_docs=self.chunk_docs)
-        if self.mesh is not None:
-            # wrap the per-batch bound in shard_map like the sweep
-            from jax.sharding import PartitionSpec as P
-
-            from .parallel.shard import shard_map
-
-            def wrap(fn):
-                spec = ctpf_mod.partition_spec(self.data_axis)
-                d = P(self.data_axis)
-                inner = shard_map(
-                    fn, mesh=self.mesh, in_specs=(spec,) + (d,) * 5,
-                    out_specs=P(), check_vma=False)
-                return jax.jit(inner)
-
-            self._elbo_first = wrap(ctpf_mod.make_elbo(
-                self.packed, self.K, axis_name=self.data_axis, **kw))
-            self._elbo_rest = wrap(ctpf_mod.make_elbo(
-                self.packed, self.K, axis_name=self.data_axis,
-                include_global_terms=False, **kw))
-        else:
-            self._elbo_first = jax.jit(
-                ctpf_mod.make_elbo(self.packed, self.K, **kw))
-            self._elbo_rest = jax.jit(ctpf_mod.make_elbo(
-                self.packed, self.K, include_global_terms=False, **kw))
+        spec = ctpf_mod.partition_spec(self.data_axis)
+        ax = self.data_axis if self.mesh is not None else None
+        self._elbo_first = self._wrap_batch_elbo(ctpf_mod.make_elbo(
+            self.packed, self.K, axis_name=ax, **kw), spec, n_data=5)
+        self._elbo_rest = self._wrap_batch_elbo(ctpf_mod.make_elbo(
+            self.packed, self.K, axis_name=ax,
+            include_global_terms=False, **kw), spec, n_data=5)
 
     def _zero_stats(self):
         z = jnp.zeros((self.K,), self.dtype)
@@ -777,23 +860,7 @@ class StreamingCTPF(_StreamingModel):
         cfg = TrainConfig(iter=iter, tol=tol, viter=viter, vtol=vtol,
                           checkelbo=checkelbo,
                           printelbo=printelbo).resolved(self.K)
-        cfg.validate()
-        self._cfg = cfg
-        self._compile(cfg)
-
-        if cfg.checkelbo <= cfg.iter and not self.trace:
-            self.elbo = self._sweep_elbo()
-
-        for k in range(1, cfg.iter + 1):
-            stats = self._streamed_sweep(self._zero_stats())
-            self._global_update(stats)
-            delta = self._check(k, cfg)
-            self._auto_ckpt(k, checkpoint_every, checkpoint_dir)
-            if delta is not None and delta < cfg.tol:
-                break
-
-        self._finalize()
-        return self
+        return self._train_loop(cfg, checkpoint_every, checkpoint_dir)
 
     def train_online(self, epochs: int = 1, tau0: float = 64.0,
                      kappa: float = 0.7, viter: int = 10,
@@ -808,50 +875,482 @@ class StreamingCTPF(_StreamingModel):
         average of corpus-scaled minibatch statistics at
         ``ρ_t = (τ0 + t)^(−κ)``, with the globals recomputed from the
         blended stats after every minibatch."""
-        if not (0.5 < kappa <= 1.0):
-            raise ValueError("kappa must be in (0.5, 1].")
         cfg = TrainConfig(iter=epochs, viter=viter, vtol=vtol,
                           checkelbo=checkelbo,
                           printelbo=printelbo).resolved(self.K)
-        cfg.validate()
-        self._cfg = cfg
-        self._compile(cfg)
+        return self._train_online_loop(cfg, tau0, kappa, shuffle_seed,
+                                       checkpoint_every, checkpoint_dir)
+
+
+# ─────────────────────────── StreamingCTM ───────────────────────────
+
+@jax.jit
+def _ctm_mstep(beta_temp, vsq_sum, lam_sum, lam_outer, mu_old, M_total):
+    """CTM global updates (update_beta!/update_sigma!/update_mu!,
+    CTM.jl:102-118, order CTM.jl:206-208) from the accumulated sweep
+    statistics — identical maths to the tail of models/ctm.make_step."""
+    beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+    centered = (lam_outer
+                - jnp.outer(mu_old, lam_sum) - jnp.outer(lam_sum, mu_old)
+                + M_total * jnp.outer(mu_old, mu_old))
+    sigma = (jnp.diag(vsq_sum) + centered) / M_total
+    sigma = 0.5 * (sigma + sigma.T)
+    invsigma = jnp.linalg.inv(sigma)
+    invsigma = 0.5 * (invsigma + invsigma.T)
+    mu_new = lam_sum / M_total
+    return mu_new, sigma, invsigma, beta_new
+
+
+class StreamingCTM(_StreamingModel):
+    """CTM trained with host-resident corpus + per-doc state (lambda /
+    vsq / logzeta — the O(M·K) memory); the device keeps mu/sigma/beta.
+    Same batch pipeline and guarantees as :class:`StreamingLDA`:
+    globals are frozen within a sweep, so the trajectory equals the
+    in-memory path and is invariant to the batch partition."""
+
+    _doc_state = ("lam", "lam_old", "vsq", "logzeta")
+    _globals = ("mu", "sigma", "invsigma", "beta", "beta_old")
+
+    def __init__(self, packed, K: int, batch_docs: int = 8192,
+                 chunk_docs: int = 2048, dtype=jnp.float32, seed: int = 0,
+                 mesh=None, data_axis: str = "data"):
+        self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
+                          mesh, data_axis)
+        npdt = np.dtype(dtype)
+        M_pad = packed.M_pad
+        # constructor state (reference CTM.jl:27-52, = models/ctm.init)
+        key = jax.random.PRNGKey(seed)
+        self.beta = jax.random.dirichlet(
+            key, jnp.ones((self.V,), jnp.float32),
+            shape=(self.K,)).astype(self.dtype)
+        self.beta_old = self.beta
+        eye = jnp.eye(self.K, dtype=self.dtype)
+        self.mu = jnp.zeros((self.K,), self.dtype)
+        self.sigma, self.invsigma = eye, eye
+        self.lam = np.zeros((M_pad, self.K), npdt)
+        self.lam_old = np.zeros((M_pad, self.K), npdt)
+        self.vsq = np.ones((M_pad, self.K), npdt)
+        self.logzeta = np.full((M_pad,), 0.5, npdt)
+        self._sweep = None
+        self._elbo_fn = None
+
+    def _compile(self, cfg):
+        V = self.V
+        viter, vtol = cfg.viter, cfg.vtol
+        niter, ntol = cfg.niter, cfg.ntol
+
+        def prep(globs):
+            beta, mu, invsigma = globs
+            return jnp.log(beta).T, mu, invsigma   # raw log, CTM.jl:177
+
+        def chunk_call(prepped, d, s):
+            logbetaT, mu, invsigma = prepped
+            la2, lao2, v2, lz2, bt, vs, ls, lo = ctm_mod._estep_chunk(
+                logbetaT, mu, invsigma, *d, *s,
+                viter, vtol, niter, ntol, V)
+            return (la2, lao2, v2, lz2), (bt, vs, ls, lo)
+
+        self._sweep = make_generic_batch_sweep(
+            prep, chunk_call, self.chunk_docs, mesh=self.mesh,
+            data_axis=self.data_axis)
+        ax = self.data_axis if self.mesh is not None else None
+        self._elbo_fn = self._wrap_batch_elbo(
+            ctm_mod.make_elbo(self.packed, self.K,
+                              chunk_docs=self.chunk_docs, axis_name=ax),
+            ctm_mod.partition_spec(self.data_axis))
+
+    def _zero_stats(self):
+        z = jnp.zeros((self.K,), self.dtype)
+        return (jnp.zeros((self.V, self.K), self.dtype), z, z,
+                jnp.zeros((self.K, self.K), self.dtype))
+
+    _svi_first_step_whole = False
+
+    def _svi_init_stats(self):
+        # seed from the (strictly positive) prior draw of beta and the
+        # constructor moments (vsq=1, lam=0): the blended beta can then
+        # never develop an exactly-zero column (see the base-class note)
+        return (jnp.asarray(np.asarray(self.beta), self.dtype).T,
+                jnp.full((self.K,), float(self.M), self.dtype),
+                jnp.zeros((self.K,), self.dtype),
+                jnp.zeros((self.K, self.K), self.dtype))
+
+    def _data_slices(self, sl):
         p = self.packed
-        n_batches = p.M_pad // self.batch_docs
-        real_docs = np.array([
-            float(p.doc_mask[b * self.batch_docs:(b + 1) * self.batch_docs]
-                  .sum()) for b in range(n_batches)])
-        live = np.nonzero(real_docs > 0)[0]
+        return (jnp.asarray(p.terms[sl]),
+                jnp.asarray(p.counts[sl].astype(self.dtype)),
+                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
 
-        if self._svi_stats is None:
-            self._svi_stats = self._zero_stats()
-        if cfg.checkelbo <= cfg.iter and not self.trace:
-            self.elbo = self._sweep_elbo()
-        rng = np.random.default_rng(shuffle_seed)
-        for _ in range(self._epochs_done):   # resume: replay the schedule
-            rng.permutation(len(live))
-        for _ in range(cfg.iter):
-            order = live[rng.permutation(len(live))]
-            for b in order:
-                scale = float(self.M) / real_docs[b]
-                sl = slice(b * self.batch_docs, (b + 1) * self.batch_docs)
-                updated, batch_stats = self._run_batch(
-                    sl, self._zero_stats())
-                self._store(sl, *updated)
-                t = self._svi_t
-                rho = 1.0 if t == 0 else (tau0 + t) ** (-kappa)
-                self._svi_stats = tuple(
-                    (1.0 - rho) * S + rho * scale * s
-                    for S, s in zip(self._svi_stats, batch_stats))
-                self._global_update(self._svi_stats)
-                self._svi_t = t + 1
-            self._epochs_done += 1
-            self._check(self._epochs_done, cfg)
-            self._auto_ckpt(self._epochs_done, checkpoint_every,
-                            checkpoint_dir)
+    def _run_batch(self, sl, stats):
+        return self._sweep((self.beta, self.mu, self.invsigma),
+                           self._data_slices(sl), self._doc_slices(sl),
+                           stats)
 
-        self._finalize()
-        return self
+    def _global_update(self, stats):
+        mu, sigma, invsigma, beta = _ctm_mstep(
+            *stats, self.mu, jnp.asarray(float(self.M), self.dtype))
+        self.beta_old, self.beta = self.beta, beta
+        self.mu, self.sigma, self.invsigma = mu, sigma, invsigma
+
+    def _batch_state(self, sl) -> ctm_mod.CTMState:
+        la, lao, v, lz = self._doc_slices(sl)
+        return ctm_mod.CTMState(
+            mu=self.mu, sigma=self.sigma, invsigma=self.invsigma,
+            beta=self.beta, beta_old=self.beta_old,
+            lam=la, lam_old=lao, vsq=v, logzeta=lz,
+            elbo=jnp.zeros((), self.dtype))
+
+    def _sweep_elbo(self):
+        acc = 0.0
+        for sl in self._batches():
+            acc += float(self._elbo_fn(self._batch_state(sl),
+                                       *self._data_slices(sl)))
+        return acc
+
+    def _finalize(self):
+        self.topics = topics_ranking(np.asarray(self.beta))
+
+    def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
+              ntol: Optional[float] = None, viter: int = 10,
+              vtol: Optional[float] = None, checkelbo: float = 1,
+              printelbo: bool = True, checkpoint_every: int = 0,
+              checkpoint_dir: Optional[str] = None):
+        cfg = TrainConfig(iter=iter, tol=tol, niter=niter, ntol=ntol,
+                          viter=viter, vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_loop(cfg, checkpoint_every, checkpoint_dir)
+
+    def train_online(self, epochs: int = 1, tau0: float = 64.0,
+                     kappa: float = 0.7, viter: int = 10,
+                     vtol: Optional[float] = None, niter: int = 1000,
+                     ntol: Optional[float] = None, checkelbo: float = 1,
+                     printelbo: bool = True, shuffle_seed: int = 0,
+                     checkpoint_every: int = 0,
+                     checkpoint_dir: Optional[str] = None):
+        """Online SVI CTM: mu/sigma are moment averages and beta a
+        normalized count table — all closed-form in the sweep statistics
+        (vsq_sum/lam_sum/lam_outer/beta_temp), so the running-average
+        blend applies exactly as for LDA/CTPF."""
+        cfg = TrainConfig(iter=epochs, niter=niter, ntol=ntol, viter=viter,
+                          vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_online_loop(cfg, tau0, kappa, shuffle_seed,
+                                       checkpoint_every, checkpoint_dir)
+
+
+# ─────────────────────────── StreamingFLDA ───────────────────────────
+
+@jax.jit
+def _flda_mstep(beta_temp, kappa_temp, El_sum, tau_counts, alpha,
+                M_total, C_total, niter, ntol):
+    """fLDA global updates (update_eta!/update_kappa!/update_beta!/
+    update_alpha!, fLDA.jl:97-156) from the sweep statistics."""
+    beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+    kappa_new = kappa_temp / jnp.sum(kappa_temp)
+    alpha_new = dirichlet_newton(alpha, El_sum, M_total, niter, ntol)
+    eta_new = tau_counts / C_total
+    return eta_new, alpha_new, kappa_new, beta_new
+
+
+class StreamingFLDA(_StreamingModel):
+    """fLDA trained with host-resident corpus + per-doc state.  The
+    host keeps gamma/Elogtheta AND the per-token responsibilities tau
+    [M_pad, L] — the memory that makes in-memory fLDA infeasible on
+    long corpora; the device keeps eta/alpha/kappa/beta."""
+
+    _doc_state = ("gamma", "Elogtheta", "Elogtheta_old", "tau", "tau_old")
+    _globals = ("eta", "alpha", "kappa", "kappa_old", "beta", "beta_old")
+
+    def __init__(self, packed, K: int, batch_docs: int = 8192,
+                 chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
+                 mesh=None, data_axis: str = "data"):
+        self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
+                          mesh, data_axis)
+        npdt = np.dtype(dtype)
+        M_pad, L = packed.M_pad, packed.L
+        # constructor state (reference fLDA.jl:30-58, = models/flda.init)
+        k_beta, k_kappa = jax.random.split(jax.random.PRNGKey(seed))
+        self.beta = jax.random.dirichlet(
+            k_beta, jnp.ones((self.V,), jnp.float32),
+            shape=(self.K,)).astype(self.dtype)
+        self.beta_old = self.beta
+        self.kappa = jax.random.dirichlet(
+            k_kappa, jnp.ones((self.V,), jnp.float32)).astype(self.dtype)
+        self.kappa_old = self.kappa
+        self.eta = jnp.asarray(0.5, self.dtype)
+        self.alpha = jnp.ones((self.K,), self.dtype)
+        el0 = -sum(1.0 / i for i in range(1, self.K))
+        self.gamma = np.ones((M_pad, self.K), npdt)
+        self.Elogtheta = np.full((M_pad, self.K), el0, npdt)
+        self.Elogtheta_old = np.full((M_pad, self.K), el0, npdt)
+        self.tau = np.full((M_pad, L), 0.5, npdt)
+        self.tau_old = np.full((M_pad, L), 0.5, npdt)
+        self._C_total = float(np.asarray(packed.C, np.float64).sum())
+        self._sweep = None
+        self._elbo_fn = None
+
+    def _compile(self, cfg):
+        V = self.V
+        viter, vtol = cfg.viter, cfg.vtol
+
+        def prep(globs):
+            beta, kappa, eta, alpha = globs
+            eps = jnp.asarray(EPSILON, beta.dtype)
+            return jnp.log(beta + eps).T, kappa, eta, alpha
+
+        def chunk_call(prepped, d, s):
+            logbetaT, kappa, eta, alpha = prepped
+            g2, el2, elo2, ta2, tao2, bt, kt, es, tc = \
+                flda_mod._estep_chunk(logbetaT, kappa, eta, alpha,
+                                      *d, *s, viter, vtol, V)
+            return (g2, el2, elo2, ta2, tao2), (bt, kt, es, tc)
+
+        self._sweep = make_generic_batch_sweep(
+            prep, chunk_call, self.chunk_docs, mesh=self.mesh,
+            data_axis=self.data_axis)
+        ax = self.data_axis if self.mesh is not None else None
+        self._elbo_fn = self._wrap_batch_elbo(
+            flda_mod.make_elbo(self.packed, self.K,
+                               chunk_docs=self.chunk_docs, axis_name=ax),
+            flda_mod.partition_spec(self.data_axis))
+
+    def _zero_stats(self):
+        return (jnp.zeros((self.V, self.K), self.dtype),
+                jnp.zeros((self.V,), self.dtype),
+                jnp.zeros((self.K,), self.dtype),
+                jnp.zeros((), self.dtype))
+
+    def _data_slices(self, sl):
+        p = self.packed
+        return (jnp.asarray(p.terms[sl]),
+                jnp.asarray(p.counts[sl].astype(self.dtype)),
+                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
+
+    def _run_batch(self, sl, stats):
+        return self._sweep((self.beta, self.kappa, self.eta, self.alpha),
+                           self._data_slices(sl), self._doc_slices(sl),
+                           stats)
+
+    def _global_update(self, stats):
+        eta, alpha, kappa, beta = _flda_mstep(
+            *stats, self.alpha, jnp.asarray(float(self.M), self.dtype),
+            jnp.asarray(self._C_total, self.dtype),
+            self._cfg.niter, self._cfg.ntol)
+        self.beta_old, self.beta = self.beta, beta
+        self.kappa_old, self.kappa = self.kappa, kappa
+        self.eta, self.alpha = eta, alpha
+
+    def _batch_state(self, sl) -> flda_mod.FLDAState:
+        g, el, elo, ta, tao = self._doc_slices(sl)
+        return flda_mod.FLDAState(
+            eta=self.eta, alpha=self.alpha,
+            kappa=self.kappa, kappa_old=self.kappa_old,
+            beta=self.beta, beta_old=self.beta_old,
+            gamma=g, Elogtheta=el, Elogtheta_old=elo,
+            tau=ta, tau_old=tao, elbo=jnp.zeros((), self.dtype))
+
+    def _sweep_elbo(self):
+        acc = 0.0
+        for sl in self._batches():
+            acc += float(self._elbo_fn(self._batch_state(sl),
+                                       *self._data_slices(sl)))
+        return acc
+
+    def _finalize(self):
+        self.topics = topics_ranking(np.asarray(self.beta))
+
+    def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
+              ntol: Optional[float] = None, viter: int = 10,
+              vtol: Optional[float] = None, checkelbo: float = 1,
+              printelbo: bool = True, checkpoint_every: int = 0,
+              checkpoint_dir: Optional[str] = None):
+        cfg = TrainConfig(iter=iter, tol=tol, niter=niter, ntol=ntol,
+                          viter=viter, vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_loop(cfg, checkpoint_every, checkpoint_dir)
+
+    def train_online(self, epochs: int = 1, tau0: float = 64.0,
+                     kappa: float = 0.7, viter: int = 10,
+                     vtol: Optional[float] = None, niter: int = 1000,
+                     ntol: Optional[float] = None, checkelbo: float = 1,
+                     printelbo: bool = True, shuffle_seed: int = 0,
+                     checkpoint_every: int = 0,
+                     checkpoint_dir: Optional[str] = None):
+        """Online SVI fLDA.  All four statistics scale by the standard
+        SVI corpus ratio M/|batch|; eta's token-sum statistic inherits
+        that doc-ratio scaling, which is unbiased in expectation over
+        uniformly drawn batches (token totals per doc are iid across
+        the shuffle)."""
+        cfg = TrainConfig(iter=epochs, niter=niter, ntol=ntol, viter=viter,
+                          vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_online_loop(cfg, tau0, kappa, shuffle_seed,
+                                       checkpoint_every, checkpoint_dir)
+
+
+# ─────────────────────────── StreamingFCTM ───────────────────────────
+
+@jax.jit
+def _fctm_mstep(beta_temp, kappa_temp, vsq_sum, lam_sum, lam_outer,
+                mu_old, M_total):
+    """fCTM global updates (fCTM.jl:122-150; eta frozen per
+    fCTM.jl:267) from the sweep statistics."""
+    beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+    kappa_new = kappa_temp / jnp.sum(kappa_temp)
+    centered = (lam_outer
+                - jnp.outer(mu_old, lam_sum) - jnp.outer(lam_sum, mu_old)
+                + M_total * jnp.outer(mu_old, mu_old))
+    sigma = (jnp.diag(vsq_sum) + centered) / M_total
+    sigma = 0.5 * (sigma + sigma.T)
+    invsigma = jnp.linalg.inv(sigma)
+    invsigma = 0.5 * (invsigma + invsigma.T)
+    mu_new = lam_sum / M_total
+    return mu_new, sigma, invsigma, kappa_new, beta_new
+
+
+class StreamingFCTM(_StreamingModel):
+    """fCTM trained with host-resident corpus + per-doc state (lambda /
+    vsq / logzeta plus the per-token tau [M_pad, L]); the device keeps
+    eta/mu/sigma/kappa/beta."""
+
+    _doc_state = ("lam", "lam_old", "vsq", "logzeta", "tau", "tau_old")
+    _globals = ("eta", "mu", "sigma", "invsigma", "kappa", "kappa_old",
+                "beta", "beta_old")
+
+    def __init__(self, packed, K: int, batch_docs: int = 8192,
+                 chunk_docs: int = 2048, dtype=jnp.float32, seed: int = 0,
+                 mesh=None, data_axis: str = "data"):
+        self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
+                          mesh, data_axis)
+        npdt = np.dtype(dtype)
+        M_pad, L = packed.M_pad, packed.L
+        # constructor state (reference fCTM.jl:33-64, = models/fctm.init)
+        k_beta, k_kappa = jax.random.split(jax.random.PRNGKey(seed))
+        self.beta = jax.random.dirichlet(
+            k_beta, jnp.ones((self.V,), jnp.float32),
+            shape=(self.K,)).astype(self.dtype)
+        self.beta_old = self.beta
+        self.kappa = jax.random.dirichlet(
+            k_kappa, jnp.ones((self.V,), jnp.float32)).astype(self.dtype)
+        self.kappa_old = self.kappa
+        self.eta = jnp.asarray(0.5, self.dtype)
+        eye = jnp.eye(self.K, dtype=self.dtype)
+        self.mu = jnp.zeros((self.K,), self.dtype)
+        self.sigma, self.invsigma = eye, eye
+        self.lam = np.zeros((M_pad, self.K), npdt)
+        self.lam_old = np.zeros((M_pad, self.K), npdt)
+        self.vsq = np.ones((M_pad, self.K), npdt)
+        self.logzeta = np.full((M_pad,), 0.5, npdt)
+        self.tau = np.full((M_pad, L), 0.5, npdt)
+        self.tau_old = np.full((M_pad, L), 0.5, npdt)
+        self._sweep = None
+        self._elbo_fn = None
+
+    def _compile(self, cfg):
+        V = self.V
+        viter, vtol = cfg.viter, cfg.vtol
+        niter, ntol = cfg.niter, cfg.ntol
+
+        def prep(globs):
+            beta, kappa, eta, mu, invsigma = globs
+            eps = jnp.asarray(EPSILON, beta.dtype)
+            return jnp.log(beta + eps).T, kappa, eta, mu, invsigma
+
+        def chunk_call(prepped, d, s):
+            logbetaT, kappa, eta, mu, invsigma = prepped
+            (la2, lao2, v2, lz2, ta2, tao2,
+             bt, kt, vs, ls, lo) = fctm_mod._estep_chunk(
+                logbetaT, kappa, eta, mu, invsigma, *d, *s,
+                viter, vtol, niter, ntol, V)
+            return (la2, lao2, v2, lz2, ta2, tao2), (bt, kt, vs, ls, lo)
+
+        self._sweep = make_generic_batch_sweep(
+            prep, chunk_call, self.chunk_docs, mesh=self.mesh,
+            data_axis=self.data_axis)
+        ax = self.data_axis if self.mesh is not None else None
+        self._elbo_fn = self._wrap_batch_elbo(
+            fctm_mod.make_elbo(self.packed, self.K,
+                               chunk_docs=self.chunk_docs, axis_name=ax),
+            fctm_mod.partition_spec(self.data_axis))
+
+    def _zero_stats(self):
+        z = jnp.zeros((self.K,), self.dtype)
+        return (jnp.zeros((self.V, self.K), self.dtype),
+                jnp.zeros((self.V,), self.dtype), z, z,
+                jnp.zeros((self.K, self.K), self.dtype))
+
+    _svi_first_step_whole = False
+
+    def _svi_init_stats(self):
+        # prior-seeded like StreamingCTM (positive beta/kappa columns)
+        return (jnp.asarray(np.asarray(self.beta), self.dtype).T,
+                jnp.asarray(np.asarray(self.kappa), self.dtype),
+                jnp.full((self.K,), float(self.M), self.dtype),
+                jnp.zeros((self.K,), self.dtype),
+                jnp.zeros((self.K, self.K), self.dtype))
+
+    def _data_slices(self, sl):
+        p = self.packed
+        return (jnp.asarray(p.terms[sl]),
+                jnp.asarray(p.counts[sl].astype(self.dtype)),
+                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
+
+    def _run_batch(self, sl, stats):
+        return self._sweep(
+            (self.beta, self.kappa, self.eta, self.mu, self.invsigma),
+            self._data_slices(sl), self._doc_slices(sl), stats)
+
+    def _global_update(self, stats):
+        mu, sigma, invsigma, kappa, beta = _fctm_mstep(
+            *stats, self.mu, jnp.asarray(float(self.M), self.dtype))
+        self.beta_old, self.beta = self.beta, beta
+        self.kappa_old, self.kappa = self.kappa, kappa
+        self.mu, self.sigma, self.invsigma = mu, sigma, invsigma
+
+    def _batch_state(self, sl) -> fctm_mod.FCTMState:
+        la, lao, v, lz, ta, tao = self._doc_slices(sl)
+        return fctm_mod.FCTMState(
+            eta=self.eta, mu=self.mu, sigma=self.sigma,
+            invsigma=self.invsigma,
+            kappa=self.kappa, kappa_old=self.kappa_old,
+            beta=self.beta, beta_old=self.beta_old,
+            lam=la, lam_old=lao, vsq=v, logzeta=lz,
+            tau=ta, tau_old=tao, elbo=jnp.zeros((), self.dtype))
+
+    def _sweep_elbo(self):
+        acc = 0.0
+        for sl in self._batches():
+            acc += float(self._elbo_fn(self._batch_state(sl),
+                                       *self._data_slices(sl)))
+        return acc
+
+    def _finalize(self):
+        self.topics = topics_ranking(np.asarray(self.beta))
+
+    def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
+              ntol: Optional[float] = None, viter: int = 10,
+              vtol: Optional[float] = None, checkelbo: float = 1,
+              printelbo: bool = True, checkpoint_every: int = 0,
+              checkpoint_dir: Optional[str] = None):
+        cfg = TrainConfig(iter=iter, tol=tol, niter=niter, ntol=ntol,
+                          viter=viter, vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_loop(cfg, checkpoint_every, checkpoint_dir)
+
+    def train_online(self, epochs: int = 1, tau0: float = 64.0,
+                     kappa: float = 0.7, viter: int = 10,
+                     vtol: Optional[float] = None, niter: int = 1000,
+                     ntol: Optional[float] = None, checkelbo: float = 1,
+                     printelbo: bool = True, shuffle_seed: int = 0,
+                     checkpoint_every: int = 0,
+                     checkpoint_dir: Optional[str] = None):
+        """Online SVI fCTM (moment-average globals, eta frozen at 0.5
+        per fCTM.jl:267)."""
+        cfg = TrainConfig(iter=epochs, niter=niter, ntol=ntol, viter=viter,
+                          vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_online_loop(cfg, tau0, kappa, shuffle_seed,
+                                       checkpoint_every, checkpoint_dir)
 
 
 @functools.partial(jax.jit, static_argnums=(6,))

@@ -88,11 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--n-devices", type=int, default=None,
                    help="limit the mesh to this many devices")
 
-    # ── streaming / online (host-resident corpus, LDA only) ──
+    # ── streaming / online (host-resident corpus; every model but dtm) ──
     s = p.add_argument_group("streaming")
     s.add_argument("--streaming", action="store_true",
                    help="host-resident corpus+state, device memory "
-                        "O(batch) (StreamingLDA; --model lda only)")
+                        "O(batch) (Streaming{LDA,FLDA,CTM,FCTM,CTPF}; "
+                        "any --model except dtm)")
     s.add_argument("--online", action="store_true",
                    help="per-minibatch SVI-schedule updates (implies "
                         "--streaming); --iter counts epochs")
@@ -168,8 +169,11 @@ def run(argv=None) -> dict:
             if args.n_devices else None)
 
     if args.streaming or args.online:
-        if args.model != "lda":
-            raise SystemExit("--streaming/--online support --model lda only")
+        if args.model == "dtm":
+            raise SystemExit(
+                "--streaming/--online support every model except dtm "
+                "(its scaling axis is the [T,K,V] smoother state, "
+                "not the per-doc arrays)")
         if args.metrics or args.profile_dir:
             raise SystemExit(
                 "--metrics/--profile-dir are not supported with "
@@ -209,12 +213,18 @@ def _run_streaming(args, corp, runtime, mesh=None) -> dict:
 
     from .corpus import Corpus
     from .ops.packing import pack_corpus
-    from .streaming import StreamingLDA
+    from .streaming import (StreamingCTM, StreamingCTPF, StreamingFCTM,
+                            StreamingFLDA, StreamingLDA)
 
+    cls = {"lda": StreamingLDA, "flda": StreamingFLDA,
+           "ctm": StreamingCTM, "fctm": StreamingFCTM,
+           "ctpf": StreamingCTPF}[args.model]
+    is_ctpf = args.model == "ctpf"
     if isinstance(corp, Corpus):
         packed = pack_corpus(corp, pad_multiple=runtime.pad_multiple,
                              docs_multiple=min(args.batch_docs,
                                                runtime.chunk_docs),
+                             with_readers=is_ctpf,
                              dtype=np.dtype(runtime.dtype))
     else:
         packed = corp
@@ -224,25 +234,31 @@ def _run_streaming(args, corp, runtime, mesh=None) -> dict:
         batch //= 2
     per_dev = max(batch // n_dev, 1)
     chunk = min(runtime.chunk_docs, per_dev)
-    while per_dev % chunk:   # StreamingLDA needs chunk | batch/n_dev
+    while per_dev % chunk:   # the driver needs chunk | batch/n_dev
         chunk -= 1
-    s = StreamingLDA(packed, args.k, batch_docs=batch,
-                     chunk_docs=chunk,
-                     dtype=runtime.dtype,
-                     seed=0 if args.seed is None else args.seed,
-                     mesh=mesh, data_axis=runtime.data_axis)
+    s = cls(packed, args.k, batch_docs=batch,
+            chunk_docs=chunk,
+            dtype=runtime.dtype,
+            seed=0 if args.seed is None else args.seed,
+            mesh=mesh, data_axis=runtime.data_axis)
     checkelbo = float("inf") if str(args.checkelbo).lower() in ("inf", "none") \
         else int(args.checkelbo)
     quiet = not (args.quiet or args.json)
+    ckpt = dict(checkpoint_every=args.checkpoint_every or 0,
+                checkpoint_dir=args.checkpoint_dir)
+    newton = {} if is_ctpf else dict(niter=args.niter, ntol=args.ntol)
     if args.online:
         s.train_online(epochs=args.iter, tau0=args.tau0, kappa=args.kappa,
-                       viter=args.viter, vtol=args.vtol, niter=args.niter,
-                       ntol=args.ntol, checkelbo=checkelbo, printelbo=quiet)
+                       viter=args.viter, vtol=args.vtol, **newton,
+                       checkelbo=checkelbo, printelbo=quiet, **ckpt)
     else:
         s.train(iter=args.iter, tol=args.tol, viter=args.viter,
-                vtol=args.vtol, niter=args.niter, ntol=args.ntol,
-                checkelbo=checkelbo, printelbo=quiet)
-    return dict(model="lda", mode="online" if args.online else "streaming",
+                vtol=args.vtol, **newton,
+                checkelbo=checkelbo, printelbo=quiet, **ckpt)
+    if args.save:
+        s.save(args.save)
+    return dict(model=args.model,
+                mode="online" if args.online else "streaming",
                 K=args.k, M=s.M, V=s.V, batch_docs=batch,
                 final_elbo=(s.trace[-1][1] if s.trace else None))
 
