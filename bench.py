@@ -27,6 +27,21 @@ the median of 5 chains; each end-of-chain sync is a scalar VALUE fetch
 fetch cannot).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Modes beyond the default headline run:
+
+  python bench.py --assert       regression gate: run the three standard
+                                 configs (LDA K=100 NSF, CTM K=50 NSF,
+                                 CTPF K=100 CiteULike), median of 5
+                                 chains each, and FAIL (exit 1) below
+                                 the agreed floors — LDA >= 600k docs/s,
+                                 CTM <= 0.7 s/iter, CTPF <= 40 ms/iter.
+  python bench.py --sweep-dist   sensitivity of the LDA headline to the
+                                 synthetic vocab draw: one JSON line per
+                                 skew exponent (1.5 flatter / 3 Zipf-u^3
+                                 headline / 5 spikier) — bounds the
+                                 synthetic-corpus uncertainty
+                                 (RESULTS.md "distribution sensitivity").
 """
 
 import json
@@ -54,7 +69,8 @@ def timed_chains(step, data, warm_state, iters, reps, fetch):
     return times
 
 
-def main():
+def run_lda(reps=None, skew=3.0):
+    """LDA headline measurement; returns the result dict."""
     import jax
     import jax.numpy as jnp
 
@@ -65,9 +81,10 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 10))
     chunk = int(os.environ.get("BENCH_CHUNK", 1024))
     M = int(os.environ.get("BENCH_M", 128_804))
-    reps = int(os.environ.get("BENCH_REPS", 5))
+    if reps is None:
+        reps = int(os.environ.get("BENCH_REPS", 5))
 
-    packed = make_packed_nsf_scale(M=M, chunk_docs=chunk)
+    packed = make_packed_nsf_scale(M=M, chunk_docs=chunk, skew=skew)
     rt = RuntimeConfig(chunk_docs=chunk, dtype="float32")
     model = LDA(packed, K, runtime=rt, seed=7)
 
@@ -86,12 +103,52 @@ def main():
 
     docs_per_s = packed.M * iters / best
     baseline = 128_804 * 10 / 26.0  # reference gpuLDA NSF K=50 (plots.R:4)
-    print(json.dumps({
-        "metric": f"lda_k{K}_nsf_estep_docs_per_sec",
+    tag = "" if skew == 3.0 else f"_skew{skew:g}"
+    return {
+        "metric": f"lda_k{K}_nsf_estep_docs_per_sec{tag}",
         "value": round(docs_per_s, 1),
         "unit": "docs/s",
         "vs_baseline": round(docs_per_s / baseline, 3),
-    }))
+    }
+
+
+# regression floors (VERDICT r2 #8): each entry is the bench runner, the
+# floor, and whether higher is better for its value field
+def _gate_specs():
+    from bench_ctm import run_ctm
+    from bench_ctpf import run_ctpf
+    return [
+        (lambda: run_lda(reps=5), 600_000.0, True),    # docs/s
+        (lambda: run_ctm(reps=5), 0.7, False),         # s/iter
+        (lambda: run_ctpf(reps=5), 0.040, False),      # s/iter
+    ]
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+
+    if "--assert" in argv:
+        failures = []
+        for run, floor, higher in _gate_specs():
+            r = run()
+            ok = (r["value"] >= floor) if higher else (r["value"] <= floor)
+            r["floor"] = floor
+            r["ok"] = ok
+            print(json.dumps(r))
+            if not ok:
+                failures.append(f"{r['metric']}={r['value']} "
+                                f"{'<' if higher else '>'} floor {floor}")
+        if failures:
+            print("PERF REGRESSION: " + "; ".join(failures), file=sys.stderr)
+            sys.exit(1)
+        return
+
+    if "--sweep-dist" in argv:
+        for skew in (1.5, 3.0, 5.0):
+            print(json.dumps(run_lda(skew=skew)))
+        return
+
+    print(json.dumps(run_lda()))
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench import make_packed_nsf_scale, timed_chains  # noqa: E402
 
 
-def main():
+def run_ctm(reps=None):
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +37,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 3))
     chunk = int(os.environ.get("BENCH_CHUNK", 2048))  # CTM best (0.57 vs 0.77 s/iter at 1024)
     M = int(os.environ.get("BENCH_M", 128_804))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    if reps is None:
+        reps = int(os.environ.get("BENCH_REPS", 3))
 
     packed = make_packed_nsf_scale(M=M, chunk_docs=chunk)
     rt = RuntimeConfig(chunk_docs=chunk, dtype="float32")
@@ -57,13 +58,13 @@ def main():
 
     s_per_iter = best / iters
     baseline = 27.6  # reference gpuCTM NSF K=50 (plots.R:4)
-    print(json.dumps({
+    return {
         "metric": f"ctm_k{K}_nsf_s_per_iter",
         "value": round(s_per_iter, 3),
         "unit": "s/iter",
         "vs_baseline": round(baseline / s_per_iter, 3),
-    }))
+    }
 
 
 if __name__ == "__main__":
-    main()
+    print(json.dumps(run_ctm()))

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench import timed_chains  # noqa: E402
 
 
-def main():
+def run_ctpf(reps=None):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,8 @@ def main():
     K = int(os.environ.get("BENCH_K", 100))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     chunk = int(os.environ.get("BENCH_CHUNK", 1024))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    if reps is None:
+        reps = int(os.environ.get("BENCH_REPS", 3))
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -60,13 +61,13 @@ def main():
 
     s_per_iter = best / iters
     baseline = 2.2  # reference gpuCTPF CiteULike K=100 (plots.R:4,17)
-    print(json.dumps({
+    return {
         "metric": f"ctpf_k{K}_citeu_s_per_iter",
         "value": round(s_per_iter, 4),
         "unit": "s/iter",
         "vs_baseline": round(baseline / s_per_iter, 3),
-    }))
+    }
 
 
 if __name__ == "__main__":
-    main()
+    print(json.dumps(run_ctpf()))

@@ -144,12 +144,14 @@ def load_citeu(seed: int = 7, subset: Optional[int] = None) -> Corpus:
 
 def synth_packed_nsf_scale(M=128_804, V=25_319, mean_terms=85, seed=7,
                            chunk_docs=1024, pad_multiple=32,
-                           dtype=np.float32):
+                           dtype=np.float32, skew: float = 3.0):
     """Vectorised synthetic corpus at NSF scale, packed directly — the
     benchmark input (the NSF docfile is stripped from this mirror).
-    Zipf-like vocab draw (u³ skews mass to low ids), realistic doc
-    lengths, seed-controlled; returns a dense PackedCorpus suitable for
-    the ``Model(packed, K)`` constructor or bucketize_packed."""
+    Zipf-like vocab draw (u^skew skews mass to low ids; skew=3 is the
+    headline default, lower is flatter / higher spikier — the
+    ``bench.py --sweep-dist`` sensitivity axis), realistic doc lengths,
+    seed-controlled; returns a dense PackedCorpus suitable for the
+    ``Model(packed, K)`` constructor or bucketize_packed."""
     from .ops.packing import PackedCorpus, _round_up
 
     rng = np.random.default_rng(seed)
@@ -158,7 +160,7 @@ def synth_packed_nsf_scale(M=128_804, V=25_319, mean_terms=85, seed=7,
     M_pad = -(-M // chunk_docs) * chunk_docs
 
     u = rng.random((M_pad, L), dtype=np.float32)
-    terms = np.minimum((V * u**3).astype(np.int32), V - 1)
+    terms = np.minimum((V * u**skew).astype(np.int32), V - 1)
     tok_idx = np.arange(L, dtype=np.int32)[None, :]
     N_full = np.zeros(M_pad, np.int32)
     N_full[:M] = N
