@@ -469,3 +469,49 @@ def test_streaming_generic_checkpoint_and_online(name):
     elbos = [t[1] for t in o.trace]
     assert np.isfinite(elbos).all() and elbos[-1] >= elbos[0] - 1e-6
     assert o.topics is not None and o.topics.shape == (K, packed.V)
+
+
+def test_streaming_to_model_bridge():
+    """to_model() materialises the streamed state as the api model:
+    identical parameters (through the bucketed row permutation) and the
+    full post-hoc surface working on them."""
+    from topicmodelsvb_jl_tpu import streaming as st
+
+    K = 3
+    packed = _packed(M=64, V=40, seed=13)
+    s = st.StreamingLDA(packed, K, batch_docs=32, chunk_docs=16,
+                        dtype=jnp.float64, seed=3)
+    s.train(iter=3, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+    m = s.to_model()
+    np.testing.assert_allclose(np.asarray(m.state.beta),
+                               np.asarray(s.beta), rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(m.state.gamma)[m._doc_rows()], s.gamma[: s.M], rtol=0)
+    assert m.topics is not None
+    np.testing.assert_array_equal(m.topics, s.topics)
+    td = m.topicdist(1)
+    np.testing.assert_allclose(np.sum(td), 1.0, rtol=1e-6)
+    assert float(m.elbo) == s.elbo
+
+    # per-token state (tau) rides the bridge too
+    f = st.StreamingFLDA(packed, K, batch_docs=32, chunk_docs=16,
+                         dtype=jnp.float64, seed=3)
+    f.train(iter=2, checkelbo=float("inf"), viter=3, printelbo=False)
+    mf = f.to_model()
+    np.testing.assert_allclose(np.asarray(mf.state.kappa),
+                               np.asarray(f.kappa), rtol=0)
+    L_b = np.asarray(mf.state.tau).shape[1]
+    np.testing.assert_allclose(
+        np.asarray(mf.state.tau)[mf._doc_rows()], f.tau[: f.M, :L_b],
+        rtol=0)
+
+    # CTPF: recommender surface (drecs/urecs) on streamed parameters
+    packed_r = _packed_readers(M=64, V=40, U=12, seed=13)
+    c = st.StreamingCTPF(packed_r, K, batch_docs=32, chunk_docs=16,
+                         dtype=jnp.float64, seed=3)
+    c.train(iter=3, checkelbo=float("inf"), viter=4, printelbo=False)
+    mc = c.to_model()
+    np.testing.assert_allclose(np.asarray(mc.state.alef),
+                               np.asarray(c.alef), rtol=0)
+    recs = mc.drecs[0]
+    assert len(recs) > 0

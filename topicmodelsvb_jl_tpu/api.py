@@ -803,7 +803,11 @@ class CTPF(TopicModel):
         """Ranked recommendation row (0-based i), computed on demand."""
         if kind == "d":   # users for document i
             n = self.U
-            excl = np.asarray(self.corp.docs[i].readers, dtype=np.int64)
+            if self.corp is not None:
+                excl = np.asarray(self.corp.docs[i].readers, dtype=np.int64)
+            else:   # PackedCorpus input: 0-based readers, packed rows
+                p, row = self.packed, self._doc_rows()[i]
+                excl = p.readers[row, : p.R[row]].astype(np.int64) + 1
         else:             # documents for user i
             n = self.M
             excl = np.asarray(self.libs[i], dtype=np.int64)

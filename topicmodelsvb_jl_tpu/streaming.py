@@ -389,6 +389,52 @@ class _StreamingModel:
         self.save(tmp)            # atomic: a SIGKILL mid-write never
         os.replace(tmp, final)    # leaves a torn latest checkpoint
 
+    _api_cls: str = ""      # matching api.TopicModel subclass name
+
+    def to_model(self, runtime=None):
+        """Materialise the trained streaming state as the corresponding
+        in-memory :mod:`api` model — the full post-hoc surface
+        (``showtopics``/``predict``/``infer``/``gendoc``/checkpointing)
+        on the exact streamed parameters.
+
+        Use once training is done and the per-doc state fits device
+        memory (serving usually runs on a subset anyway); the streamed
+        per-doc arrays are scattered through the api model's (possibly
+        length-bucketed) packed row permutation."""
+        from . import api
+        from .utils.config import RuntimeConfig
+
+        cls = getattr(api, self._api_cls)
+        rt = runtime if runtime is not None else RuntimeConfig(
+            chunk_docs=self.chunk_docs, dtype=str(self.dtype))
+        m = cls(self.packed, self.K, runtime=rt, seed=self.seed)
+        rows = m._doc_rows()
+        doc_state = set(self._doc_state)
+        vals = []
+        for f in m.state._fields:
+            ref = np.asarray(getattr(m.state, f))
+            if f == "elbo":
+                vals.append(jnp.asarray(self.elbo, self.dtype))
+                continue
+            src = np.asarray(getattr(self, f))
+            if f in doc_state:
+                out = ref.copy()
+                if src.ndim >= 2 and src.shape[1] != ref.shape[1]:
+                    # per-token state (tau): bucketing narrows the token
+                    # axis to the widest segment; within-doc order is
+                    # preserved, columns beyond a doc's length are pads
+                    out[rows] = src[: self.M, : ref.shape[1]].astype(
+                        ref.dtype)
+                else:
+                    out[rows] = src[: self.M].astype(ref.dtype)
+                vals.append(jnp.asarray(out))
+            else:
+                vals.append(jnp.asarray(src.astype(ref.dtype)))
+        m.state = type(m.state)(*vals)
+        if self.topics is not None:
+            m._finalize()
+        return m
+
     def _wrap_batch_elbo(self, fn, spec, n_data: int = 3):
         """Jit a model's in-memory ``make_elbo`` for per-batch use; with
         a mesh, shard the batch rows like the sweep (``spec`` is the
@@ -555,6 +601,7 @@ class StreamingLDA(_StreamingModel):
     """
 
     _doc_state = ("gamma", "Elogtheta", "Elogtheta_old")
+    _api_cls = "LDA"
     _globals = ("beta", "beta_old", "alpha")
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
@@ -732,6 +779,7 @@ class StreamingCTPF(_StreamingModel):
     """
 
     _doc_state = ("gimel", "gimel_old", "zayin", "zayin_old")
+    _api_cls = "CTPF"
     _globals = ("alef", "alef_old", "bet", "bet_old", "dalet", "dalet_old",
                 "he", "he_old", "vav", "vav_old", "het", "het_old")
 
@@ -909,6 +957,7 @@ class StreamingCTM(_StreamingModel):
     in-memory path and is invariant to the batch partition."""
 
     _doc_state = ("lam", "lam_old", "vsq", "logzeta")
+    _api_cls = "CTM"
     _globals = ("mu", "sigma", "invsigma", "beta", "beta_old")
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
@@ -1059,6 +1108,7 @@ class StreamingFLDA(_StreamingModel):
     long corpora; the device keeps eta/alpha/kappa/beta."""
 
     _doc_state = ("gamma", "Elogtheta", "Elogtheta_old", "tau", "tau_old")
+    _api_cls = "fLDA"
     _globals = ("eta", "alpha", "kappa", "kappa_old", "beta", "beta_old")
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
@@ -1214,6 +1264,7 @@ class StreamingFCTM(_StreamingModel):
     eta/mu/sigma/kappa/beta."""
 
     _doc_state = ("lam", "lam_old", "vsq", "logzeta", "tau", "tau_old")
+    _api_cls = "fCTM"
     _globals = ("eta", "mu", "sigma", "invsigma", "kappa", "kappa_old",
                 "beta", "beta_old")
 
