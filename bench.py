@@ -124,10 +124,24 @@ def _gate_specs():
     ]
 
 
+def _pin_gate_env():
+    """The gate floors are calibrated to the three STANDARD configs —
+    a stray BENCH_* override would fail (or worse, pass) the gate on a
+    different workload, so --assert strips them and says so."""
+    stray = [k for k in list(os.environ) if k.startswith("BENCH_")]
+    for k in stray:
+        del os.environ[k]
+    if stray:
+        print(f"bench --assert: ignoring {','.join(sorted(stray))} "
+              "(floors are calibrated to the standard configs)",
+              file=sys.stderr)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
 
     if "--assert" in argv:
+        _pin_gate_env()
         failures = []
         for run, floor, higher in _gate_specs():
             r = run()

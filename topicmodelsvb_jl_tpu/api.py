@@ -806,7 +806,8 @@ class CTPF(TopicModel):
             if self.corp is not None:
                 excl = np.asarray(self.corp.docs[i].readers, dtype=np.int64)
             else:   # PackedCorpus input: 0-based readers, packed rows
-                p, row = self.packed, self._doc_rows()[i]
+                p = self.packed
+                row = int(p.inv_order[i]) if p.inv_order is not None else i
                 excl = p.readers[row, : p.R[row]].astype(np.int64) + 1
         else:             # documents for user i
             n = self.M

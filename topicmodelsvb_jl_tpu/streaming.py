@@ -414,7 +414,7 @@ class _StreamingModel:
         for f in m.state._fields:
             ref = np.asarray(getattr(m.state, f))
             if f == "elbo":
-                vals.append(jnp.asarray(self.elbo, self.dtype))
+                vals.append(jnp.asarray(self.elbo, ref.dtype))
                 continue
             src = np.asarray(getattr(self, f))
             if f in doc_state:
