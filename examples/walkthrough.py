@@ -12,6 +12,8 @@ published scale against the real vocabularies — see datasets.py):
   5. CTM correlated topics                         (README.md:352-420)
   6. CTPF recommendations, warm-started from LDA   (README.md:512-580, 669-674)
   7. checkpoint save/resume                        (no reference equivalent)
+  8. perplexity, coherence, leave-one-reader-out   (README.md:512-560 protocol)
+  9. beyond-memory streaming + one-pass online SVI (no reference equivalent)
 
 Run: python examples/walkthrough.py       (~3-5 min on a TPU chip;
 set JAX_PLATFORMS=cpu + small sizes for a laptop run)

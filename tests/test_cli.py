@@ -99,3 +99,28 @@ def test_cli_streaming_ctpf_with_checkpoint(tmp_path):
         "--tau0", "4", "--quiet",
     ])
     assert o["mode"] == "online" and np.isfinite(o["final_elbo"])
+
+
+def test_bench_assert_gate_logic(monkeypatch, capsys):
+    """bench.py --assert exits nonzero when any metric misses its floor
+    and passes silently when all clear (gate logic only — the real
+    measurements run on the chip)."""
+    import bench
+    import pytest as _pytest
+
+    good = [
+        (lambda: {"metric": "lda", "value": 7e5, "unit": "docs/s",
+                  "vs_baseline": 14.0}, 600_000.0, True),
+        (lambda: {"metric": "ctm", "value": 0.6, "unit": "s/iter",
+                  "vs_baseline": 46.0}, 0.7, False),
+    ]
+    monkeypatch.setattr(bench, "_gate_specs", lambda: good)
+    bench.main(["--assert"])          # no SystemExit
+
+    bad = [(lambda: {"metric": "lda", "value": 1e5, "unit": "docs/s",
+                     "vs_baseline": 2.0}, 600_000.0, True)]
+    monkeypatch.setattr(bench, "_gate_specs", lambda: bad)
+    with _pytest.raises(SystemExit) as e:
+        bench.main(["--assert"])
+    assert e.value.code == 1
+    assert "PERF REGRESSION" in capsys.readouterr().err

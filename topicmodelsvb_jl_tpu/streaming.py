@@ -250,6 +250,12 @@ class _StreamingModel:
         if packed.segments is not None:
             raise ValueError(f"{type(self).__name__} takes a dense "
                              "(non-bucketed) PackedCorpus.")
+        if mesh is not None and jax.process_count() > 1:
+            raise ValueError(
+                "streaming training is single-controller (the corpus and "
+                "per-doc state live in ONE host's RAM); for multi-process "
+                "runs use the in-memory api models over "
+                "parallel.multihost, which shard state across hosts.")
         self.mesh = mesh
         self.data_axis = data_axis
         self.packed = packed
