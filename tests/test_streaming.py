@@ -515,3 +515,29 @@ def test_streaming_to_model_bridge():
                                np.asarray(c.alef), rtol=0)
     recs = mc.drecs[0]
     assert len(recs) > 0
+
+
+def test_streaming_generic_over_mesh_matches_single_device():
+    """The generic batch sweep's shard_map path (StreamingCTM here,
+    representative of CTM/fLDA/fCTM): stats psum across a 4-device
+    mesh, trajectory identical to single-device streaming."""
+    from topicmodelsvb_jl_tpu import streaming as st
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+    K = 3
+    packed = _packed(M=64, V=40, seed=14)
+    ref = st.StreamingCTM(packed, K, batch_docs=32, chunk_docs=8,
+                          dtype=jnp.float64, seed=3)
+    ref.train(iter=3, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+
+    s = st.StreamingCTM(packed, K, batch_docs=32, chunk_docs=8,
+                        dtype=jnp.float64, seed=3,
+                        mesh=make_mesh(n_devices=4, axis_names=("data",)))
+    s.train(iter=3, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+    np.testing.assert_allclose(np.asarray(s.beta), np.asarray(ref.beta),
+                               rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(s.mu), np.asarray(ref.mu),
+                               rtol=1e-10)
+    np.testing.assert_allclose(s.lam, ref.lam, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose([t[1] for t in s.trace],
+                               [t[1] for t in ref.trace], rtol=1e-10)
