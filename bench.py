@@ -30,12 +30,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Modes beyond the default headline run:
 
-  python bench.py --assert       regression gate: run the three standard
-                                 configs (LDA K=100 NSF, CTM K=50 NSF,
-                                 CTPF K=100 CiteULike), median of 5
-                                 chains each, and FAIL (exit 1) below
-                                 the agreed floors — LDA >= 600k docs/s,
-                                 CTM <= 0.7 s/iter, CTPF <= 40 ms/iter.
+  python bench.py --assert       regression gate: run the six standard
+                                 configs (LDA K=100 / CTM K=50 / fLDA
+                                 K=100 / fCTM K=50 / DTM K=20 at their
+                                 corpus scales, CTPF K=100 CiteULike),
+                                 median of 5 chains each, and FAIL
+                                 (exit 1) below the agreed floors —
+                                 LDA >= 600k docs/s, CTM <= 0.7 s/iter,
+                                 CTPF <= 40 ms/iter, fLDA >= 230k
+                                 docs/s, fCTM <= 1.5 s/iter,
+                                 DTM <= 0.8 s/iter.
   python bench.py --sweep-dist   sensitivity of the LDA headline to the
                                  synthetic vocab draw: one JSON line per
                                  skew exponent (1.5 flatter / 3 Zipf-u^3
@@ -117,10 +121,17 @@ def run_lda(reps=None, skew=3.0):
 def _gate_specs():
     from bench_ctm import run_ctm
     from bench_ctpf import run_ctpf
+    from bench_dtm import run_dtm
+    from bench_filtered import run_filtered
     return [
         (lambda: run_lda(reps=5), 600_000.0, True),    # docs/s
         (lambda: run_ctm(reps=5), 0.7, False),         # s/iter
         (lambda: run_ctpf(reps=5), 0.040, False),      # s/iter
+        # secondary floors (~30% headroom over ROADMAP's measurements:
+        # fLDA 309-332k docs/s, fCTM 1.04-1.2 s/iter, DTM 0.51 s/iter)
+        (lambda: run_filtered("flda", reps=5), 230_000.0, True),
+        (lambda: run_filtered("fctm", reps=5), 1.5, False),
+        (lambda: run_dtm(reps=5), 0.8, False),
     ]
 
 

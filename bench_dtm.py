@@ -22,7 +22,7 @@ import numpy as np  # noqa: E402
 from bench import make_packed_nsf_scale  # noqa: E402
 
 
-def main():
+def run_dtm(reps=None):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +33,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 3))
     chunk = int(os.environ.get("BENCH_CHUNK", 512))
     M = int(os.environ.get("BENCH_M", 75_011))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    if reps is None:
+        reps = int(os.environ.get("BENCH_REPS", 3))
 
     packed = make_packed_nsf_scale(M=M, V=15_113, mean_terms=220,
                                    chunk_docs=chunk)
@@ -62,13 +63,13 @@ def main():
         times.append(time.perf_counter() - t0)
     s_per_iter = statistics.median(times) / iters
 
-    print(json.dumps({
+    return {
         "metric": f"dtm_k{K}_t{T}_mac_s_per_iter",
         "value": round(s_per_iter, 3),
         "unit": "s/iter",
         "vs_baseline": None,
-    }))
+    }
 
 
 if __name__ == "__main__":
-    main()
+    print(json.dumps(run_dtm()))

@@ -17,19 +17,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench import make_packed_nsf_scale, timed_chains  # noqa: E402
 
 
-def main():
+def run_filtered(which=None, reps=None):
     import jax
     import jax.numpy as jnp
 
     from topicmodelsvb_jl_tpu.api import fCTM, fLDA
     from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig, TrainConfig
 
-    which = os.environ.get("BENCH_MODEL", "flda")
+    if which is None:
+        which = os.environ.get("BENCH_MODEL", "flda")
     K = int(os.environ.get("BENCH_K", 100 if which == "flda" else 50))
     iters = int(os.environ.get("BENCH_ITERS", 10 if which == "flda" else 3))
     chunk = int(os.environ.get("BENCH_CHUNK", 1024 if which == "flda" else 2048))
     M = int(os.environ.get("BENCH_M", 128_804))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    if reps is None:
+        reps = int(os.environ.get("BENCH_REPS", 3))
 
     packed = make_packed_nsf_scale(M=M, chunk_docs=chunk)
     rt = RuntimeConfig(chunk_docs=chunk, dtype="float32")
@@ -60,8 +62,8 @@ def main():
         out = {"metric": f"fctm_k{K}_nsf_s_per_iter",
                "value": round(s_per_iter, 3), "unit": "s/iter",
                "vs_baseline": round(baseline / s_per_iter, 3)}
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
-    main()
+    print(json.dumps(run_filtered()))
