@@ -541,3 +541,34 @@ def test_streaming_generic_over_mesh_matches_single_device():
     np.testing.assert_allclose(s.lam, ref.lam, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose([t[1] for t in s.trace],
                                [t[1] for t in ref.trace], rtol=1e-10)
+
+
+def test_streaming_lda_tp_vocab_axis_matches_single_device():
+    """Streaming × TP composition: beta storage shards over a 2-D
+    data×vocab mesh while batches stream — trajectory identical to
+    single-device streaming."""
+    from topicmodelsvb_jl_tpu import streaming as st
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+    K = 3
+    packed = _packed(M=64, V=50, seed=15)
+    ref = st.StreamingLDA(packed, K, batch_docs=32, chunk_docs=8,
+                          dtype=jnp.float64, seed=3)
+    ref.train(iter=3, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+
+    mesh = make_mesh(n_devices=4, axis_names=("data", "vocab"),
+                     shape=(2, 2))
+    s = st.StreamingLDA(packed, K, batch_docs=32, chunk_docs=8,
+                        dtype=jnp.float64, seed=3, mesh=mesh,
+                        vocab_axis="vocab")
+    s.train(iter=3, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+    np.testing.assert_allclose(np.asarray(s.beta), np.asarray(ref.beta),
+                               rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(s.alpha), np.asarray(ref.alpha),
+                               rtol=1e-10)
+    np.testing.assert_allclose(s.gamma, ref.gamma, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose([t[1] for t in s.trace],
+                               [t[1] for t in ref.trace], rtol=1e-10)
+
+    with pytest.raises(ValueError):
+        st.StreamingLDA(packed, K, vocab_axis="vocab")   # no mesh

@@ -67,7 +67,8 @@ _CKPT_FORMAT = 1
 # ───────────────────────────── LDA kernels ─────────────────────────────
 
 def make_batch_sweep(V: int, K: int, viter: int, vtol: float,
-                     chunk_docs: int, mesh=None, data_axis: str = "data"):
+                     chunk_docs: int, mesh=None, data_axis: str = "data",
+                     vocab_axis: Optional[str] = None):
     """Jitted E-sweep over one document batch: returns updated per-doc
     state plus the batch's (beta_temp, Elogtheta_sum) accumulated into
     the running device buffers.
@@ -75,11 +76,20 @@ def make_batch_sweep(V: int, K: int, viter: int, vtol: float,
     With ``mesh`` the batch is additionally data-parallel: its rows
     shard over ``data_axis``, the statistics psum across devices into
     replicated accumulators — streaming a beyond-memory corpus through
-    a whole mesh, not one chip."""
+    a whole mesh, not one chip.  ``vocab_axis`` composes TP with the
+    stream on a 2-D mesh: beta and the beta_temp accumulator shard
+    their V axis — all_gather going into the E-step, psum_scatter
+    coming out, exactly like the in-memory TP mode
+    (models/lda.make_step)."""
 
     def sweep(beta, alpha, terms, counts, doc_mask, gamma, El, Elo,
               beta_temp_acc, El_sum_acc):
-        logbetaT = jnp.log(beta + jnp.asarray(EPSILON, beta.dtype)).T
+        if vocab_axis is not None:
+            beta_full = jax.lax.all_gather(beta, vocab_axis, axis=1,
+                                           tiled=True)
+        else:
+            beta_full = beta
+        logbetaT = jnp.log(beta_full + jnp.asarray(EPSILON, beta.dtype)).T
 
         def body(carry, xs):
             bt, es = carry
@@ -91,14 +101,22 @@ def make_batch_sweep(V: int, K: int, viter: int, vtol: float,
         n = terms.shape[0]
         B = min(chunk_docs, n)
         sh = lambda a: a.reshape((n // B, B) + a.shape[1:])
-        zero = (jnp.zeros_like(beta_temp_acc), jnp.zeros_like(El_sum_acc))
+        zero = (jnp.zeros((V, K), beta.dtype), jnp.zeros_like(El_sum_acc))
         (bt, es), (g, el, elo) = jax.lax.scan(
             body, zero,
             (sh(terms), sh(counts), sh(doc_mask),
              sh(gamma), sh(El), sh(Elo)))
         if mesh is not None:
+            # docs shard over BOTH axes when vocab_axis is set (like the
+            # in-memory TP mode): every shard holds distinct documents
+            if vocab_axis is not None:
+                # sum across vocab shards, keeping this shard's V rows
+                bt = jax.lax.psum_scatter(bt, vocab_axis,
+                                          scatter_dimension=0, tiled=True)
+                es = jax.lax.psum(es, (data_axis, vocab_axis))
+            else:
+                es = jax.lax.psum(es, data_axis)
             bt = jax.lax.psum(bt, data_axis)
-            es = jax.lax.psum(es, data_axis)
         unsh = lambda a: a.reshape((n,) + a.shape[2:])
         return (unsh(g), unsh(el), unsh(elo),
                 beta_temp_acc + bt, El_sum_acc + es)
@@ -109,11 +127,14 @@ def make_batch_sweep(V: int, K: int, viter: int, vtol: float,
 
     from .parallel.shard import shard_map
 
-    d = P(data_axis)
+    d = (P((data_axis, vocab_axis)) if vocab_axis is not None
+         else P(data_axis))
+    bspec = P(None, vocab_axis) if vocab_axis is not None else P()
+    btspec = P(vocab_axis) if vocab_axis is not None else P()
     return jax.jit(shard_map(
         sweep, mesh=mesh,
-        in_specs=(P(), P(), d, d, d, d, d, d, P(), P()),
-        out_specs=(d, d, d, P(), P()), check_vma=False))
+        in_specs=(bspec, P(), d, d, d, d, d, d, btspec, P()),
+        out_specs=(d, d, d, btspec, P()), check_vma=False))
 
 
 @jax.jit
@@ -125,12 +146,17 @@ def _mstep(beta_temp, El_sum, alpha, M_total, niter, ntol):
 
 
 def make_batch_elbo(V: int, K: int, chunk_docs: int, mesh=None,
-                    data_axis: str = "data"):
+                    data_axis: str = "data",
+                    vocab_axis: Optional[str] = None):
     """Jitted per-batch ELBO contribution (reference LDA.jl:50-93)."""
 
     def batch_elbo(beta, beta_old, alpha, terms, counts, doc_mask,
                    gamma, El, Elo, acc):
         eps = jnp.asarray(EPSILON, beta.dtype)
+        if vocab_axis is not None:
+            ag = lambda x: jax.lax.all_gather(x, vocab_axis, axis=1,
+                                              tiled=True)
+            beta, beta_old = ag(beta), ag(beta_old)
         logbeta_oldT = jnp.log(beta_old + eps).T
         logbetaT = jnp.log(beta + eps).T
         a = alpha
@@ -156,7 +182,8 @@ def make_batch_elbo(V: int, K: int, chunk_docs: int, mesh=None,
             (sh(terms), sh(counts), sh(doc_mask),
              sh(gamma), sh(El), sh(Elo)))
         if mesh is not None:
-            part = jax.lax.psum(part, data_axis)
+            part = jax.lax.psum(part, (data_axis, vocab_axis)
+                                if vocab_axis is not None else data_axis)
         return acc + part
 
     if mesh is None:
@@ -165,10 +192,12 @@ def make_batch_elbo(V: int, K: int, chunk_docs: int, mesh=None,
 
     from .parallel.shard import shard_map
 
-    d = P(data_axis)
+    d = (P((data_axis, vocab_axis)) if vocab_axis is not None
+         else P(data_axis))
+    bspec = P(None, vocab_axis) if vocab_axis is not None else P()
     return jax.jit(shard_map(
         batch_elbo, mesh=mesh,
-        in_specs=(P(), P(), P(), d, d, d, d, d, d, P()),
+        in_specs=(bspec, bspec, P(), d, d, d, d, d, d, P()),
         out_specs=P(), check_vma=False))
 
 
@@ -268,6 +297,10 @@ class _StreamingModel:
                 f"batch_docs must divide the padded doc count {M_pad} "
                 f"(got {self.batch_docs})")
         n_sh = 1 if mesh is None else mesh.shape[data_axis]
+        # with TP (vocab_axis) documents shard over BOTH mesh axes
+        va = getattr(self, "vocab_axis", None)
+        if mesh is not None and va:
+            n_sh *= mesh.shape[va]
         self.chunk_docs = min(chunk_docs, self.batch_docs // n_sh)
         if (self.batch_docs // n_sh) % self.chunk_docs or \
                 self.batch_docs % n_sh:
@@ -612,10 +645,18 @@ class StreamingLDA(_StreamingModel):
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
-                 mesh=None, data_axis: str = "data"):
+                 mesh=None, data_axis: str = "data",
+                 vocab_axis: Optional[str] = None):
         """``mesh`` makes each streamed batch data-parallel over its
         devices (stats psum'd): a beyond-memory corpus streams through a
-        whole mesh.  Batch rows must divide chunk_docs × mesh size."""
+        whole mesh.  Batch rows must divide chunk_docs × mesh size.
+        ``vocab_axis`` (requires a 2-D mesh carrying that axis) also
+        shards beta storage over V — streaming × TP composition for
+        beyond-memory corpora with huge vocabularies."""
+        if vocab_axis is not None and (
+                mesh is None or vocab_axis not in mesh.shape):
+            raise ValueError("vocab_axis needs a mesh carrying that axis")
+        self.vocab_axis = vocab_axis
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
                           mesh, data_axis)
         npdt = np.dtype(dtype)
@@ -639,10 +680,11 @@ class StreamingLDA(_StreamingModel):
     def _compile(self, cfg):
         self._sweep = make_batch_sweep(
             self.V, self.K, cfg.viter, cfg.vtol, self.chunk_docs,
-            mesh=self.mesh, data_axis=self.data_axis)
+            mesh=self.mesh, data_axis=self.data_axis,
+            vocab_axis=self.vocab_axis)
         self._batch_elbo = make_batch_elbo(
             self.V, self.K, self.chunk_docs, mesh=self.mesh,
-            data_axis=self.data_axis)
+            data_axis=self.data_axis, vocab_axis=self.vocab_axis)
 
     def _zero_stats(self):
         return (jnp.zeros((self.V, self.K), self.dtype),
