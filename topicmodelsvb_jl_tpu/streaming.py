@@ -273,6 +273,7 @@ class _StreamingModel:
     _doc_state: tuple = ()
     _globals: tuple = ()
     _counters: tuple = ("elbo", "_svi_t", "_epochs_done")
+    vocab_axis: Optional[str] = None   # TP composition (StreamingLDA)
 
     def _init_common(self, packed, K, batch_docs, chunk_docs, dtype, seed,
                      mesh, data_axis):
@@ -298,9 +299,8 @@ class _StreamingModel:
                 f"(got {self.batch_docs})")
         n_sh = 1 if mesh is None else mesh.shape[data_axis]
         # with TP (vocab_axis) documents shard over BOTH mesh axes
-        va = getattr(self, "vocab_axis", None)
-        if mesh is not None and va:
-            n_sh *= mesh.shape[va]
+        if mesh is not None and self.vocab_axis:
+            n_sh *= mesh.shape[self.vocab_axis]
         self.chunk_docs = min(chunk_docs, self.batch_docs // n_sh)
         if (self.batch_docs // n_sh) % self.chunk_docs or \
                 self.batch_docs % n_sh:
@@ -343,7 +343,7 @@ class _StreamingModel:
             self._store(*pending)
         return stats
 
-    # ── subclass hooks ──
+    # ── subclass hooks (defaults cover the common shapes) ──
     def _run_batch(self, sl, stats):
         raise NotImplementedError
 
@@ -353,11 +353,26 @@ class _StreamingModel:
     def _zero_stats(self):
         raise NotImplementedError
 
-    def _sweep_elbo(self):
+    def _batch_state(self, sl):
         raise NotImplementedError
 
+    def _data_slices(self, sl) -> tuple:
+        p = self.packed
+        return (jnp.asarray(p.terms[sl]),
+                jnp.asarray(p.counts[sl].astype(self.dtype)),
+                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
+
+    def _sweep_elbo(self):
+        """Full-corpus streamed bound: sum of per-batch evaluations of
+        the model's in-memory ELBO over batch-state views."""
+        acc = 0.0
+        for sl in self._batches():
+            acc += float(self._elbo_fn(self._batch_state(sl),
+                                       *self._data_slices(sl)))
+        return acc
+
     def _finalize(self):
-        raise NotImplementedError
+        self.topics = topics_ranking(np.asarray(self.beta))
 
     def _check(self, k, cfg) -> Optional[float]:
         """check_elbo! cadence shared by both training modes; returns
@@ -690,12 +705,6 @@ class StreamingLDA(_StreamingModel):
         return (jnp.zeros((self.V, self.K), self.dtype),
                 jnp.zeros((self.K,), self.dtype))
 
-    def _data_slices(self, sl):
-        p = self.packed
-        return (jnp.asarray(p.terms[sl]),
-                jnp.asarray(p.counts[sl].astype(self.dtype)),
-                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
-
     def _run_batch(self, sl, stats):
         bt, es = stats
         g2, el2, elo2, bt, es = self._sweep(
@@ -721,9 +730,6 @@ class StreamingLDA(_StreamingModel):
                              *self._data_slices(sl),
                              *self._doc_slices(sl), acc)
         return float(acc)
-
-    def _finalize(self):
-        self.topics = topics_ranking(np.asarray(self.beta))
 
     def _svi_init_stats(self):
         # running statistics seeded by one pass worth of the beta prior
@@ -980,12 +986,9 @@ class StreamingCTPF(_StreamingModel):
 
 # ─────────────────────────── StreamingCTM ───────────────────────────
 
-@jax.jit
-def _ctm_mstep(beta_temp, vsq_sum, lam_sum, lam_outer, mu_old, M_total):
-    """CTM global updates (update_beta!/update_sigma!/update_mu!,
-    CTM.jl:102-118, order CTM.jl:206-208) from the accumulated sweep
-    statistics — identical maths to the tail of models/ctm.make_step."""
-    beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+def _moment_mstep(vsq_sum, lam_sum, lam_outer, mu_old, M_total):
+    """Shared CTM/fCTM Gaussian global updates (update_sigma! with the
+    PREVIOUS mu, then update_mu!; CTM.jl:102-111, order CTM.jl:206-208)."""
     centered = (lam_outer
                 - jnp.outer(mu_old, lam_sum) - jnp.outer(lam_sum, mu_old)
                 + M_total * jnp.outer(mu_old, mu_old))
@@ -993,7 +996,17 @@ def _ctm_mstep(beta_temp, vsq_sum, lam_sum, lam_outer, mu_old, M_total):
     sigma = 0.5 * (sigma + sigma.T)
     invsigma = jnp.linalg.inv(sigma)
     invsigma = 0.5 * (invsigma + invsigma.T)
-    mu_new = lam_sum / M_total
+    return lam_sum / M_total, sigma, invsigma
+
+
+@jax.jit
+def _ctm_mstep(beta_temp, vsq_sum, lam_sum, lam_outer, mu_old, M_total):
+    """CTM global updates (update_beta!/update_sigma!/update_mu!,
+    CTM.jl:102-118, order CTM.jl:206-208) from the accumulated sweep
+    statistics — identical maths to the tail of models/ctm.make_step."""
+    beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+    mu_new, sigma, invsigma = _moment_mstep(
+        vsq_sum, lam_sum, lam_outer, mu_old, M_total)
     return mu_new, sigma, invsigma, beta_new
 
 
@@ -1072,12 +1085,6 @@ class StreamingCTM(_StreamingModel):
                 jnp.zeros((self.K,), self.dtype),
                 jnp.zeros((self.K, self.K), self.dtype))
 
-    def _data_slices(self, sl):
-        p = self.packed
-        return (jnp.asarray(p.terms[sl]),
-                jnp.asarray(p.counts[sl].astype(self.dtype)),
-                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
-
     def _run_batch(self, sl, stats):
         return self._sweep((self.beta, self.mu, self.invsigma),
                            self._data_slices(sl), self._doc_slices(sl),
@@ -1096,16 +1103,6 @@ class StreamingCTM(_StreamingModel):
             beta=self.beta, beta_old=self.beta_old,
             lam=la, lam_old=lao, vsq=v, logzeta=lz,
             elbo=jnp.zeros((), self.dtype))
-
-    def _sweep_elbo(self):
-        acc = 0.0
-        for sl in self._batches():
-            acc += float(self._elbo_fn(self._batch_state(sl),
-                                       *self._data_slices(sl)))
-        return acc
-
-    def _finalize(self):
-        self.topics = topics_ranking(np.asarray(self.beta))
 
     def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
               ntol: Optional[float] = None, viter: int = 10,
@@ -1218,12 +1215,6 @@ class StreamingFLDA(_StreamingModel):
                 jnp.zeros((self.K,), self.dtype),
                 jnp.zeros((), self.dtype))
 
-    def _data_slices(self, sl):
-        p = self.packed
-        return (jnp.asarray(p.terms[sl]),
-                jnp.asarray(p.counts[sl].astype(self.dtype)),
-                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
-
     def _run_batch(self, sl, stats):
         return self._sweep((self.beta, self.kappa, self.eta, self.alpha),
                            self._data_slices(sl), self._doc_slices(sl),
@@ -1246,16 +1237,6 @@ class StreamingFLDA(_StreamingModel):
             beta=self.beta, beta_old=self.beta_old,
             gamma=g, Elogtheta=el, Elogtheta_old=elo,
             tau=ta, tau_old=tao, elbo=jnp.zeros((), self.dtype))
-
-    def _sweep_elbo(self):
-        acc = 0.0
-        for sl in self._batches():
-            acc += float(self._elbo_fn(self._batch_state(sl),
-                                       *self._data_slices(sl)))
-        return acc
-
-    def _finalize(self):
-        self.topics = topics_ranking(np.asarray(self.beta))
 
     def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
               ntol: Optional[float] = None, viter: int = 10,
@@ -1295,14 +1276,8 @@ def _fctm_mstep(beta_temp, kappa_temp, vsq_sum, lam_sum, lam_outer,
     fCTM.jl:267) from the sweep statistics."""
     beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
     kappa_new = kappa_temp / jnp.sum(kappa_temp)
-    centered = (lam_outer
-                - jnp.outer(mu_old, lam_sum) - jnp.outer(lam_sum, mu_old)
-                + M_total * jnp.outer(mu_old, mu_old))
-    sigma = (jnp.diag(vsq_sum) + centered) / M_total
-    sigma = 0.5 * (sigma + sigma.T)
-    invsigma = jnp.linalg.inv(sigma)
-    invsigma = 0.5 * (invsigma + invsigma.T)
-    mu_new = lam_sum / M_total
+    mu_new, sigma, invsigma = _moment_mstep(
+        vsq_sum, lam_sum, lam_outer, mu_old, M_total)
     return mu_new, sigma, invsigma, kappa_new, beta_new
 
 
@@ -1388,12 +1363,6 @@ class StreamingFCTM(_StreamingModel):
                 jnp.zeros((self.K,), self.dtype),
                 jnp.zeros((self.K, self.K), self.dtype))
 
-    def _data_slices(self, sl):
-        p = self.packed
-        return (jnp.asarray(p.terms[sl]),
-                jnp.asarray(p.counts[sl].astype(self.dtype)),
-                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
-
     def _run_batch(self, sl, stats):
         return self._sweep(
             (self.beta, self.kappa, self.eta, self.mu, self.invsigma),
@@ -1415,16 +1384,6 @@ class StreamingFCTM(_StreamingModel):
             beta=self.beta, beta_old=self.beta_old,
             lam=la, lam_old=lao, vsq=v, logzeta=lz,
             tau=ta, tau_old=tao, elbo=jnp.zeros((), self.dtype))
-
-    def _sweep_elbo(self):
-        acc = 0.0
-        for sl in self._batches():
-            acc += float(self._elbo_fn(self._batch_state(sl),
-                                       *self._data_slices(sl)))
-        return acc
-
-    def _finalize(self):
-        self.topics = topics_ranking(np.asarray(self.beta))
 
     def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
               ntol: Optional[float] = None, viter: int = 10,
