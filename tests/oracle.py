@@ -999,3 +999,148 @@ def docs_from_corpus(corp):
         (np.asarray(doc.terms, np.int64) - 1, np.asarray(doc.counts, np.float64))
         for doc in corp.docs
     ]
+
+
+class HMTMOracle:
+    """Structured-VB hidden Markov topic model, float64, per-doc loops.
+
+    Independent NumPy implementation of the algorithm that completes the
+    reference's HMTM stub (HMTM/HMTM.jl — its mean-field phi coordinate
+    was never solved): q(z) is the exact chain posterior under
+    expected-log parameters, computed by per-position scaled
+    forward-backward loops.  Counts are ignored — each entry of a doc's
+    terms vector is one token in order (HMTM.jl:63-67).
+    """
+
+    def __init__(self, docs, V, K, beta0):
+        self.docs = [np.asarray(t, np.int64) for t, _c in docs]
+        self.M, self.V, self.K = len(docs), V, K
+        self.eta = np.ones(K)
+        self.alpha = np.ones((K, K))
+        self.beta = np.asarray(beta0, np.float64).copy()
+        self.tau = [np.ones(K) for _ in range(self.M)]
+        self.gamma = [np.ones((K, K)) for _ in range(self.M)]
+        self.elbo = 0.0
+
+    def _tilde(self, d):
+        tau, gamma = self.tau[d], self.gamma[d]
+        Elogpi = digamma(tau) - digamma(tau.sum())
+        Elogth = digamma(gamma) - digamma(gamma.sum(axis=0, keepdims=True))
+        return np.exp(Elogpi), np.exp(Elogth)
+
+    def _forward(self, d):
+        terms = self.docs[d]
+        N = len(terms)
+        p0, A = self._tilde(d)
+        B = self.beta[:, terms].T + EPS            # [N, K]
+        a = np.zeros((N, self.K))
+        c = np.zeros(N)
+        logZ = 0.0
+        for n in range(N):
+            f = p0 * B[0] if n == 0 else B[n] * (A @ a[n - 1])
+            c[n] = f.sum() + EPS
+            a[n] = f / c[n]
+            logZ += np.log(c[n])
+        return a, c, B, A, logZ
+
+    def _fb(self, d):
+        """Chain posteriors: r [N, K], xi_sum [K, K], first-token r0."""
+        terms = self.docs[d]
+        N = len(terms)
+        if N == 0:
+            return np.zeros(self.K), np.zeros((self.K, self.K)), np.zeros((0, self.K))
+        a, c, B, A, _ = self._forward(d)
+        be = np.ones(self.K)
+        xi_sum = np.zeros((self.K, self.K))
+        r = np.zeros((N, self.K))
+        for n in range(N - 1, 0, -1):
+            g = B[n] * be / c[n]
+            xi_sum += A * g[:, None] * a[n - 1][None, :]
+            r[n] = a[n] * be
+            be = A.T @ g
+        r[0] = a[0] * be
+        return r[0], xi_sum, r
+
+    def doc_fixpoint(self, d, viter, vtol):
+        for _ in range(viter):
+            r0, xi_sum, _r = self._fb(d)
+            tau_new = self.eta + r0
+            gamma_new = self.alpha + xi_sum
+            delta = np.linalg.norm(gamma_new - self.gamma[d])
+            self.tau[d] = tau_new
+            self.gamma[d] = gamma_new
+            if delta < vtol:
+                break
+
+    def _dirichlet_newton(self, alpha, stat, niter, ntol):
+        """Same interior-point Newton as LDAOracle.update_alpha
+        (LDA.jl:97-118), on an arbitrary Dirichlet parameter."""
+        alpha = alpha.copy()
+        K = len(alpha)
+        nu = float(K)
+        for _ in range(niter):
+            rho = 1.0
+            a0 = alpha.sum()
+            grad = nu / alpha + self.M * (digamma(a0) - digamma(alpha)) + stat
+            h_inv = -1.0 / (self.M * polygamma(1, alpha) + nu / alpha**2)
+            p = (grad - grad @ h_inv / (1.0 / (self.M * polygamma(1, a0)) + h_inv.sum())) * h_inv
+            while np.min(alpha - rho * p) < 0:
+                rho *= 0.5
+            alpha = alpha - rho * p
+            if (rho * np.linalg.norm(grad) < ntol) and (nu / K < ntol):
+                break
+            nu *= 0.5
+        return alpha + EPS
+
+    def update_eta(self, niter, ntol):
+        stat = np.sum([digamma(t) - digamma(t.sum()) for t in self.tau], axis=0)
+        self.eta = self._dirichlet_newton(self.eta, stat, niter, ntol)
+
+    def update_alpha(self, niter, ntol):
+        stat = np.sum(
+            [digamma(g) - digamma(g.sum(axis=0, keepdims=True)) for g in self.gamma],
+            axis=0,
+        )
+        for l in range(self.K):
+            self.alpha[:, l] = self._dirichlet_newton(
+                self.alpha[:, l], stat[:, l], niter, ntol)
+
+    def update_elbo(self):
+        total = 0.0
+        eta, alpha = self.eta, self.alpha
+        pi_const = gammaln(eta.sum()) - gammaln(eta).sum()
+        th_const = np.sum(gammaln(alpha.sum(axis=0)) - gammaln(alpha).sum(axis=0))
+        for d in range(self.M):
+            tau, gamma = self.tau[d], self.gamma[d]
+            logZ = self._forward(d)[4] if len(self.docs[d]) else 0.0
+            Elogpi = digamma(tau) - digamma(tau.sum())
+            Elogth = digamma(gamma) - digamma(gamma.sum(axis=0, keepdims=True))
+            e_ppi = pi_const + (eta - 1) @ Elogpi
+            e_pth = th_const + np.sum((alpha - 1) * Elogth)
+            a0 = tau.sum()
+            e_qpi = (gammaln(tau).sum() - gammaln(a0)
+                     + (a0 - self.K) * digamma(a0)
+                     - np.sum((tau - 1) * digamma(tau)))
+            g0 = gamma.sum(axis=0)
+            e_qth = np.sum(gammaln(gamma).sum(axis=0) - gammaln(g0)
+                           + (g0 - self.K) * digamma(g0)
+                           - np.sum((gamma - 1) * digamma(gamma), axis=0))
+            total += logZ + e_ppi + e_pth + e_qpi + e_qth
+        self.elbo = total
+        return total
+
+    def train(self, iters, viter=10, vtol=None, niter=1000, ntol=None):
+        vtol = 1.0 / self.K**2 if vtol is None else vtol
+        ntol = 1.0 / self.K**2 if ntol is None else ntol
+        elbos = []
+        for _ in range(iters):
+            beta_temp = np.zeros((self.K, self.V))
+            for d in range(self.M):
+                self.doc_fixpoint(d, viter, vtol)
+                _r0, _xi, r = self._fb(d)
+                np.add.at(beta_temp, (slice(None), self.docs[d]), r.T)
+            self.beta = beta_temp / beta_temp.sum(axis=1, keepdims=True)
+            self.update_eta(niter, ntol)
+            self.update_alpha(niter, ntol)
+            elbos.append(self.update_elbo())
+        return elbos

@@ -19,7 +19,7 @@ from .datasets import load_citeu, load_nsf, load_stopwords, synth_corpus
 from .utils.config import RuntimeConfig, TrainConfig
 
 from .api import (
-    CTM, CTPF, DTM, LDA, TopicModel, TopicModelError, fCTM, fLDA,
+    CTM, CTPF, DTM, HMTM, LDA, TopicModel, TopicModelError, fCTM, fLDA,
     gencorp, gendoc, predict,
 )
 from .evaluate import (
@@ -41,7 +41,7 @@ __all__ = [
     "readcorp", "writecorp", "fixcorp", "check_corp", "check_doc",
     "showdocs", "showtitles", "getvocab", "getusers",
     "load_nsf", "load_citeu", "load_stopwords", "synth_corpus",
-    "LDA", "fLDA", "CTM", "fCTM", "CTPF", "DTM", "TopicModel",
+    "LDA", "fLDA", "CTM", "fCTM", "CTPF", "DTM", "HMTM", "TopicModel",
     "predict", "gendoc", "gencorp", "save_checkpoint", "load_checkpoint",
     "StreamingLDA", "StreamingFLDA", "StreamingCTM", "StreamingFCTM",
     "StreamingCTPF", "load_streaming_checkpoint",

@@ -28,6 +28,7 @@ from .models import ctpf as ctpf_mod
 from .models import dtm as dtm_mod
 from .models import fctm as fctm_mod
 from .models import flda as flda_mod
+from .models import hmtm as hmtm_mod
 from .models import lda as lda_mod
 from .ops.packing import bucketize_packed, pack_corpus
 from .parallel.mesh import make_mesh
@@ -466,6 +467,89 @@ class LDA(TopicModel):
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
         g = np.asarray(self.state.gamma)[rows]
         return g / g.sum(axis=-1, keepdims=True)
+
+
+class HMTM(TopicModel):
+    """Hidden Markov topic model — the completed form of the reference's
+    unfinished research stub (HMTM/HMTM.jl; ``updatePhi!`` was never
+    solved there).  Word order matters: every entry of a document's
+    terms vector is one token *in order* and counts are ignored
+    (HMTM.jl:63-67), so corpora should not be ``condense``d.  See
+    models/hmtm.py for the structured-VB construction."""
+
+    _bucketed = True
+    _per_doc_fields = ("tau", "gamma")
+
+    def __repr__(self):
+        # reference Base.show (HMTM.jl:42)
+        return f"Hidden Markov topic model with {self.K} topics."
+
+    def _init_state(self):
+        self.state = hmtm_mod.init(self.key, self.packed, self.K, self.dtype)
+
+    def _build_trainer(self, cfg: TrainConfig) -> Trainer:
+        p = self.packed
+        step_local = hmtm_mod.make_step(
+            p, self.K, viter=cfg.viter, vtol=cfg.vtol, niter=cfg.niter,
+            ntol=cfg.ntol, chunk_docs=self.chunk_docs,
+            axis_name=self.runtime.data_axis,
+        )
+        elbo_local = hmtm_mod.make_elbo(
+            p, self.K, chunk_docs=self.chunk_docs,
+            axis_name=self.runtime.data_axis,
+        )
+        spec = hmtm_mod.partition_spec(self.runtime.data_axis)
+        from jax.sharding import PartitionSpec as P
+
+        step = dp_jit(step_local, self.mesh, spec, n_data_args=3,
+                      n_repl_args=1, data_axis=self.runtime.data_axis)
+        elbo = dp_jit(elbo_local, self.mesh, spec, n_data_args=3,
+                      out_spec=P(), data_axis=self.runtime.data_axis)
+
+        data = self._step_data()
+        return Trainer(step, elbo, data, data[:3], M=self.M,
+                       **self._trainer_kw(spec))
+
+    def _flops_per_step(self) -> float:
+        """Forward–backward is ~5·K² flops per (token, viter+1) sweep —
+        the chain contractions dominate, not the per-token gather."""
+        viter = self._cfg.viter if getattr(self, "_cfg", None) else 10
+        return float((viter + 1) * self._padded_tokens() * 5 * self.K**2)
+
+    @property
+    def eta(self) -> np.ndarray:
+        return np.asarray(self.state.eta)
+
+    @property
+    def alpha(self) -> np.ndarray:
+        return np.asarray(self.state.alpha)
+
+    @property
+    def beta(self) -> np.ndarray:
+        return np.asarray(self.state.beta)
+
+    @property
+    def tau(self) -> np.ndarray:
+        return np.asarray(self.state.tau)[self._doc_rows()]
+
+    @property
+    def gamma(self) -> np.ndarray:
+        return np.asarray(self.state.gamma)[self._doc_rows()]
+
+    def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
+        t = np.asarray(self.state.tau)[rows]
+        return t / t.sum(axis=-1, keepdims=True)
+
+    def transdist(self, d):
+        """Expected per-doc topic-transition matrix E_q[theta_d]
+        (columns sum to 1), 1-based doc index like topicdist."""
+        scalar = np.isscalar(d)
+        idx = np.atleast_1d(np.asarray(d, dtype=np.int64))
+        if np.any((idx < 1) | (idx > self.M)):
+            raise CorpusError("some document indices outside corpus range.")
+        g = np.asarray(self.state.gamma)[self._rows(idx - 1)]
+        out = g / g.sum(axis=-2, keepdims=True)
+        return out[0] if scalar else out
 
 
 class CTM(TopicModel):
@@ -1093,6 +1177,8 @@ def predict(corp, train_model: TopicModel, iter: int = 10,
             mu=ts.mu, sigma=ts.sigma, invsigma=ts.invsigma,
             beta=ts.beta, beta_old=ts.beta,
         )
+    elif isinstance(train_model, HMTM):
+        new.state = new.state._replace(eta=ts.eta, alpha=ts.alpha, beta=ts.beta)
     else:
         raise TopicModelError(f"predict not implemented for {cls.__name__}")
 
@@ -1308,6 +1394,29 @@ def gendoc(model: TopicModel, laplace_smooth: float = 0.0, rng=None):
                                     np.asarray(model.sigma, np.float64))
         e = np.exp(x - x.max())
         theta = e / e.sum()
+    elif isinstance(model, HMTM):
+        # HMTM documents are ordered token sequences: sample the chain
+        # (pi, per-doc transition theta, z_1..z_N) and emit tokens in
+        # order — terms may repeat, counts are all 1 (HMTM.jl:18-39)
+        from .corpus import Document
+
+        eta = np.asarray(model.eta, np.float64)
+        alpha = np.asarray(model.alpha, np.float64)
+        K = model.K
+        pi_d = rng.dirichlet(eta)
+        theta_d = np.stack([rng.dirichlet(alpha[:, l]) for l in range(K)],
+                           axis=1)                      # [K, K] columns
+        beta = np.asarray(model.beta, np.float64)
+        V = beta.shape[1]
+        beta_s = (beta + laplace_smooth) / (1.0 + laplace_smooth * V)
+        beta_s = beta_s / beta_s.sum(axis=1, keepdims=True)
+        N = rng.poisson(np.mean(model.N))
+        terms, z = [], 0
+        for n in range(N):
+            p = pi_d if n == 0 else theta_d[:, z]
+            z = rng.choice(K, p=p)
+            terms.append(int(rng.choice(V, p=beta_s[z])) + 1)
+        return Document(terms=terms, counts=[1] * len(terms))
     else:
         raise TopicModelError(
             f"gendoc is not defined for {type(model).__name__} models.")

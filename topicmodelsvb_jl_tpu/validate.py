@@ -71,7 +71,7 @@ def _run(checks: _Checks) -> Dict[str, bool]:
 
 def state_violations(model) -> list:
     """Names of violated invariants for a model's current state."""
-    from .api import CTM, CTPF, DTM, LDA, fCTM, fLDA
+    from .api import CTM, CTPF, DTM, HMTM, LDA, fCTM, fLDA
 
     s = model.state
     c = _Checks()
@@ -95,6 +95,12 @@ def state_violations(model) -> list:
             c.unit_interval("eta", s.eta)
             c.stochastic("kappa", s.kappa, axis=0)
             c.unit_interval("tau", s.tau)
+    elif isinstance(model, HMTM):               # completed HMTM stub
+        c.positive("eta", s.eta)
+        c.positive("alpha", s.alpha)
+        c.stochastic("beta", s.beta, axis=1)
+        c.positive("tau", s.tau)
+        c.positive("gamma", s.gamma)
     elif isinstance(model, DTM):                # v0.6 fixmodel! analogue
         c.positive("alpha", s.alpha)
         c.finite("betahat", s.betahat)
