@@ -96,3 +96,30 @@ def test_perplexity_matches_per_doc_loop(split):
         n += float(c.sum())
     p_loop = float(np.exp(-ll / n))
     np.testing.assert_allclose(p_vec, p_loop, rtol=1e-12)
+
+
+def test_perplexity_hmtm_is_order_aware():
+    """HMTM perplexity scores documents through the HMM forward
+    algorithm, so it must prefer held-out documents whose token ORDER
+    matches the sticky chains it was trained on over the same
+    bags-of-words with tokens shuffled."""
+    from test_hmtm import _sticky_corpus
+
+    rng = np.random.default_rng(3)
+    corp, _ = _sticky_corpus(M=60, K=2, V=30, N=60, stay=0.95, seed=2)
+    train = tm.Corpus(docs=corp.docs[:40], vocab=dict(corp.vocab))
+    test = tm.Corpus(docs=corp.docs[40:], vocab=dict(corp.vocab))
+    shuffled = tm.Corpus(
+        docs=[tm.Document(terms=rng.permutation(d.terms).tolist(),
+                          counts=list(d.counts)) for d in test.docs],
+        vocab=dict(corp.vocab))
+
+    model = tm.HMTM(train, 2, runtime=_rt(), seed=1)
+    model.train(iter=20, checkelbo=5, printelbo=False)
+
+    ppl_ordered = perplexity(test, model)
+    ppl_shuffled = perplexity(shuffled, model)
+    assert np.isfinite(ppl_ordered) and np.isfinite(ppl_shuffled)
+    # the sticky structure is strong (95% self-transition): order
+    # destruction must cost real likelihood
+    assert ppl_ordered < 0.9 * ppl_shuffled

@@ -571,3 +571,55 @@ def test_lda_3d_dp_tp_sp_mesh_matches_single_device():
                                rtol=1e-7)
     np.testing.assert_allclose(float(elbo_fn(state, *data[:3])), ref_elbo,
                                rtol=1e-9)
+
+
+def test_hmtm_vocab_axis_tp_matches_single_device():
+    """HMTM with beta storage sharded over a vocab axis (TP): the
+    forward-backward E-step all-gathers beta once per sweep and the
+    beta statistic reduce-scatters back — same trajectory + ELBO."""
+    from topicmodelsvb_jl_tpu.models import hmtm as hmtm_mod
+
+    K = 4
+    packed = _packed(M=32, V=256, L=16)
+
+    def run(mesh_axes, shape, vocab_axis):
+        state = hmtm_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+        data = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+                jnp.asarray(packed.doc_mask),
+                jnp.asarray(float(packed.M), jnp.float64))
+        kw = dict(viter=5, vtol=1.0 / K**2, niter=100, ntol=1.0 / K**2,
+                  chunk_docs=8)
+        if mesh_axes is None:
+            step = jax.jit(hmtm_mod.make_step(packed, K, axis_name=None, **kw))
+            elbo_fn = jax.jit(hmtm_mod.make_elbo(packed, K, chunk_docs=8))
+        else:
+            mesh = make_mesh(axis_names=mesh_axes, shape=shape)
+            spec = hmtm_mod.partition_spec(data_axis=mesh_axes,
+                                           vocab_axis=vocab_axis)
+            step_l = hmtm_mod.make_step(packed, K, axis_name=mesh_axes,
+                                        vocab_axis=vocab_axis, **kw)
+            elbo_l = hmtm_mod.make_elbo(packed, K, chunk_docs=8,
+                                        axis_name=mesh_axes,
+                                        vocab_axis=vocab_axis)
+            dspec = P(mesh_axes)
+            step = jax.jit(shard_map(
+                step_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec, P()),
+                out_specs=spec, check_vma=False))
+            elbo_fn = jax.jit(shard_map(
+                elbo_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec),
+                out_specs=P(), check_vma=False))
+        for _ in range(3):
+            state = step(state, *data)
+        return state, float(elbo_fn(state, *data[:3]))
+
+    ref, ref_elbo = run(None, None, None)
+    tp, tp_elbo = run(("data", "vocab"), (2, 4), "vocab")
+    np.testing.assert_allclose(np.asarray(tp.beta), np.asarray(ref.beta),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(tp.tau), np.asarray(ref.tau),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tp.gamma), np.asarray(ref.gamma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tp.alpha), np.asarray(ref.alpha),
+                               rtol=1e-7)
+    np.testing.assert_allclose(tp_elbo, ref_elbo, rtol=1e-9)

@@ -361,6 +361,12 @@ def _inmemory_generic(name, packed, K, iters, viter=4):
             chunk_docs=16, axis_name=None, use_pallas=False))
         C_total = jnp.asarray(float(packed.C.sum()), jnp.float64)
         data = base + (M_total, C_total)
+    elif name == "hmtm":
+        from topicmodelsvb_jl_tpu.models import hmtm as mod
+        step = jax.jit(mod.make_step(
+            packed, K, viter=viter, vtol=vtol, niter=50, ntol=vtol,
+            chunk_docs=16, axis_name=None))
+        data = base + (M_total,)
     else:
         from topicmodelsvb_jl_tpu.models import fctm as mod
         step = jax.jit(mod.make_step(
@@ -384,6 +390,9 @@ _STREAM_CASES = {
     "fctm": ("StreamingFCTM",
              ("eta", "mu", "sigma", "kappa", "beta"),
              ("lam", "vsq", "logzeta", "tau")),
+    "hmtm": ("StreamingHMTM",
+             ("eta", "alpha", "beta"),
+             ("tau", "gamma")),
 }
 
 

@@ -27,7 +27,8 @@ from .evaluate import (
     topic_coherence,
 )
 from .streaming import (
-    StreamingCTM, StreamingCTPF, StreamingFCTM, StreamingFLDA, StreamingLDA,
+    StreamingCTM, StreamingCTPF, StreamingFCTM, StreamingFLDA, StreamingHMTM,
+    StreamingLDA,
 )
 from .streaming import load as load_streaming_checkpoint
 from .checkpoint import load as load_checkpoint
@@ -44,7 +45,7 @@ __all__ = [
     "LDA", "fLDA", "CTM", "fCTM", "CTPF", "DTM", "HMTM", "TopicModel",
     "predict", "gendoc", "gencorp", "save_checkpoint", "load_checkpoint",
     "StreamingLDA", "StreamingFLDA", "StreamingCTM", "StreamingFCTM",
-    "StreamingCTPF", "load_streaming_checkpoint",
+    "StreamingCTPF", "StreamingHMTM", "load_streaming_checkpoint",
     "perplexity", "topic_coherence", "holdout_readers",
     "heldout_reader_rank", "recall_at_k",
     "check_model",

@@ -30,9 +30,10 @@ The batch pipeline itself (:class:`_StreamingModel`) is model-generic —
 a subclass supplies the jitted batch sweep, the stat pytree, the global
 update, and the batch ELBO.  Every static model streams:
 :class:`StreamingLDA`, :class:`StreamingFLDA`, :class:`StreamingCTM`,
-:class:`StreamingFCTM` and :class:`StreamingCTPF` (VERDICT r2 #2; DTM
-is the one exception — its scaling axis is the [T, K, V] smoother
-state, not the per-doc arrays, see models/dtm.py).
+:class:`StreamingFCTM`, :class:`StreamingCTPF` and
+:class:`StreamingHMTM` (VERDICT r2 #2; DTM is the one exception — its
+scaling axis is the [T, K, V] smoother state, not the per-doc arrays,
+see models/dtm.py).
 Both support checkpoint/resume (:meth:`_StreamingModel.save` /
 :func:`load`) including an auto-checkpoint cadence inside ``train`` /
 ``train_online``, so a SIGKILLed streaming run resumes and reproduces
@@ -631,7 +632,8 @@ def load(path: str, packed, strict_corpus: bool = True):
                 "packed corpus.")
         cls = {c.__name__: c
                for c in (StreamingLDA, StreamingCTM, StreamingFLDA,
-                         StreamingFCTM, StreamingCTPF)}[meta["cls"]]
+                         StreamingFCTM, StreamingCTPF,
+                         StreamingHMTM)}[meta["cls"]]
         model = cls(packed, meta["K"], batch_docs=meta["batch_docs"],
                     chunk_docs=meta["chunk_docs"], dtype=meta["dtype"],
                     seed=meta["seed"])
@@ -1433,3 +1435,132 @@ def _ctpf_mstep(alef_temp, he_temp, gimel_sum, zayin_sum, bet, vav,
     # vav (CTPF.jl:288-291): NEW dalet and het
     vav_new = h["f"] + gimel_sum / dalet_new + zayin_sum / het_new
     return alef_new, bet_new, dalet_new, he_new, vav_new, het_new
+
+
+# ─────────────────────────── StreamingHMTM ───────────────────────────
+
+@jax.jit
+def _hmtm_mstep(beta_temp, pi_sum, th_sum, eta, alpha, M_total, niter, ntol):
+    """HMTM global updates (the completed updateBeta!/updateEta!/
+    updateAlpha!, HMTM.jl:103-158) from the sweep statistics — identical
+    maths to the tail of models/hmtm.make_step."""
+    beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+    eta_new = dirichlet_newton(eta, pi_sum, M_total, niter, ntol)
+    alpha_new = jax.vmap(
+        lambda a, s: dirichlet_newton(a, s, M_total, niter, ntol),
+        in_axes=1, out_axes=1)(alpha, th_sum)
+    return beta_new, eta_new, alpha_new
+
+
+class StreamingHMTM(_StreamingModel):
+    """HMTM trained with host-resident corpus + per-doc state.  The
+    host keeps tau [M, K] and the per-doc transition Dirichlets gamma
+    [M, K, K] — the O(M·K²) memory that dominates HMTM at scale; the
+    device keeps eta/alpha/beta.  Same batch pipeline and guarantees as
+    the other streaming models: globals are frozen within a sweep, so
+    the trajectory equals the in-memory path and is invariant to the
+    batch partition."""
+
+    _doc_state = ("tau", "gamma")
+    _api_cls = "HMTM"
+    _globals = ("eta", "alpha", "beta")
+
+    def __init__(self, packed, K: int, batch_docs: int = 8192,
+                 chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
+                 mesh=None, data_axis: str = "data"):
+        self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
+                          mesh, data_axis)
+        npdt = np.dtype(dtype)
+        M_pad = packed.M_pad
+        # constructor state (HMTM.jl:26-32, = models/hmtm.init)
+        key = jax.random.PRNGKey(seed)
+        self.beta = jax.random.dirichlet(
+            key, jnp.ones((self.V,), jnp.float32),
+            shape=(self.K,)).astype(self.dtype)
+        self.eta = jnp.ones((self.K,), self.dtype)
+        self.alpha = jnp.ones((self.K, self.K), self.dtype)
+        self.tau = np.ones((M_pad, self.K), npdt)
+        self.gamma = np.ones((M_pad, self.K, self.K), npdt)
+        self._sweep = None
+        self._elbo_fn = None
+
+    def _compile(self, cfg):
+        from .models import hmtm as hmtm_mod
+
+        V = self.V
+        viter, vtol = cfg.viter, cfg.vtol
+
+        def prep(globs):
+            beta, eta, alpha = globs
+            eps = jnp.asarray(EPSILON, beta.dtype)
+            return beta.T + eps, eta, alpha
+
+        def chunk_call(prepped, d, s):
+            betaT_eps, eta, alpha = prepped
+            terms, counts, dm = d
+            tmask = (counts > 0).astype(betaT_eps.dtype)
+            tau2, gamma2, bt, ps, ts = hmtm_mod._estep_chunk(
+                betaT_eps, eta, alpha, terms, tmask, dm, *s,
+                viter, vtol, V)
+            return (tau2, gamma2), (bt, ps, ts)
+
+        self._sweep = make_generic_batch_sweep(
+            prep, chunk_call, self.chunk_docs, mesh=self.mesh,
+            data_axis=self.data_axis)
+        ax = self.data_axis if self.mesh is not None else None
+        self._elbo_fn = self._wrap_batch_elbo(
+            hmtm_mod.make_elbo(self.packed, self.K,
+                               chunk_docs=self.chunk_docs, axis_name=ax),
+            hmtm_mod.partition_spec(self.data_axis))
+
+    def _zero_stats(self):
+        return (jnp.zeros((self.V, self.K), self.dtype),
+                jnp.zeros((self.K,), self.dtype),
+                jnp.zeros((self.K, self.K), self.dtype))
+
+    def _run_batch(self, sl, stats):
+        return self._sweep((self.beta, self.eta, self.alpha),
+                           self._data_slices(sl), self._doc_slices(sl),
+                           stats)
+
+    def _global_update(self, stats):
+        beta, eta, alpha = _hmtm_mstep(
+            *stats, self.eta, self.alpha,
+            jnp.asarray(float(self.M), self.dtype),
+            self._cfg.niter, self._cfg.ntol)
+        self.beta, self.eta, self.alpha = beta, eta, alpha
+
+    def _batch_state(self, sl):
+        from .models import hmtm as hmtm_mod
+
+        tau, gamma = self._doc_slices(sl)
+        return hmtm_mod.HMTMState(
+            eta=self.eta, alpha=self.alpha, beta=self.beta,
+            tau=tau, gamma=gamma, elbo=jnp.zeros((), self.dtype))
+
+    def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
+              ntol: Optional[float] = None, viter: int = 10,
+              vtol: Optional[float] = None, checkelbo: float = 1,
+              printelbo: bool = True, checkpoint_every: int = 0,
+              checkpoint_dir: Optional[str] = None):
+        cfg = TrainConfig(iter=iter, tol=tol, niter=niter, ntol=ntol,
+                          viter=viter, vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_loop(cfg, checkpoint_every, checkpoint_dir)
+
+    def train_online(self, epochs: int = 1, tau0: float = 64.0,
+                     kappa: float = 0.7, viter: int = 10,
+                     vtol: Optional[float] = None, niter: int = 1000,
+                     ntol: Optional[float] = None, checkelbo: float = 1,
+                     printelbo: bool = True, shuffle_seed: int = 0,
+                     checkpoint_every: int = 0,
+                     checkpoint_dir: Optional[str] = None):
+        """Online SVI HMTM: beta is a normalized count table and the
+        eta/alpha Newtons consume per-doc expected-log sums — all
+        closed-form in (beta_temp, pi_sum, th_sum), so the
+        running-average blend applies exactly as for LDA."""
+        cfg = TrainConfig(iter=epochs, niter=niter, ntol=ntol, viter=viter,
+                          vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_online_loop(cfg, tau0, kappa, shuffle_seed,
+                                       checkpoint_every, checkpoint_dir)

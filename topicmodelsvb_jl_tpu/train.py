@@ -33,7 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="Train a topic model (TPU-native TopicModelsVB).",
     )
     p.add_argument("--model", required=True,
-                   choices=["lda", "flda", "ctm", "fctm", "ctpf", "dtm"])
+                   choices=["lda", "flda", "ctm", "fctm", "ctpf", "dtm",
+                            "hmtm"])
     p.add_argument("--k", type=int, required=True, help="number of topics")
     p.add_argument("--seed", type=int, default=None)
 
@@ -92,7 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
     s = p.add_argument_group("streaming")
     s.add_argument("--streaming", action="store_true",
                    help="host-resident corpus+state, device memory "
-                        "O(batch) (Streaming{LDA,FLDA,CTM,FCTM,CTPF}; "
+                        "O(batch) (Streaming{LDA,FLDA,CTM,FCTM,CTPF,HMTM}; "
                         "any --model except dtm)")
     s.add_argument("--online", action="store_true",
                    help="per-minibatch SVI-schedule updates (implies "
@@ -182,7 +183,8 @@ def run(argv=None) -> dict:
         return _run_streaming(args, corp, runtime, mesh)
 
     cls = {"lda": api.LDA, "flda": api.fLDA, "ctm": api.CTM,
-           "fctm": api.fCTM, "ctpf": api.CTPF, "dtm": api.DTM}[args.model]
+           "fctm": api.fCTM, "ctpf": api.CTPF, "dtm": api.DTM,
+           "hmtm": api.HMTM}[args.model]
     ctor_kw = dict(runtime=runtime, mesh=mesh,
                    seed=0 if args.seed is None else args.seed)
     if args.model == "dtm":
@@ -214,11 +216,11 @@ def _run_streaming(args, corp, runtime, mesh=None) -> dict:
     from .corpus import Corpus
     from .ops.packing import pack_corpus
     from .streaming import (StreamingCTM, StreamingCTPF, StreamingFCTM,
-                            StreamingFLDA, StreamingLDA)
+                            StreamingFLDA, StreamingHMTM, StreamingLDA)
 
     cls = {"lda": StreamingLDA, "flda": StreamingFLDA,
            "ctm": StreamingCTM, "fctm": StreamingFCTM,
-           "ctpf": StreamingCTPF}[args.model]
+           "ctpf": StreamingCTPF, "hmtm": StreamingHMTM}[args.model]
     is_ctpf = args.model == "ctpf"
     if isinstance(corp, Corpus):
         packed = pack_corpus(corp, pad_multiple=runtime.pad_multiple,
