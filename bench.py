@@ -39,7 +39,7 @@ Modes beyond the default headline run:
                                  LDA >= 600k docs/s, CTM <= 0.7 s/iter,
                                  CTPF <= 40 ms/iter, fLDA >= 230k
                                  docs/s, fCTM <= 1.5 s/iter,
-                                 DTM <= 0.8 s/iter, HMTM <= 1 s/iter.
+                                 DTM <= 0.8 s/iter, HMTM <= 0.65 s/iter.
   python bench.py --sweep-dist   sensitivity of the LDA headline to the
                                  synthetic vocab draw: one JSON line per
                                  skew exponent (1.5 flatter / 3 Zipf-u^3
@@ -130,11 +130,11 @@ def _gate_specs():
         (lambda: run_ctpf(reps=5), 0.040, False),      # s/iter
         # secondary floors (~30% headroom over ROADMAP's measurements:
         # fLDA 309-332k docs/s, fCTM 1.04-1.2 s/iter, DTM 0.51 s/iter,
-        # HMTM 0.66 s/iter)
+        # HMTM 0.45 s/iter with the converged-lane early exit)
         (lambda: run_filtered("flda", reps=5), 230_000.0, True),
         (lambda: run_filtered("fctm", reps=5), 1.5, False),
         (lambda: run_dtm(reps=5), 0.8, False),
-        (lambda: run_hmtm(reps=5), 1.0, False),
+        (lambda: run_hmtm(reps=5), 0.65, False),
     ]
 
 

@@ -14,6 +14,7 @@ published scale against the real vocabularies — see datasets.py):
   7. checkpoint save/resume                        (no reference equivalent)
   8. perplexity, coherence, leave-one-reader-out   (README.md:512-560 protocol)
   9. beyond-memory streaming + one-pass online SVI (no reference equivalent)
+ 10. HMTM: the reference's unfinished model, working (HMTM/HMTMREADME.md)
 
 Run: python examples/walkthrough.py       (~3-5 min on a TPU chip;
 set JAX_PLATFORMS=cpu + small sizes for a laptop run)
@@ -136,5 +137,35 @@ s = StreamingLDA(packed, 20, batch_docs=1024, chunk_docs=256)
 s.train_online(epochs=1, tau0=8.0, checkelbo=1, printelbo=False)
 print(f"one online pass over {packed.M} host-resident docs: "
       f"ELBO {s.trace[-1][1]:.0f}")
+
+# ── 10. HMTM (the model the reference never finished) ──
+section("10. HMTM: order-aware topics (completed reference stub)")
+# ordered corpus: sticky topic chains over topic-disjoint vocabularies
+rng = np.random.default_rng(0)
+Kh, Vh = 3, 30
+fam = [list(range(k * 10, (k + 1) * 10)) for k in range(Kh)]
+docs = []
+for _ in range(200):
+    z, terms = rng.integers(Kh), []
+    for _n in range(60):
+        if rng.random() > 0.95:
+            z = rng.integers(Kh)
+        terms.append(int(rng.choice(fam[z])) + 1)
+    docs.append(tm.Document(terms=terms, counts=[1] * len(terms)))
+ocorp = tm.Corpus(docs=docs,
+                  vocab={j + 1: f"fam{j // 10}_w{j % 10}" for j in range(Vh)})
+hm = tm.HMTM(ocorp, Kh, seed=1)
+hm.train(iter=25, tol=0.0, checkelbo=5)
+hm.showtopics(V=5, cols=3)
+trans = hm.transdist(1)
+print("\ndoc 1 expected transition diag (stickiness):",
+      np.round(np.diag(trans), 2))
+shuf = tm.Corpus(docs=[tm.Document(terms=rng.permutation(d.terms).tolist(),
+                                   counts=list(d.counts))
+                       for d in docs[:50]], vocab=dict(ocorp.vocab))
+sub = tm.Corpus(docs=docs[:50], vocab=dict(ocorp.vocab))
+print(f"order-aware perplexity: ordered {tm.perplexity(sub, hm):.1f} "
+      f"vs shuffled {tm.perplexity(shuf, hm):.1f} "
+      "(the chain structure carries real likelihood)")
 
 print("\nwalkthrough complete.")

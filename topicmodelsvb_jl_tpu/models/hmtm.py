@@ -169,7 +169,7 @@ def _backward_stats(a, c, A, Bv, tmask, with_r: bool):
         be_prev = jnp.where(upd, be_prev, be_n)
         return (be_prev, xi_sum), (r_n if with_r else None)
 
-    xs = (jnp.moveaxis(a[:-1], 0, 0), a[1:], jnp.moveaxis(Bv[:, 1:], 1, 0),
+    xs = (a[:-1], a[1:], jnp.moveaxis(Bv[:, 1:], 1, 0),
           c[1:], tmask[:, 1:].T)
     (be0, xi_sum), r_rest = jax.lax.scan(step, (be_last, xi0), xs,
                                          reverse=True)
@@ -192,8 +192,16 @@ def _estep_chunk(betaT_eps, eta, alpha, terms, tmask, doc_mask, tau, gamma,
     Bv = betaT_eps[terms]                             # [B, L, K]
     active0 = doc_mask > 0
 
-    def body(_, carry):
-        tau, gamma, active = carry
+    # while_loop rather than a fixed fori_loop: each pass costs two full
+    # token-axis scans, so once every document in the chunk has hit its
+    # ‖Δgamma‖ break (HMTM.jl:201) the remaining viter passes are pure
+    # waste — frozen lanes make the early exit exactly trajectory-neutral
+    def fp_cond(carry):
+        i, _, _, active = carry
+        return (i < viter) & jnp.any(active)
+
+    def fp_body(carry):
+        i, tau, gamma, active = carry
         p0, A = _tilde(tau, gamma)
         a, c, _ = _forward(p0, A, Bv, tmask)
         r0, xi_sum, _ = _backward_stats(a, c, A, Bv, tmask, with_r=False)
@@ -204,9 +212,10 @@ def _estep_chunk(betaT_eps, eta, alpha, terms, tmask, doc_mask, tau, gamma,
         tau2 = jnp.where(upd, tau_new, tau)
         gamma2 = jnp.where(upd[..., None], gamma_new, gamma)
         active2 = active & (delta >= vtol)
-        return tau2, gamma2, active2
+        return i + 1, tau2, gamma2, active2
 
-    tau, gamma, _ = jax.lax.fori_loop(0, viter, body, (tau, gamma, active0))
+    _, tau, gamma, _ = jax.lax.while_loop(
+        fp_cond, fp_body, (jnp.asarray(0), tau, gamma, active0))
 
     # M-step statistics from the chain consistent with the final (tau,
     # gamma) — one extra forward–backward, the structured twin of the
