@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, categorical_entropy, l2norm, logsumexp, mvnormal_diag_entropy,
+    EPSILON, categorical_entropy, l2norm, logsumexp, masked_fixpoint,
+    mvnormal_diag_entropy,
 )
 
 
@@ -106,9 +107,8 @@ def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
         active2 = active & (l2norm(lam2 - lam_old2) >= vtol)
         return lam2, lam_old2, vsq2, logzeta2, active2
 
-    lam, lam_old, vsq, logzeta, _ = jax.lax.fori_loop(
-        0, viter, body, (lam, lam_old, vsq, logzeta, active0)
-    )
+    lam, lam_old, vsq, logzeta, _ = masked_fixpoint(
+        body, (lam, lam_old, vsq, logzeta, active0), viter)
 
     # M-step stat with the last phi = f(beta, lambda_old) (CTM.jl:93, 122-125)
     p = _phi(logbeta_d, lam_old)

@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.segment import count_scatter
-from ..utils.numerics import digamma, gamma_entropy, l2norm, lgamma
+from ..utils.numerics import (
+    digamma, gamma_entropy, l2norm, lgamma, masked_fixpoint,
+)
 
 # Gamma hyperpriors a..h = 0.1 (CTPF.jl:81)
 HYPER = dict(a=0.1, b=0.1, c=0.1, d=0.1, e=0.1, f=0.1, g=0.1, h=0.1)
@@ -146,9 +148,8 @@ def _estep_chunk(dg_alefT, dg_heT, log_bet, log_vav,
         active2 = active & (l2norm(gimel2 - gimel_old2) >= vtol)
         return gimel2, gimel_old2, zayin2, zayin_old2, active2
 
-    gimel, gimel_old, zayin, zayin_old, _ = jax.lax.fori_loop(
-        0, viter, body, (gimel, gimel_old, zayin, zayin_old, active0)
-    )
+    gimel, gimel_old, zayin, zayin_old, _ = masked_fixpoint(
+        body, (gimel, gimel_old, zayin, zayin_old, active0), viter)
 
     # stats with the last phi/xi = f(gimel_old, zayin_old) (CTPF.jl:259-277)
     dg_gimel_o = digamma(gimel_old)

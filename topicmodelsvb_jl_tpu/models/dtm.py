@@ -42,7 +42,7 @@ from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, categorical_entropy, digamma, dirichlet_entropy, finite,
-    l2norm, lgamma,
+    l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -186,8 +186,8 @@ def _estep_chunk(mbeta_flat, alpha, rowsum_ovfl, maxl,
         active2 = active & (l2norm(gamma2 - gamma) >= vtol)
         return gamma2, El2, lzeta2, active2
 
-    gamma, El, lzeta, _ = jax.lax.fori_loop(
-        0, viter, body, (gamma, El, lzeta, active0))
+    gamma, El, lzeta, _ = masked_fixpoint(
+        body, (gamma, El, lzeta, active0), viter)
 
     # sufficient stats with the final phi
     decay = jnp.exp(maxl_d - lzeta)[:, None] * rs_d

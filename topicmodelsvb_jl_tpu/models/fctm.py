@@ -21,7 +21,7 @@ from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, bernoulli_entropy, categorical_entropy, l2norm, logsumexp,
-    mvnormal_diag_entropy,
+    masked_fixpoint, mvnormal_diag_entropy,
 )
 
 
@@ -108,9 +108,8 @@ def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
         active2 = active & (l2norm(lam2 - lam_old2) >= vtol)
         return lam2, lam_old2, vsq2, logzeta2, tau2, tau_old2, active2
 
-    lam, lam_old, vsq, logzeta, tau, tau_old, _ = jax.lax.fori_loop(
-        0, viter, body, (lam, lam_old, vsq, logzeta, tau, tau_old, active0)
-    )
+    lam, lam_old, vsq, logzeta, tau, tau_old, _ = masked_fixpoint(
+        body, (lam, lam_old, vsq, logzeta, tau, tau_old, active0), viter)
 
     # stats with last phi = f(beta, tau_old, lambda_old); beta weighted by
     # tau·counts (fCTM.jl:168-171), kappa by (1-tau)·counts (fCTM.jl:154-157).

@@ -26,7 +26,7 @@ from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, bernoulli_entropy, categorical_entropy, digamma,
-    dirichlet_entropy, finite, l2norm, lgamma,
+    dirichlet_entropy, finite, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -105,9 +105,8 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
         active2 = active & (l2norm(El2 - El_old2) >= vtol)
         return gamma2, El2, El_old2, tau2, tau_old2, active2
 
-    gamma, El, El_old, tau, tau_old, _ = jax.lax.fori_loop(
-        0, viter, body, (gamma, El, El_old, tau, tau_old, active0)
-    )
+    gamma, El, El_old, tau, tau_old, _ = masked_fixpoint(
+        body, (gamma, El, El_old, tau, tau_old, active0), viter)
 
     # stats use the last phi (f(beta, tau_old, Elogtheta_old)) with CURRENT tau:
     # beta_temp += phi .* (tau .* counts)' (fLDA.jl:174-177)

@@ -70,7 +70,7 @@ import numpy as np
 from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, digamma, dirichlet_entropy, l2norm, lgamma,
+    EPSILON, digamma, dirichlet_entropy, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -192,16 +192,13 @@ def _estep_chunk(betaT_eps, eta, alpha, terms, tmask, doc_mask, tau, gamma,
     Bv = betaT_eps[terms]                             # [B, L, K]
     active0 = doc_mask > 0
 
-    # while_loop rather than a fixed fori_loop: each pass costs two full
-    # token-axis scans, so once every document in the chunk has hit its
-    # ‖Δgamma‖ break (HMTM.jl:201) the remaining viter passes are pure
-    # waste — frozen lanes make the early exit exactly trajectory-neutral
-    def fp_cond(carry):
-        i, _, _, active = carry
-        return (i < viter) & jnp.any(active)
-
-    def fp_body(carry):
-        i, tau, gamma, active = carry
+    # masked_fixpoint (early-exit while_loop) rather than a fixed
+    # fori_loop: each pass costs two full token-axis scans, so once every
+    # document in the chunk has hit its ‖Δgamma‖ break (HMTM.jl:201) the
+    # remaining viter passes are pure waste — frozen lanes make the early
+    # exit exactly trajectory-neutral
+    def fp_body(_, carry):
+        tau, gamma, active = carry
         p0, A = _tilde(tau, gamma)
         a, c, _ = _forward(p0, A, Bv, tmask)
         r0, xi_sum, _ = _backward_stats(a, c, A, Bv, tmask, with_r=False)
@@ -212,10 +209,9 @@ def _estep_chunk(betaT_eps, eta, alpha, terms, tmask, doc_mask, tau, gamma,
         tau2 = jnp.where(upd, tau_new, tau)
         gamma2 = jnp.where(upd[..., None], gamma_new, gamma)
         active2 = active & (delta >= vtol)
-        return i + 1, tau2, gamma2, active2
+        return tau2, gamma2, active2
 
-    _, tau, gamma, _ = jax.lax.while_loop(
-        fp_cond, fp_body, (jnp.asarray(0), tau, gamma, active0))
+    tau, gamma, _ = masked_fixpoint(fp_body, (tau, gamma, active0), viter)
 
     # M-step statistics from the chain consistent with the final (tau,
     # gamma) — one extra forward–backward, the structured twin of the

@@ -35,7 +35,7 @@ from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, categorical_entropy, digamma, dirichlet_entropy,
-    finite, l2norm, lgamma,
+    finite, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -133,9 +133,8 @@ def _estep_chunk(
         active2 = active & (l2norm(El2 - El_old2) >= vtol)
         return gamma2, El2, El_old2, active2
 
-    gamma, El, El_old, _ = jax.lax.fori_loop(
-        0, viter, body, (gamma, El, El_old, active0)
-    )
+    gamma, El, El_old, _ = masked_fixpoint(
+        body, (gamma, El, El_old, active0), viter)
 
     # final phi for the M-step stat is f(beta, Elogtheta_old) — the value
     # phi held when the doc's fixpoint stopped (same identity as LDA.jl:87).

@@ -121,6 +121,35 @@ def l2norm(x: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.sqrt(jnp.sum(x * x, axis=axis))
 
 
+def masked_fixpoint(body, carry: tuple, viter: int) -> tuple:
+    """Early-exiting twin of ``lax.fori_loop(0, viter, body, carry)`` for
+    per-lane-masked fixpoints whose carry ENDS with an ``active`` bool mask.
+
+    Every model's E-step runs the reference's per-document viter loop
+    batch-synchronously, freezing converged lanes with ``jnp.where`` on
+    the mask (the break at e.g. LDA.jl:175, CTM.jl:200, CTPF.jl:359).
+    Once every lane's flag clears, further passes are pure no-ops that
+    still pay full price (gathers, Newtons, token scans) — so this runs
+    the same body under a ``while_loop`` that also stops when
+    ``~any(active)``.  Exactly trajectory-neutral by the freezing
+    invariant; measured −33% s/iter on HMTM at NSF scale (RESULTS.md).
+
+    Not reverse-differentiable (while_loop) — fine here: E-step outputs
+    enter later gradients only as constants (see models/dtm.py's CG).
+    """
+    def cond(c):
+        i, inner = c
+        return (i < viter) & jnp.any(inner[-1])
+
+    def step(c):
+        i, inner = c
+        return i + 1, body(i, inner)
+
+    _, carry = jax.lax.while_loop(
+        cond, step, (jnp.asarray(0, jnp.int32), carry))
+    return carry
+
+
 def is_stochastic(p: np.ndarray, axis: int, atol: float = 1e-6) -> bool:
     """Host-side stochastic-matrix predicate (reference utils.jl:144-154)."""
     p = np.asarray(p)
