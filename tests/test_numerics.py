@@ -66,3 +66,42 @@ def test_finite_clamps():
     x = jnp.array([np.inf, -np.inf, 3.0])
     out = np.asarray(nx.finite(x))
     assert np.isfinite(out).all() and out[2] == 3.0 and out[0] > 0 > out[1]
+
+
+def test_masked_fixpoint_matches_fori_loop():
+    """masked_fixpoint == fori_loop for a lane-freezing body, with the
+    early exit firing only after every lane's active flag clears."""
+    import jax
+    import jax.numpy as jnp
+
+    # contraction toward per-lane targets; lanes converge at different
+    # iterations, and the body freezes done lanes exactly like the models
+    target = jnp.array([1.0, -2.0, 0.5, 3.0])
+    vtol = 1e-3
+
+    def body(_, carry):
+        x, active = carry
+        x_new = x + 0.5 * (target - x)
+        x2 = jnp.where(active, x_new, x)
+        active2 = active & (jnp.abs(x2 - target) >= vtol)
+        return x2, active2
+
+    x0 = jnp.zeros(4)
+    a0 = jnp.ones(4, bool)
+    viter = 50
+
+    ref_x, ref_a = jax.lax.fori_loop(0, viter, body, (x0, a0))
+    got_x, got_a = nx.masked_fixpoint(body, (x0, a0), viter)
+    np.testing.assert_array_equal(np.asarray(ref_x), np.asarray(got_x))
+    np.testing.assert_array_equal(np.asarray(ref_a), np.asarray(got_a))
+    assert not np.asarray(got_a).any()  # all lanes converged well before 50
+
+    # viter smaller than any lane's convergence point: must run all passes
+    ref_x5, _ = jax.lax.fori_loop(0, 5, body, (x0, a0))
+    got_x5, got_a5 = nx.masked_fixpoint(body, (x0, a0), 5)
+    np.testing.assert_array_equal(np.asarray(ref_x5), np.asarray(got_x5))
+    assert np.asarray(got_a5).any()
+
+    # body must also work under jit (while_loop tracing)
+    jit_x, _ = jax.jit(lambda c: nx.masked_fixpoint(body, c, viter))((x0, a0))
+    np.testing.assert_array_equal(np.asarray(ref_x), np.asarray(jit_x))
