@@ -37,7 +37,10 @@ def run_hmtm(reps=None):
     if reps is None:
         reps = int(os.environ.get("BENCH_REPS", 3))
 
-    packed = make_packed_nsf_scale(M=M, chunk_docs=chunk)
+    from topicmodelsvb_jl_tpu.ops.packing import unit_counts
+    # HMTM consumes an ordered token stream: counts must all be 1 (same
+    # row count and forward-backward work either way — counts never enter)
+    packed = unit_counts(make_packed_nsf_scale(M=M, chunk_docs=chunk))
     rt = RuntimeConfig(chunk_docs=chunk, dtype="float32")
     model = HMTM(packed, K, runtime=rt, seed=7)
 

@@ -120,10 +120,11 @@ print(f"held-out perplexity: {ppl:.1f}  (vocab size {len(corp.vocab)})")
 print("UMass coherence per topic:", np.round(coh, 1))
 # leave-one-reader-out (reference README.md:512-560, plots.R:20-31):
 # where does the trained CTPF rank the §6 held-out readers?
-ranks = tm.heldout_reader_rank(ctpf, held)
+recs = tm.ranked_users(ctpf, held)     # rank each doc once, share across metrics
+ranks = tm.heldout_reader_rank(ctpf, held, recs=recs)
 print(f"CTPF leave-one-reader-out: median rank "
       f"{np.median(ranks):.3f} (0=top), "
-      f"recall@20 {tm.recall_at_k(ctpf, held, 20):.2f} "
+      f"recall@20 {tm.recall_at_k(ctpf, held, 20, recs=recs):.2f} "
       f"over {len(held)} held-out readers")
 
 # ── 9. streaming + online training (beyond the reference) ──

@@ -43,3 +43,19 @@ def reader_corpus():
 
     return synth_corpus(M=24, V=30, K=3, U=12, seed=5, mean_tokens=20,
                         mean_terms=10, mean_readers=3)
+
+
+@pytest.fixture()
+def ordered_corpus(tiny_corpus):
+    """Order-preserving twin of tiny_corpus for HMTM: one entry per
+    token (all counts 1) — HMTM rejects condensed corpora loudly."""
+    from topicmodelsvb_jl_tpu import Corpus, Document
+
+    docs = []
+    for doc in tiny_corpus.docs:
+        terms = [t for t, c in zip(doc.terms, doc.counts)
+                 for _ in range(int(c))]
+        docs.append(Document(terms=terms, counts=[1] * len(terms),
+                             title=doc.title))
+    return Corpus(docs=docs, vocab=dict(tiny_corpus.vocab),
+                  users=dict(tiny_corpus.users))

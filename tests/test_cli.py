@@ -124,3 +124,21 @@ def test_bench_assert_gate_logic(monkeypatch, capsys):
         bench.main(["--assert"])
     assert e.value.code == 1
     assert "PERF REGRESSION" in capsys.readouterr().err
+
+
+def test_pick_stream_batch_divisibility():
+    """The streaming batch choice must satisfy (batch | M_pad,
+    n_dev | batch) for ANY device count — the old halving loop exited
+    with invalid batches for non-power-of-two meshes (regression)."""
+    from topicmodelsvb_jl_tpu.train import _pick_stream_batch
+
+    for M_pad, want, n_dev in [(2048, 8192, 3), (2048, 8192, 1),
+                               (1536, 8192, 3), (1024, 64, 4),
+                               (120, 7, 5), (128, 4, 8)]:
+        b = _pick_stream_batch(M_pad, want, n_dev)
+        if b:
+            assert M_pad % b == 0 and b % n_dev == 0 and b <= want, \
+                (M_pad, want, n_dev, b)
+    # no multiple of 3 divides 2^11: must report impossibility, not crash
+    assert _pick_stream_batch(2048, 8192, 3) == 0
+    assert _pick_stream_batch(1536, 8192, 3) == 1536

@@ -123,3 +123,43 @@ def test_perplexity_hmtm_is_order_aware():
     # the sticky structure is strong (95% self-transition): order
     # destruction must cost real likelihood
     assert ppl_ordered < 0.9 * ppl_shuffled
+
+
+def test_holdout_readers_keeps_reader_rating_alignment():
+    """Popping reader i must pop rating i — not the last rating
+    (regression: a doc with readers=[5,9], ratings=[1,3] held out at
+    i=0 used to leave reader 9 carrying rating 1)."""
+    from topicmodelsvb_jl_tpu import Corpus, Document, holdout_readers
+
+    docs = []
+    for d in range(40):
+        readers = [1 + (d + j) % 7 for j in range(3)]
+        ratings = [10 * d + j + 1 for j in range(3)]   # all distinct
+        docs.append(Document(terms=[1, 2], counts=[1, 1],
+                             readers=readers, ratings=list(ratings)))
+    corp = Corpus(docs=docs, vocab={1: "a", 2: "b"},
+                  users={u: f"u{u}" for u in range(1, 8)})
+    orig = {d: dict(zip(doc.readers, doc.ratings))
+            for d, doc in enumerate(corp.docs, start=1)}
+    held = holdout_readers(corp, seed=0)
+    assert held
+    for d, doc in enumerate(corp.docs, start=1):
+        for r, rating in zip(doc.readers, doc.ratings):
+            assert orig[d][r] == rating
+
+
+def test_ranked_users_shared_across_metrics():
+    from topicmodelsvb_jl_tpu import (
+        CTPF, RuntimeConfig, heldout_reader_rank, holdout_readers,
+        ranked_users, recall_at_k, synth_corpus)
+
+    corp = synth_corpus(M=48, V=30, K=3, U=12, seed=5)
+    held = holdout_readers(corp, seed=1)
+    model = CTPF(corp, 3, runtime=RuntimeConfig(chunk_docs=8))
+    model.train(iter=3, checkelbo=float("inf"), printelbo=False)
+    recs = ranked_users(model, held)
+    r1 = heldout_reader_rank(model, held, recs=recs)
+    r2 = heldout_reader_rank(model, held)
+    np.testing.assert_array_equal(r1, r2)
+    assert recall_at_k(model, held, k=5, recs=recs) == \
+        recall_at_k(model, held, k=5)

@@ -169,3 +169,35 @@ def test_multiprocess_sigkill_and_resume(tmp_path):
     single.train(iter=total - k_ckpt, tol=0.0, checkelbo=1, printelbo=False)
     strace = [r.elbo for r in single.trainer.trace if r.elbo is not None]
     np.testing.assert_allclose(strace, ref_trace[k_ckpt:], rtol=1e-10)
+
+
+def test_checkpoint_overwrites_same_iter_leftovers(tmp_path):
+    """A resumed run restarts k at 1 and re-reaches earlier checkpoint
+    numbers; stale same-named leftovers — including the multi-host
+    DIRECTORY format and stale .tmp artifacts — must be replaced, not
+    crash os.replace (ENOTEMPTY/IsADirectoryError)."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu import RuntimeConfig
+    from topicmodelsvb_jl_tpu.api import LDA
+
+    ckpt_dir = str(tmp_path / "ck")
+    os.makedirs(ckpt_dir)
+    # plant a non-empty DIRECTORY where iter-2's checkpoint will land
+    # (what a killed multi-host run leaves behind) and a stale tmp dir
+    for name in ("ckpt_iter000002", "ckpt_iter000002.tmp"):
+        os.makedirs(os.path.join(ckpt_dir, name))
+        with open(os.path.join(ckpt_dir, name, "proc0.npz"), "wb") as f:
+            f.write(b"stale")
+
+    corp = tm.synth_corpus(M=32, V=24, K=2, seed=4)
+    rt = RuntimeConfig(chunk_docs=8, pad_multiple=8,
+                       checkpoint_every=2, checkpoint_dir=ckpt_dir)
+    model = LDA(corp, 2, runtime=rt, seed=1)
+    model.train(iter=4, tol=0.0, checkelbo=1, printelbo=False)
+
+    final = os.path.join(ckpt_dir, "ckpt_iter000002")
+    assert os.path.isfile(final), "stale dir must be replaced by the file"
+    assert not os.path.exists(final + ".tmp")
+    import topicmodelsvb_jl_tpu.checkpoint as ckptlib
+    resumed = ckptlib.load(final, corp)
+    assert resumed.K == 2

@@ -24,15 +24,15 @@ def _make(corp, K, n_devices=None, dtype="float64", chunk=8, seed=3):
     return tm.HMTM(corp, K, runtime=rt, mesh=mesh, seed=seed)
 
 
-def test_hmtm_matches_oracle(tiny_corpus):
+def test_hmtm_matches_oracle(ordered_corpus):
     """Batched forward-backward E-step + Newtons reproduce the per-doc
     float64 oracle trajectory update-by-update."""
     K, iters = 4, 5
-    model = _make(tiny_corpus, K)
+    model = _make(ordered_corpus, K)
     beta0 = np.asarray(model.state.beta, np.float64)
 
-    oracle = HMTMOracle(docs_from_corpus(tiny_corpus),
-                        V=tiny_corpus.shape[1], K=K, beta0=beta0)
+    oracle = HMTMOracle(docs_from_corpus(ordered_corpus),
+                        V=ordered_corpus.shape[1], K=K, beta0=beta0)
     oracle_elbos = oracle.train(iters)
 
     model.train(iter=iters, checkelbo=1, printelbo=False)
@@ -48,17 +48,17 @@ def test_hmtm_matches_oracle(tiny_corpus):
     np.testing.assert_allclose(traced, oracle_elbos, rtol=1e-8)
 
 
-def test_hmtm_elbo_monotone(tiny_corpus):
-    model = _make(tiny_corpus, K=5)
+def test_hmtm_elbo_monotone(ordered_corpus):
+    model = _make(ordered_corpus, K=5)
     model.train(iter=15, checkelbo=1, printelbo=False)
     deltas = [r.delta_elbo for r in model.trainer.trace
               if r.delta_elbo is not None]
     assert all(d > -1e-6 for d in deltas[1:])
 
 
-def test_hmtm_shard_equivalence(tiny_corpus):
-    m1 = _make(tiny_corpus, K=4, n_devices=1, seed=3)
-    m8 = _make(tiny_corpus, K=4, n_devices=8, seed=3)
+def test_hmtm_shard_equivalence(ordered_corpus):
+    m1 = _make(ordered_corpus, K=4, n_devices=1, seed=3)
+    m8 = _make(ordered_corpus, K=4, n_devices=8, seed=3)
     m1.train(iter=4, checkelbo=1, printelbo=False)
     m8.train(iter=4, checkelbo=1, printelbo=False)
     np.testing.assert_allclose(m1.beta, m8.beta, rtol=1e-9)
@@ -121,8 +121,8 @@ def test_hmtm_recovers_sticky_transitions():
     assert a[perm[1], perm[1]] > a[perm[0], perm[1]]
 
 
-def test_hmtm_predict_and_surface(tiny_corpus):
-    model = _make(tiny_corpus, K=3)
+def test_hmtm_predict_and_surface(ordered_corpus):
+    model = _make(ordered_corpus, K=3)
     model.train(iter=3, checkelbo=np.inf, printelbo=False)
 
     td = model.topicdist(1)
@@ -131,7 +131,7 @@ def test_hmtm_predict_and_surface(tiny_corpus):
     assert tr.shape == (3, 3)
     np.testing.assert_allclose(tr.sum(axis=0), 1.0, rtol=1e-9)
 
-    new = tm.predict(tiny_corpus, model, iter=5)
+    new = tm.predict(ordered_corpus, model, iter=5)
     assert isinstance(new, tm.HMTM)
     # globals frozen, per-doc state fit
     np.testing.assert_array_equal(new.beta, model.beta)
@@ -141,22 +141,22 @@ def test_hmtm_predict_and_surface(tiny_corpus):
     assert np.all(np.isfinite(td2))
 
 
-def test_hmtm_gendoc_ordered(tiny_corpus):
-    model = _make(tiny_corpus, K=3)
+def test_hmtm_gendoc_ordered(ordered_corpus):
+    model = _make(ordered_corpus, K=3)
     model.train(iter=2, checkelbo=np.inf, printelbo=False)
     doc = tm.gendoc(model, laplace_smooth=1e-3,
                     rng=np.random.default_rng(0))
     assert len(doc.terms) == len(doc.counts)
     assert all(c == 1 for c in doc.counts)          # ordered tokens
-    assert all(1 <= t <= tiny_corpus.shape[1] for t in doc.terms)
+    assert all(1 <= t <= ordered_corpus.shape[1] for t in doc.terms)
 
 
-def test_hmtm_checkpoint_roundtrip(tiny_corpus, tmp_path):
-    model = _make(tiny_corpus, K=3)
+def test_hmtm_checkpoint_roundtrip(ordered_corpus, tmp_path):
+    model = _make(ordered_corpus, K=3)
     model.train(iter=2, checkelbo=1, printelbo=False)
     path = str(tmp_path / "hmtm_ckpt")
     tm.save_checkpoint(path, model)
-    loaded = tm.load_checkpoint(path, tiny_corpus)
+    loaded = tm.load_checkpoint(path, ordered_corpus)
     assert isinstance(loaded, tm.HMTM)
     np.testing.assert_array_equal(loaded.beta, model.beta)
     np.testing.assert_array_equal(loaded.gamma, model.gamma)
@@ -166,10 +166,29 @@ def test_hmtm_checkpoint_roundtrip(tiny_corpus, tmp_path):
     np.testing.assert_allclose(loaded.elbo, model.elbo, rtol=1e-10)
 
 
-def test_hmtm_check_model_catches_corruption(tiny_corpus):
-    model = _make(tiny_corpus, K=3)
+def test_hmtm_check_model_catches_corruption(ordered_corpus):
+    model = _make(ordered_corpus, K=3)
     bad = np.asarray(model.state.tau).copy()
     bad[0, 0] = -1.0
     model.state = model.state._replace(tau=bad)
     with pytest.raises(tm.TopicModelError):
         model.train(iter=1, printelbo=False)
+
+
+def test_hmtm_rejects_condensed_corpus():
+    """HMTM ignores counts (HMTM.jl:63-67); a condensed corpus must be
+    rejected loudly, not silently fit with multiplicity destroyed."""
+    import pytest
+
+    import topicmodelsvb_jl_tpu as tm
+
+    corp = tm.synth_corpus(M=16, V=20, K=2, seed=0)
+    tm.condense_corp(corp)
+    assert any(c > 1 for doc in corp.docs for c in doc.counts), \
+        "fixture should actually contain a repeated term"
+    with pytest.raises(ValueError, match="order-preserving"):
+        tm.HMTM(corp, 2)
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+    packed = pack_corpus(corp, pad_multiple=8, docs_multiple=8)
+    with pytest.raises(ValueError, match="order-preserving"):
+        tm.StreamingHMTM(packed, 2, batch_docs=16, chunk_docs=8)

@@ -12,7 +12,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from topicmodelsvb_jl_tpu.models import lda as lda_mod
-from topicmodelsvb_jl_tpu.ops.packing import PackedCorpus
+from topicmodelsvb_jl_tpu.ops.packing import PackedCorpus, unit_counts
 from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
 from topicmodelsvb_jl_tpu.parallel.shard import shard_map
 
@@ -580,7 +580,7 @@ def test_hmtm_vocab_axis_tp_matches_single_device():
     from topicmodelsvb_jl_tpu.models import hmtm as hmtm_mod
 
     K = 4
-    packed = _packed(M=32, V=256, L=16)
+    packed = unit_counts(_packed(M=32, V=256, L=16))
 
     def run(mesh_axes, shape, vocab_axis):
         state = hmtm_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)

@@ -298,3 +298,25 @@ def test_infer_cached_zero_recompilation():
     model.infer(long_corp, iter=10)
     assert len(model._infer_cache) == 2
     assert np.all(np.isfinite(pred_b.topicdist(1)))
+
+
+def test_infer_cache_is_lru_bounded():
+    """The serve-path cache of compiled steps must not grow without
+    bound across distinct corpus shapes (regression: long-lived serving
+    loops leaked one executable per novel shape signature)."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.api import LDA
+    from topicmodelsvb_jl_tpu.utils.config import RuntimeConfig
+
+    corp = tm.synth_corpus(M=24, V=30, K=2, seed=2)
+    model = LDA(corp, 2, runtime=RuntimeConfig(chunk_docs=8))
+    model.train(iter=2, checkelbo=float("inf"), printelbo=False)
+    model._infer_cache_max = 2
+    sigs = []
+    for m_new in (8, 70, 140):   # three distinct shape signatures
+        new_corp = tm.synth_corpus(M=m_new, V=30, K=2, seed=3)
+        new_corp.vocab = dict(corp.vocab)
+        model.infer(new_corp, iter=2)
+        assert len(model._infer_cache) <= 2
+        sigs.append(set(model._infer_cache))
+    assert sigs[0] != sigs[-1]  # oldest entry was evicted

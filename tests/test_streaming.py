@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from topicmodelsvb_jl_tpu.datasets import synth_packed_nsf_scale
+from topicmodelsvb_jl_tpu.ops.packing import unit_counts
 from topicmodelsvb_jl_tpu.models import lda as lda_mod
 from topicmodelsvb_jl_tpu.streaming import StreamingLDA
 
@@ -405,6 +406,8 @@ def test_streaming_generic_matches_inmemory(name):
 
     K, iters, viter = 3, 3, 4
     packed = _packed(M=64, V=40, seed=5)
+    if name == "hmtm":   # HMTM requires an order-preserving corpus
+        packed = unit_counts(packed)
     ref, ref_elbo = _inmemory_generic(name, packed, K, iters, viter=viter)
 
     cls_name, globals_, docs_ = _STREAM_CASES[name]
@@ -430,6 +433,8 @@ def test_streaming_generic_batch_partition_invariance(name):
 
     K = 3
     packed = _packed(M=64, V=40, seed=8)
+    if name == "hmtm":   # HMTM requires an order-preserving corpus
+        packed = unit_counts(packed)
     cls = getattr(st, _STREAM_CASES[name][0])
     runs = []
     for batch in (64, 16):
@@ -453,6 +458,8 @@ def test_streaming_generic_checkpoint_and_online(name):
 
     K = 3
     packed = _packed(M=64, V=40, seed=11)
+    if name == "hmtm":   # HMTM requires an order-preserving corpus
+        packed = unit_counts(packed)
     cls = getattr(st, _STREAM_CASES[name][0])
 
     ref = cls(packed, K, batch_docs=32, chunk_docs=16,

@@ -23,7 +23,8 @@ from .api import (
     gencorp, gendoc, predict,
 )
 from .evaluate import (
-    heldout_reader_rank, holdout_readers, perplexity, recall_at_k,
+    heldout_reader_rank, holdout_readers, perplexity, ranked_users,
+    recall_at_k,
     topic_coherence,
 )
 from .streaming import (
@@ -47,7 +48,7 @@ __all__ = [
     "StreamingLDA", "StreamingFLDA", "StreamingCTM", "StreamingFCTM",
     "StreamingCTPF", "StreamingHMTM", "load_streaming_checkpoint",
     "perplexity", "topic_coherence", "holdout_readers",
-    "heldout_reader_rank", "recall_at_k",
+    "heldout_reader_rank", "ranked_users", "recall_at_k",
     "check_model",
     "TrainConfig", "RuntimeConfig",
 ]

@@ -150,8 +150,12 @@ class TopicModel:
         self.trainer: Optional[Trainer] = None
         self.topics: Optional[np.ndarray] = None  # [K, V] 1-based rankings
         # serve-path cache: jitted E-step programs keyed by (inference
-        # config, packed shape signature) — see infer()/predict()
-        self._infer_cache: dict = {}
+        # config, packed shape signature) — see infer()/predict().
+        # LRU-bounded: a long-lived serving loop over varying corpus
+        # shapes must not accumulate compiled executables forever.
+        from collections import OrderedDict
+        self._infer_cache: OrderedDict = OrderedDict()
+        self._infer_cache_max = 8
         self._init_state()
 
     @property
@@ -278,16 +282,37 @@ class TopicModel:
             # so a multi-host run resumes from its last checkpoint on
             # any process count (SURVEY §5.3 kill-a-host bar).
             import os
+            import shutil
 
             from . import checkpoint as ckptlib
+
+            def _clear(p):
+                # leftovers may be a FILE (single-host format) or a
+                # non-empty DIRECTORY (multi-host format) — e.g. a
+                # killed run's stale tmp, or a same-iter checkpoint
+                # from a resumed run (resume restarts k at 1).
+                # os.replace handles neither onto-a-dir case itself.
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.exists(p):
+                    os.remove(p)
 
             def _ckpt_cb(k, state):
                 self.state = state
                 os.makedirs(rt.checkpoint_dir, exist_ok=True)
                 final = os.path.join(rt.checkpoint_dir, f"ckpt_iter{k:06d}")
                 tmp = final + ".tmp"
+                if jax.process_index() == 0:
+                    _clear(tmp)
+                if jax.process_count() > 1:
+                    # don't let other processes write shard files into a
+                    # stale tmp dir that process 0 is still removing
+                    from jax.experimental import multihost_utils
+                    multihost_utils.sync_global_devices(
+                        f"tmvb_ckpt_clear:{final}")
                 ckptlib.save(tmp, self)
                 if jax.process_index() == 0:
+                    _clear(final)
                     os.replace(tmp, final)
 
             kw["checkpoint_cb"] = _ckpt_cb
@@ -1191,10 +1216,15 @@ def predict(corp, train_model: TopicModel, iter: int = 10,
     # calls — batch serving, perplexity over the same held-out split —
     # reuse the compiled program with zero retracing/recompilation
     sig = (cfg.viter, cfg.vtol, cfg.niter, cfg.ntol, new._packed_sig())
-    step_fn = train_model._infer_cache.get(sig)
+    cache = train_model._infer_cache
+    step_fn = cache.get(sig)
     if step_fn is None:
         step_fn = new._build_trainer(cfg).step_fn
-        train_model._infer_cache[sig] = step_fn
+        cache[sig] = step_fn
+        while len(cache) > train_model._infer_cache_max:
+            cache.popitem(last=False)            # evict least-recent
+    else:
+        cache.move_to_end(sig)
     frozen = new.state
     stepped = step_fn(frozen, *new._step_data())
 

@@ -185,7 +185,7 @@ def holdout_readers(corp: Corpus, seed: int = 0, min_readers: int = 2):
         if len(doc.readers) >= min_readers:
             i = int(rng.integers(len(doc.readers)))
             held.append((d, doc.readers.pop(i)))
-            doc.ratings.pop()
+            doc.ratings.pop(i)  # ratings are parallel to readers
     return held
 
 
@@ -208,25 +208,38 @@ def _ranked_users(model, d: int):
     return (order[mask[order]] + 1).tolist()
 
 
-def heldout_reader_rank(model, held) -> np.ndarray:
+def ranked_users(model, held) -> dict:
+    """Ranked non-reader lists for every distinct doc in ``held``, each
+    computed exactly once — share the result between
+    :func:`heldout_reader_rank` and :func:`recall_at_k` instead of
+    re-ranking per metric call."""
+    return {d: _ranked_users(model, d) for d in dict.fromkeys(d for d, _ in held)}
+
+
+def heldout_reader_rank(model, held, recs: Optional[dict] = None) -> np.ndarray:
     """Normalized rank in [0, 1] of each held-out reader among the
     document's ranked non-readers (0 = top recommendation; 0.5 ≈
     random).  ``model`` is a trained CTPF (api or streaming); ``held``
-    comes from :func:`holdout_readers`."""
+    comes from :func:`holdout_readers`; pass ``recs=ranked_users(model,
+    held)`` to reuse rankings across metrics."""
+    if recs is None:
+        recs = ranked_users(model, held)
     ranks = []
     for d, u in held:
-        recs = _ranked_users(model, d)
-        ranks.append(recs.index(u) / max(len(recs) - 1, 1))
+        row = recs[d]
+        ranks.append(row.index(u) / max(len(row) - 1, 1))
     return np.asarray(ranks)
 
 
-def recall_at_k(model, held, k: int = 20) -> float:
+def recall_at_k(model, held, k: int = 20, recs: Optional[dict] = None) -> float:
     """Fraction of held-out readers appearing in the top-``k``
     recommendations for their document."""
     if k <= 0:
         raise ValueError("k must be a positive integer.")
+    if recs is None:
+        recs = ranked_users(model, held)
     hits = 0
     for d, u in held:
-        if u in _ranked_users(model, d)[:k]:
+        if u in recs[d][:k]:
             hits += 1
     return hits / max(len(held), 1)

@@ -83,8 +83,22 @@ class HMTMState(NamedTuple):
     elbo: jax.Array     # scalar
 
 
+def check_order_preserving(packed) -> None:
+    """HMTM consumes terms as an ordered token stream and ignores counts
+    (HMTM.jl:63-67); a condensed corpus (any term count > 1) would be
+    silently fit with its multiplicity — and its word order — destroyed.
+    Every other model consumes counts, so this must fail loudly here."""
+    if getattr(packed, "max_count", 0) > 1:
+        raise ValueError(
+            "HMTM requires an order-preserving corpus (one entry per "
+            "token, all counts == 1); this corpus has term counts > 1 — "
+            "it was condensed (condense_corp / fixcorp). Re-read the "
+            "corpus without condensing to train an HMTM.")
+
+
 def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> HMTMState:
     """Constructor state (reference HMTM.jl:26-32)."""
+    check_order_preserving(packed)
     M_pad, V = packed.M_pad, packed.V
     beta = jax.random.dirichlet(key, jnp.ones((V,), dtype=jnp.float32), shape=(K,))
     return HMTMState(

@@ -229,6 +229,26 @@ def bucketize(
     return tuple(segments), order, local_size
 
 
+def unit_counts(packed: PackedCorpus) -> PackedCorpus:
+    """Copy of ``packed`` with every real term count set to 1 (padding
+    stays 0) — the order-preserving form HMTM requires (it consumes
+    terms as an ordered token stream; models/hmtm.check_order_preserving
+    rejects anything with counts > 1).  Works on dense and bucketed
+    layouts."""
+    def unit(c):
+        return (c > 0).astype(c.dtype)
+
+    counts = unit(packed.counts)
+    segments = packed.segments
+    if segments is not None:
+        segments = tuple(
+            dataclasses.replace(s, counts=unit(s.counts)) for s in segments)
+    return dataclasses.replace(
+        packed, counts=counts, C=counts.sum(axis=1),
+        max_count=int(counts.max()) if counts.size else 0,
+        segments=segments)
+
+
 def bucketize_packed(
     packed: PackedCorpus,
     chunk: int,

@@ -1470,6 +1470,8 @@ class StreamingHMTM(_StreamingModel):
                  mesh=None, data_axis: str = "data"):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
                           mesh, data_axis)
+        from .models import hmtm as hmtm_mod
+        hmtm_mod.check_order_preserving(packed)
         npdt = np.dtype(dtype)
         M_pad = packed.M_pad
         # constructor state (HMTM.jl:26-32, = models/hmtm.init)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 
 import json
+import math
 import sys
 
 
@@ -210,6 +211,16 @@ def run(argv=None) -> dict:
     return summary
 
 
+def _pick_stream_batch(M_pad: int, want: int, n_dev: int) -> int:
+    """Largest batch <= ``want`` that divides ``M_pad`` and is a multiple
+    of the ``n_dev``-way data axis (the streaming constructor rejects
+    anything else); 0 when no such batch exists."""
+    return max((M_pad // d for d in range(1, M_pad + 1)
+                if M_pad % d == 0
+                and (M_pad // d) % n_dev == 0
+                and M_pad // d <= want), default=0)
+
+
 def _run_streaming(args, corp, runtime, mesh=None) -> dict:
     import numpy as np
 
@@ -222,18 +233,26 @@ def _run_streaming(args, corp, runtime, mesh=None) -> dict:
            "ctm": StreamingCTM, "fctm": StreamingFCTM,
            "ctpf": StreamingCTPF, "hmtm": StreamingHMTM}[args.model]
     is_ctpf = args.model == "ctpf"
+    n_dev = 1 if mesh is None else mesh.shape[runtime.data_axis]
     if isinstance(corp, Corpus):
+        # round the padded doc count to a multiple of n_dev as well, so a
+        # batch satisfying (batch | M_pad, n_dev | batch) always exists
+        dm = min(args.batch_docs, runtime.chunk_docs)
+        dm *= n_dev // math.gcd(dm, n_dev)
         packed = pack_corpus(corp, pad_multiple=runtime.pad_multiple,
-                             docs_multiple=min(args.batch_docs,
-                                               runtime.chunk_docs),
+                             docs_multiple=dm,
                              with_readers=is_ctpf,
                              dtype=np.dtype(runtime.dtype))
     else:
         packed = corp
-    n_dev = 1 if mesh is None else mesh.shape[runtime.data_axis]
-    batch = args.batch_docs
-    while batch > n_dev and (packed.M_pad % batch or batch % n_dev):
-        batch //= 2
+    batch = _pick_stream_batch(packed.M_pad, args.batch_docs, n_dev)
+    if batch == 0:
+        raise SystemExit(
+            f"--streaming: no batch size <= {args.batch_docs} divides the "
+            f"packed doc count {packed.M_pad} as a multiple of the "
+            f"{n_dev}-device data axis; repack the corpus with a doc "
+            f"padding that is a multiple of {n_dev}, or adjust "
+            f"--batch-docs.")
     per_dev = max(batch // n_dev, 1)
     chunk = min(runtime.chunk_docs, per_dev)
     while per_dev % chunk:   # the driver needs chunk | batch/n_dev
