@@ -105,3 +105,83 @@ def test_masked_fixpoint_matches_fori_loop():
     # body must also work under jit (while_loop tracing)
     jit_x, _ = jax.jit(lambda c: nx.masked_fixpoint(body, c, viter))((x0, a0))
     np.testing.assert_array_equal(np.asarray(ref_x), np.asarray(jit_x))
+
+
+def test_accurate_f32_transcendentals_vs_scipy():
+    """The f32 alog/aexp/algamma/adigamma constructions must stay within
+    a few ULPs of the scipy float64 truth.  (TPU's VPU intrinsics are
+    hundreds of ULPs off — mean |err| 1.7e-3 for f32 lgamma measured on
+    chip — which is why these exist; IEEE f32 arithmetic is identical on
+    CPU, so this test certifies the chip behaviour too.)"""
+    from scipy.special import digamma as sdigamma
+    from scipy.special import gammaln
+
+    import jax
+    import jax.numpy as jnp
+
+    eps32 = np.float64(np.finfo(np.float32).eps)
+    r = np.random.default_rng(0)
+    x = np.concatenate([r.uniform(1e-3, 2, 4000), r.uniform(2, 50, 4000),
+                        r.uniform(50, 1e4, 4000), r.uniform(1e4, 1e6, 2000),
+                        [1.0, 2.0, 0.5, 7.9999995, 8.0, 1e-3]]).astype(np.float32)
+    x64 = x.astype(np.float64)
+
+    got = np.asarray(jax.jit(nx._alog_f32)(jnp.asarray(x)), np.float64)
+    want = np.log(x64)
+    assert np.max(np.abs(got - want) / (np.maximum(np.abs(want), 1.0) * eps32)) < 2.0
+
+    xe = np.concatenate([r.uniform(-87, 87, 20000), [0.0]]).astype(np.float32)
+    got = np.asarray(jax.jit(nx._aexp_f32)(jnp.asarray(xe)), np.float64)
+    want = np.exp(xe.astype(np.float64))
+    assert np.max(np.abs(got - want) / (want * eps32)) < 2.0
+    assert float(nx._aexp_f32(jnp.float32(0.0))) == 1.0
+    assert float(nx._aexp_f32(jnp.float32(200.0))) == np.inf
+    assert float(nx._aexp_f32(jnp.float32(-200.0))) == 0.0
+
+    got = np.asarray(jax.jit(nx._algamma_f32)(jnp.asarray(x)), np.float64)
+    want = gammaln(x64)
+    # abs floor covers the recurrence cancellation below x=8 (~9·ulp(9));
+    # the relative term covers Stirling rounding at large x
+    assert np.max(np.abs(got - want) - (1.2e-5 + 5e-7 * np.abs(want))) < 0
+
+    got = np.asarray(jax.jit(nx._adigamma_f32)(jnp.asarray(x)), np.float64)
+    want = sdigamma(x64)
+    assert np.max(np.abs(got - want) - (2e-6 + 5e-7 * np.abs(want))) < 0
+
+
+def test_accurate_f32_edges_and_f64_passthrough():
+    import jax
+    import jax.numpy as jnp
+
+    assert float(nx._alog_f32(jnp.float32(1.0))) == 0.0
+    assert float(nx._alog_f32(jnp.float32(0.0))) == -np.inf
+    assert np.isnan(float(nx._alog_f32(jnp.float32(-1.0))))
+    assert float(nx._algamma_f32(jnp.float32(0.0))) == np.inf
+    assert np.isnan(float(nx._algamma_f32(jnp.float32(-0.5))))
+    assert float(nx._adigamma_f32(jnp.float32(0.0))) == -np.inf
+    # powers of two go through the e·ln2 path exactly
+    for k in (-10, -1, 1, 20):
+        got = float(nx._alog_f32(jnp.float32(2.0 ** k)))
+        np.testing.assert_allclose(got, k * np.log(2.0), rtol=3e-7)
+
+    # f64 inputs must fall through to the XLA intrinsics bit-for-bit
+    x = jnp.asarray(np.random.default_rng(1).uniform(0.01, 500, 100))
+    assert x.dtype == jnp.float64
+    np.testing.assert_array_equal(np.asarray(nx.lgamma(x)),
+                                  np.asarray(jax.lax.lgamma(x)))
+    np.testing.assert_array_equal(np.asarray(nx.digamma(x)),
+                                  np.asarray(jax.lax.digamma(x)))
+    np.testing.assert_array_equal(np.asarray(nx.alog(x)), np.asarray(jnp.log(x)))
+    np.testing.assert_array_equal(np.asarray(nx.aexp(x)), np.asarray(jnp.exp(x)))
+
+
+def test_asoftmax_matches_softmax():
+    import jax
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(2)
+    x = jnp.asarray(r.normal(0, 5, (64, 17)).astype(np.float32))
+    got = np.asarray(nx.asoftmax(x), np.float64)
+    want = jax.nn.softmax(jnp.asarray(np.asarray(x), np.float64), axis=-1)
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-7)
+    np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-6)

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, categorical_entropy, l2norm, logsumexp, masked_fixpoint,
-    mvnormal_diag_entropy,
+    EPSILON, aexp, alog, asoftmax, categorical_entropy, l2norm,
+    logsumexp, masked_fixpoint, mvnormal_diag_entropy,
 )
 
 
@@ -60,9 +60,9 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> CTMState:
     )
 
 
-def _phi(logbeta_d, lam):
+def _phi(logbeta_d, lam, softmax=jax.nn.softmax):
     """phi ∝ exp(log beta[:,terms] + lambda), over K (CTM.jl:175-178)."""
-    return jax.nn.softmax(logbeta_d + lam[:, None, :], axis=-1)
+    return softmax(logbeta_d + lam[:, None, :], axis=-1)
 
 
 def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
@@ -307,12 +307,12 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             beta_old_full = jax.lax.all_gather(state.beta_old, vocab_axis, axis=1, tiled=True)
         else:
             beta_full, beta_old_full = state.beta, state.beta_old
-        logbeta_oldT = jnp.log(beta_old_full).T        # CTM.jl:93 (raw)
-        logbetaT = jnp.log(beta_full + eps).T          # CTM.jl:71 (@boink)
+        logbeta_oldT = alog(beta_old_full).T           # CTM.jl:93 (raw)
+        logbetaT = alog(beta_full + eps).T             # CTM.jl:71 (@boink)
         mu, invsigma = state.mu, state.invsigma
         # logdet(invsigma) via Cholesky (SPD)
         chol = jnp.linalg.cholesky(state.invsigma)
-        logdet_inv = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        logdet_inv = 2.0 * jnp.sum(alog(jnp.diagonal(chol)))
         log2pi = jnp.log(2.0 * jnp.pi)
         isd = jnp.diagonal(invsigma)
 
@@ -323,7 +323,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             # phi from (beta_old, lambda_old) (CTM.jl:93); terms below use
             # the *current* lambda (CTM.jl:56-66). Zero-count slots masked as
             # in _estep_chunk.
-            p = _phi(jnp.where(c[..., None] > 0, logbeta_oldT[t], 0.0), lao)
+            p = _phi(jnp.where(c[..., None] > 0, logbeta_oldT[t], 0.0), lao,
+                     softmax=asoftmax)
             pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
             if seq_axis is not None:
                 cd = jax.lax.psum(cd, seq_axis)
@@ -333,7 +334,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             quad = jnp.einsum("bi,ij,bj->b", diff, invsigma, diff)
             e_peta = 0.5 * (logdet_inv - K * log2pi - jnp.sum(isd * v, -1) - quad)
             # Elogpz (CTM.jl:62-66)
-            bound = jnp.sum(jnp.exp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
+            bound = jnp.sum(aexp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
             e_pz = jnp.sum(pc * la, -1) - cd * bound
             # Elogpw (CTM.jl:69-73)
             e_pw = jnp.sum(p * logbetaT[t] * c[..., None], axis=(1, 2))

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    digamma, gamma_entropy, l2norm, lgamma, masked_fixpoint,
+    aexp, alog, asoftmax, digamma, gamma_entropy, l2norm, lgamma,
+    masked_fixpoint,
 )
 
 # Gamma hyperpriors a..h = 0.1 (CTPF.jl:81)
@@ -83,22 +84,23 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> CTPFState:
     )
 
 
-def _phi(dg_alef_d, dg_gimel, log_dalet, log_bet):
+def _phi(dg_alef_d, dg_gimel, log_dalet, log_bet, softmax=jax.nn.softmax):
     """phi ∝ exp(ψ(gimel) − log dalet − log bet + ψ(alef[:,terms])), over K
     (CTPF.jl:327-330)."""
-    return jax.nn.softmax(
+    return softmax(
         dg_alef_d + (dg_gimel - log_dalet - log_bet)[:, None, :], axis=-1
     )
 
 
-def _xi(dg_he_d, dg_gimel, dg_zayin, log_dalet, log_het, log_vav):
+def _xi(dg_he_d, dg_gimel, dg_zayin, log_dalet, log_het, log_vav,
+        exp=jnp.exp):
     """xi ∝ softmax over 2K of stacked content/offset halves (CTPF.jl:334-337).
 
     Returns ([B,R,K] top, [B,R,K] bottom)."""
     top = dg_he_d + (dg_gimel - log_dalet - log_vav)[:, None, :]
     bot = dg_he_d + (dg_zayin - log_het - log_vav)[:, None, :]
     m = jnp.maximum(jnp.max(top, -1, keepdims=True), jnp.max(bot, -1, keepdims=True))
-    et, eb = jnp.exp(top - m), jnp.exp(bot - m)
+    et, eb = exp(top - m), exp(bot - m)
     z = jnp.sum(et, -1, keepdims=True) + jnp.sum(eb, -1, keepdims=True)
     return et / z, eb / z
 
@@ -364,7 +366,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     e, f, g, h = hyper["e"], hyper["f"], hyper["g"], hyper["h"]
 
     def _xlogx(p):
-        return jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0)
+        return jnp.where(p > 0, p * alog(jnp.where(p > 0, p, 1.0)), 0.0)
 
     segments = packed.segments
     if seq_axis is not None:
@@ -391,17 +393,17 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         # old-param responsibilities (CTPF.jl:240-241)
         dg_alef_oT = digamma(alef_old).T
         dg_he_oT = digamma(he_old).T
-        log_bet_o = jnp.log(state.bet_old)
-        log_vav_o = jnp.log(state.vav_old)
-        log_dalet_o = jnp.log(state.dalet_old)
-        log_het_o = jnp.log(het_old)
+        log_bet_o = alog(state.bet_old)
+        log_vav_o = alog(state.vav_old)
+        log_dalet_o = alog(state.dalet_old)
+        log_het_o = alog(het_old)
         # current params for the bound
         dg_alef = digamma(alef)
         dg_he = digamma(he)
-        log_bet = jnp.log(state.bet)
-        log_vav = jnp.log(state.vav)
-        log_dalet = jnp.log(state.dalet)
-        log_het = jnp.log(het)
+        log_bet = alog(state.bet)
+        log_vav = alog(state.vav)
+        log_dalet = alog(state.dalet)
+        log_het = alog(het)
         alef_sum = jnp.sum(alef, axis=1)                     # Σ_j alef [K]
         he_sum = jnp.sum(he, axis=1) if U > 0 else jnp.zeros((K,), dt)
         dg_alefT_cur = dg_alef.T
@@ -411,13 +413,13 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         # contributions past the first, include_global_terms=False) ──
         if include_global_terms:
             # Elogpbeta (CTPF.jl:144-150) − Elogqbeta (CTPF.jl:198-204)
-            e_pbeta = V * K * (a * jnp.log(jnp.asarray(b, dt)) - lgamma(jnp.asarray(a, dt))) \
+            e_pbeta = V * K * (a * alog(jnp.asarray(b, dt)) - lgamma(jnp.asarray(a, dt))) \
                 + jnp.sum((a - 1.0) * (dg_alef - log_bet[:, None])
                           - b * alef / state.bet[:, None])
             e_qbeta_ent = jnp.sum(gamma_entropy(alef, state.bet[:, None]))
             # Elogpeta (CTPF.jl:162-168) − Elogqeta (CTPF.jl:216-222)
             if U > 0:
-                e_peta = U * K * (e * jnp.log(jnp.asarray(f, dt)) - lgamma(jnp.asarray(e, dt))) \
+                e_peta = U * K * (e * alog(jnp.asarray(f, dt)) - lgamma(jnp.asarray(e, dt))) \
                     + jnp.sum((e - 1.0) * (dg_he - log_vav[:, None])
                               - f * he / state.vav[:, None])
                 e_qeta_ent = jnp.sum(gamma_entropy(he, state.vav[:, None]))
@@ -430,10 +432,11 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         def scan_body(acc, xs):
             t, cnt, rd, rt, dm, gi, gio, za, zao = xs
             dg_gi_o, dg_za_o = digamma(gio), digamma(zao)
-            p = _phi(dg_alef_oT[t], dg_gi_o, log_dalet_o[None, :], log_bet_o[None, :])
+            p = _phi(dg_alef_oT[t], dg_gi_o, log_dalet_o[None, :],
+                     log_bet_o[None, :], softmax=asoftmax)
             xi_top, xi_bot = _xi(dg_he_oT[rd], dg_gi_o, dg_za_o,
                                  log_dalet_o[None, :], log_het_o[None, :],
-                                 log_vav_o[None, :])
+                                 log_vav_o[None, :], exp=aexp)
             dg_gi, dg_za = digamma(gi), digamma(za)
 
             # Elogpya + Elogpyb − Elogqy, E[lnΓ] cancelled (CTPF.jl:111-130, 180-186)
@@ -454,11 +457,11 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             dot_z = jnp.sum((gi / (state.dalet * state.bet)) * alef_sum, -1)
 
             # Elogptheta (CTPF.jl:153-159) − Elogqtheta (CTPF.jl:207-213)
-            e_pth = K * (c * jnp.log(jnp.asarray(d, dt)) - lgamma(jnp.asarray(c, dt))) \
+            e_pth = K * (c * alog(jnp.asarray(d, dt)) - lgamma(jnp.asarray(c, dt))) \
                 + jnp.sum((c - 1.0) * (dg_gi - log_dalet) - d * gi / state.dalet, -1)
             e_qth = jnp.sum(gamma_entropy(gi, state.dalet[None, :]), -1)
             # Elogpepsilon (CTPF.jl:171-177) − Elogqepsilon (CTPF.jl:225-231)
-            e_pep = K * (g * jnp.log(jnp.asarray(h, dt)) - lgamma(jnp.asarray(g, dt))) \
+            e_pep = K * (g * alog(jnp.asarray(h, dt)) - lgamma(jnp.asarray(g, dt))) \
                 + jnp.sum((g - 1.0) * (dg_za - log_het) - h * za / het, -1)
             e_qep = jnp.sum(gamma_entropy(za, het[None, :]), -1)
 

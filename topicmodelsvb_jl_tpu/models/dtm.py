@@ -41,8 +41,8 @@ import numpy as np
 from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, categorical_entropy, digamma, dirichlet_entropy, finite,
-    l2norm, lgamma, masked_fixpoint,
+    EPSILON, aexp, alog, asoftmax, categorical_entropy, digamma,
+    dirichlet_entropy, finite, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -143,10 +143,10 @@ def init(key: jax.Array, packed, K: int, T: int, dtype=jnp.float32,
     )
 
 
-def _phi(mbeta_d, decay, El):
+def _phi(mbeta_d, decay, El, softmax=jax.nn.softmax):
     """phi ∝ softmax_K(mbeta[t][:,terms] − decay_k + Elogtheta)
     (updatePhi!, DTM.jl:204-207); decay = e^{maxl−lzeta}·Σ_v e^{x−maxl}."""
-    return jax.nn.softmax(mbeta_d - decay[:, None, :] + El[:, None, :], axis=-1)
+    return softmax(mbeta_d - decay[:, None, :] + El[:, None, :], axis=-1)
 
 
 def _estep_chunk(mbeta_flat, alpha, rowsum_ovfl, maxl,
@@ -408,7 +408,7 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
         dt = state.betahat.dtype
         x = state.mbeta + 0.5 * state.vbeta
         maxl = jnp.max(x, axis=(1, 2))
-        rowsum_ovfl = jnp.sum(jnp.exp(x - maxl[:, None, None]), axis=2)
+        rowsum_ovfl = jnp.sum(aexp(x - maxl[:, None, None]), axis=2)
         mbeta_flat = jnp.transpose(state.mbeta, (0, 2, 1)).reshape(T * V, K)
         a = state.alpha
 
@@ -418,8 +418,8 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
             mbeta_d = mbeta_flat[flat_idx]
             rs_d = rowsum_ovfl[sid]
             maxl_d = maxl[sid]
-            decay = jnp.exp(maxl_d - lz)[:, None] * rs_d
-            p = _phi(mbeta_d, decay, el)
+            decay = aexp(maxl_d - lz)[:, None] * rs_d
+            p = _phi(mbeta_d, decay, el, softmax=asoftmax)
             a_d = a[sid]
             # Elogptheta (DTM.jl:128-131)
             e_pt = (finite(lgamma(jnp.sum(a_d, -1)))
@@ -430,7 +430,7 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
             e_pz = jnp.sum(pc * el, -1)
             # Elogpw (DTM.jl:139-143)
             e_pw = (jnp.sum(p * mbeta_d * c[..., None], axis=(1, 2))
-                    - jnp.sum(pc * rs_d, -1) * jnp.exp(maxl_d - lz)
+                    - jnp.sum(pc * rs_d, -1) * aexp(maxl_d - lz)
                     - lz + 1.0)
             # −Elogqtheta, −Elogqz (DTM.jl:150-159)
             e_qt = dirichlet_entropy(g)
@@ -456,7 +456,7 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
                 - (0.5 / SIGMASQ) * jnp.sum(
                     (state.mbeta - prev_m) ** 2 + state.vbeta + prev_v))
         # +entropy of N(mbeta, vbeta) per coordinate
-        e_qb = 0.5 * jnp.sum(jnp.log(2 * jnp.pi * jnp.e * state.vbeta))
+        e_qb = 0.5 * jnp.sum(alog(2 * jnp.pi * jnp.e * state.vbeta))
         if axis_name is not None:
             total = jax.lax.psum(total, axis_name)
         return total + e_pb + e_qb

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, bernoulli_entropy, categorical_entropy, l2norm, logsumexp,
-    masked_fixpoint, mvnormal_diag_entropy,
+    EPSILON, aexp, alog, asoftmax, bernoulli_entropy, categorical_entropy,
+    l2norm, logsumexp, masked_fixpoint, mvnormal_diag_entropy,
 )
 
 
@@ -61,9 +61,9 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FCTMState:
     )
 
 
-def _phi(logbeta_d, tau, lam):
+def _phi(logbeta_d, tau, lam, softmax=jax.nn.softmax):
     """phi ∝ exp(tau·log(beta+EPS) + lambda), over K (fCTM.jl:230-233)."""
-    return jax.nn.softmax(tau[..., None] * logbeta_d + lam[:, None, :], axis=-1)
+    return softmax(tau[..., None] * logbeta_d + lam[:, None, :], axis=-1)
 
 
 def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
@@ -267,12 +267,12 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         else:
             beta_full, beta_old_full = state.beta, state.beta_old
             kappa_full = state.kappa
-        logbeta_oldT = jnp.log(beta_old_full + eps).T
-        logbetaT = jnp.log(beta_full + eps).T
-        logkappa = jnp.log(kappa_full + eps)
+        logbeta_oldT = alog(beta_old_full + eps).T
+        logbetaT = alog(beta_full + eps).T
+        logkappa = alog(kappa_full + eps)
         mu, invsigma, eta = state.mu, state.invsigma, state.eta
         chol = jnp.linalg.cholesky(state.invsigma)
-        logdet_inv = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        logdet_inv = 2.0 * jnp.sum(alog(jnp.diagonal(chol)))
         log2pi = jnp.log(2.0 * jnp.pi)
         isd = jnp.diagonal(invsigma)
         log_eps = jnp.log(eps)
@@ -281,7 +281,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             acc_doc, acc_tok = acc
             t, c, dm, la, lao, v, lz, ta, tao = xs
             cd = jnp.sum(c, axis=-1)
-            p = _phi(logbeta_oldT[t], tao, lao)
+            p = _phi(logbeta_oldT[t], tao, lao, softmax=asoftmax)
             tau_c = jnp.sum(ta * c, -1)
             pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
             if seq_axis is not None:
@@ -295,10 +295,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             quad = jnp.einsum("bi,ij,bj->b", diff, invsigma, diff)
             e_peta = 0.5 * (logdet_inv - K * log2pi - jnp.sum(isd * v, -1) - quad)
             # Elogpc (fCTM.jl:74-78)
-            s = tau_c * jnp.log(eta + eps) + (cd - tau_c) * jnp.log(1.0 - eta + eps)
+            s = tau_c * alog(eta + eps) + (cd - tau_c) * alog(1.0 - eta + eps)
             e_pc = jnp.logaddexp(s, log_eps)
             # Elogpz (fCTM.jl:81-85)
-            bound = jnp.sum(jnp.exp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
+            bound = jnp.sum(aexp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
             e_pz = jnp.sum(pc * la, -1) - cd * bound
             # Elogpw (fCTM.jl:88-92)
             e_pw = jnp.sum(p * logbetaT[t] * (c * ta)[..., None], axis=(1, 2)) \

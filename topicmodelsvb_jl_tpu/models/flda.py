@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, bernoulli_entropy, categorical_entropy, digamma,
-    dirichlet_entropy, finite, l2norm, lgamma, masked_fixpoint,
+    EPSILON, alog, asoftmax, bernoulli_entropy, categorical_entropy,
+    digamma, dirichlet_entropy, finite, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -64,9 +64,9 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FLDAState:
     )
 
 
-def _phi(logbeta_d, tau, El):
+def _phi(logbeta_d, tau, El, softmax=jax.nn.softmax):
     """phi ∝ exp(tau·log beta + Elogtheta), over K (fLDA.jl:204-207)."""
-    return jax.nn.softmax(tau[..., None] * logbeta_d + El[:, None, :], axis=-1)
+    return softmax(tau[..., None] * logbeta_d + El[:, None, :], axis=-1)
 
 
 def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
@@ -306,9 +306,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         else:
             beta_full, beta_old_full = state.beta, state.beta_old
             kappa_full = state.kappa
-        logbeta_oldT = jnp.log(beta_old_full + eps).T
-        logbetaT = jnp.log(beta_full + eps).T
-        logkappa = jnp.log(kappa_full + eps)
+        logbeta_oldT = alog(beta_old_full + eps).T
+        logbetaT = alog(beta_full + eps).T
+        logkappa = alog(kappa_full + eps)
         a = state.alpha
         eta = state.eta
         theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))
@@ -318,7 +318,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             acc_doc, acc_tok = acc
             t, c, dm, g, el, elo, ta, tao = xs
             # phi recompute from tau_old/beta_old/Elogtheta_old (fLDA.jl:113)
-            p = _phi(logbeta_oldT[t], tao, elo)
+            p = _phi(logbeta_oldT[t], tao, elo, softmax=asoftmax)
             C_d = jnp.sum(c, -1)
             tau_c = jnp.sum(ta * c, -1)
             pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
@@ -332,7 +332,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
             # Elogpc (fLDA.jl:68-71): log(eta^a (1-eta)^b + EPS) — mirrors the
             # reference's @boink saturation exactly via logaddexp
-            s = tau_c * jnp.log(eta + eps) + (C_d - tau_c) * jnp.log(1.0 - eta + eps)
+            s = tau_c * alog(eta + eps) + (C_d - tau_c) * alog(1.0 - eta + eps)
             e_pc = jnp.logaddexp(s, log_eps)
             # Elogpz (fLDA.jl:74-78)
             e_pz = jnp.sum(pc * el, -1)

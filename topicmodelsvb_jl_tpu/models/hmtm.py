@@ -70,7 +70,8 @@ import numpy as np
 from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, digamma, dirichlet_entropy, l2norm, lgamma, masked_fixpoint,
+    EPSILON, aexp, alog, digamma, dirichlet_entropy, l2norm, lgamma,
+    masked_fixpoint,
 )
 
 
@@ -111,7 +112,7 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> HMTMState:
     )
 
 
-def _tilde(tau: jax.Array, gamma: jax.Array):
+def _tilde(tau: jax.Array, gamma: jax.Array, exp=jnp.exp):
     """Expected-log chain parameters, exponentiated for linear-space FB.
 
     p0[b,i] = exp ψ(tau)−ψ(Στau); A[b,i,l] = exp ψ(γ_il)−ψ(Σ_i γ_il).
@@ -120,10 +121,10 @@ def _tilde(tau: jax.Array, gamma: jax.Array):
     """
     Elogpi = digamma(tau) - digamma(jnp.sum(tau, -1, keepdims=True))
     Elogth = digamma(gamma) - digamma(jnp.sum(gamma, -2, keepdims=True))
-    return jnp.exp(Elogpi), jnp.exp(Elogth)
+    return exp(Elogpi), exp(Elogth)
 
 
-def _forward(p0, A, Bv, tmask):
+def _forward(p0, A, Bv, tmask, log=jnp.log):
     """Scaled forward pass.
 
     Bv: [B, L, K] gathered beta[:, w_n] (+EPS); tmask: [B, L] 1 on real
@@ -136,7 +137,7 @@ def _forward(p0, A, Bv, tmask):
     f0 = jnp.where(m0 > 0, p0 * Bv[:, 0], p0)
     c0 = jnp.sum(f0, -1, keepdims=True) + eps
     a0 = f0 / c0
-    logZ0 = jnp.where(tmask[:, 0] > 0, jnp.log(c0[:, 0]), 0.0)
+    logZ0 = jnp.where(tmask[:, 0] > 0, log(c0[:, 0]), 0.0)
 
     def step(carry, xs):
         a_prev, logZ = carry
@@ -148,7 +149,7 @@ def _forward(p0, A, Bv, tmask):
         upd = (m_n > 0)[:, None]
         a_n = jnp.where(upd, a_new, a_prev)
         c_eff = jnp.where(m_n > 0, c[:, 0], 1.0)
-        return (a_n, logZ + jnp.log(c_eff)), (a_n, c_eff)
+        return (a_n, logZ + log(c_eff)), (a_n, c_eff)
 
     xs = (jnp.moveaxis(Bv[:, 1:], 1, 0), tmask[:, 1:].T)
     (_, logZ), (a_rest, c_rest) = jax.lax.scan(step, (a0, logZ0), xs)
@@ -372,9 +373,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         def scan_body(acc, xs):
             t, cnt, dm, tau, gamma = xs
             tmask = (cnt > 0).astype(dtype)
-            p0, A = _tilde(tau, gamma)
+            p0, A = _tilde(tau, gamma, exp=aexp)
             Bv = betaT_eps[t]
-            _, _, logZ = _forward(p0, A, Bv, tmask)
+            _, _, logZ = _forward(p0, A, Bv, tmask, log=alog)
             Elogpi = digamma(tau) - digamma(jnp.sum(tau, -1, keepdims=True))
             Elogth = digamma(gamma) - digamma(jnp.sum(gamma, -2, keepdims=True))
             e_ppi = pi_const + jnp.sum((eta - 1.0) * Elogpi, -1)

@@ -34,8 +34,8 @@ import numpy as np
 from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, categorical_entropy, digamma, dirichlet_entropy,
-    finite, l2norm, lgamma, masked_fixpoint,
+    EPSILON, alog, asoftmax, categorical_entropy, digamma,
+    dirichlet_entropy, finite, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -74,15 +74,18 @@ def _round_up_128(k: int) -> int:
     return ((k + 127) // 128) * 128
 
 
-def _phi(logbeta_d: jax.Array, Elogtheta: jax.Array) -> jax.Array:
+def _phi(logbeta_d: jax.Array, Elogtheta: jax.Array,
+         softmax=jax.nn.softmax) -> jax.Array:
     """phi ∝ beta[:,terms]·exp(Elogtheta), normalised over K (LDA.jl:150-154).
 
     Log-space softmax — identical in exact arithmetic to the reference's
     ``@positive phi = beta .* exp(Elogtheta); phi ./= sum`` but immune to
     exp underflow at f32.
     logbeta_d: [B, L, K]; Elogtheta: [B, K] → [B, L, K].
+    ``softmax`` is swappable: the training step keeps the fast VPU
+    softmax; the ELBO path passes numerics.asoftmax (~2-ULP exp).
     """
-    return jax.nn.softmax(logbeta_d + Elogtheta[:, None, :], axis=-1)
+    return softmax(logbeta_d + Elogtheta[:, None, :], axis=-1)
 
 
 def _estep_chunk(
@@ -328,8 +331,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             beta_old_full = jax.lax.all_gather(state.beta_old, vocab_axis, axis=1, tiled=True)
         else:
             beta_full, beta_old_full = state.beta, state.beta_old
-        logbeta_oldT = jnp.log(beta_old_full + eps).T  # for phi recompute
-        logbetaT = jnp.log(beta_full + eps).T          # Elogpw uses current beta
+        logbeta_oldT = alog(beta_old_full + eps).T  # for phi recompute
+        logbetaT = alog(beta_full + eps).T          # Elogpw uses current beta
         a = state.alpha
         # Elogptheta doc-constant part (LDA.jl:50-53)
         theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))
@@ -337,7 +340,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
             t, c, dm, g, el, elo = xs
-            p = _phi(logbeta_oldT[t], elo)                       # [B, L, K]
+            p = _phi(logbeta_oldT[t], elo, softmax=asoftmax)     # [B, L, K]
             cw = c[..., None]
             # Elogptheta (LDA.jl:50-53)
             e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)

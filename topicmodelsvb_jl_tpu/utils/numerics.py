@@ -9,9 +9,11 @@ TPU-native re-implementation of the reference's numeric layer
 * ``logsumexp`` (utils.jl:110).
 * Dirichlet entropy closed form (utils.jl:163-180).
 * digamma/trigamma — the reference hand-rolls an OpenCL digamma
-  (utils.jl:21-53); on TPU these are XLA intrinsics
-  (``jax.lax.digamma`` / ``jax.lax.polygamma``), fused into the
-  surrounding elementwise graph by the compiler.
+  (utils.jl:21-53); here f32 digamma/lgamma/log/exp get ~2-ULP
+  Cephes-style constructions (TPU's VPU approximations are hundreds
+  of ULPs off — enough to put several units of noise in a corpus
+  ELBO; see the "accurate float32 transcendentals" section), while
+  f64 falls through to the XLA intrinsics.
 
 Everything here is jit-safe and dtype-polymorphic (f32 on TPU,
 f64 for the CPU oracle, mirroring the reference's CPU-f64/GPU-f32
@@ -62,8 +64,115 @@ def logsumexp(x: jax.Array, axis: int | None = None) -> jax.Array:
     return out if axis is None else jnp.squeeze(out, axis=axis)
 
 
+# ── accurate float32 transcendentals ──────────────────────────────────
+#
+# TPU's VPU evaluates log/exp/lgamma with fast low-precision
+# approximations: measured on the chip, f32 lgamma has mean |err|
+# 1.7e-3 (max 3.7e-2) and log ~1e-4 abs — hundreds of ULPs.  Summed
+# over the thousands of per-token/per-doc terms of a corpus ELBO this
+# is several *units* of bound error, large enough to swamp true
+# ∆ELBO near convergence (a measured −12.7 "decrease" against a true
+# +2.6 at NSF-shaped scale).  The implementations below are classic
+# Cephes-style constructions in pure IEEE f32 arithmetic (~2-3 ULP),
+# cutting ELBO evaluation noise ~50-100×.  f64 inputs fall through to
+# the XLA intrinsics, which are accurate at that width — so the CPU
+# oracle paths are bit-for-bit unchanged.
+
+_LOG2E = 1.4426950408889634
+# ln2 = C1 + C2 with C1's low mantissa bits zero, so n*C1 is exact
+# for the |n| < 2^15 this code ever sees (Cephes expf/logf split).
+_LN2_C1 = 0.693359375
+_LN2_C2 = -2.12194440e-4
+_HALF_LN2PI = 0.9189385332046727  # ½·ln(2π)
+
+
+def _alog_f32(x: jax.Array) -> jax.Array:
+    """~2-ULP f32 natural log for x > 0 (0 → −inf, <0 → nan)."""
+    m, e = jnp.frexp(x)                      # x = m·2^e, m ∈ [0.5, 1)
+    c = m < 0.7071067811865476
+    m = jnp.where(c, m + m, m)               # m ∈ [√½, √2)
+    e = (e - c.astype(e.dtype)).astype(x.dtype)
+    r = (m - 1.0) / (m + 1.0)                # |r| ≤ 0.1716
+    r2 = r * r
+    # log m = 2·atanh(r); truncation < 1.7e-11 ≪ f32 eps
+    p = 1 / 3 + r2 * (1 / 5 + r2 * (1 / 7 + r2 * (1 / 9 + r2 * (1 / 11))))
+    logm = 2.0 * r + (2.0 * r) * (r2 * p)    # keep the leading 2r exact
+    out = (logm + e * _LN2_C2) + e * _LN2_C1
+    out = jnp.where(x > 0, out, jnp.where(x == 0, -jnp.inf, jnp.nan))
+    return jnp.where(jnp.isposinf(x), jnp.inf, out)
+
+
+def _aexp_f32(x: jax.Array) -> jax.Array:
+    """~2-ULP f32 exp (Cephes argument reduction + degree-7 Taylor)."""
+    n = jnp.round(x * _LOG2E)
+    n = jnp.clip(n, -150.0, 128.0)           # ldexp-safe; exp saturates anyway
+    r = (x - n * _LN2_C1) - n * _LN2_C2      # |r| ≤ ½·ln2 + eps
+    p = 1 / 720 + r * (1 / 5040)
+    p = 1 / 120 + r * p
+    p = 1 / 24 + r * p
+    p = 1 / 6 + r * p
+    p = 0.5 + r * p
+    p = 1.0 + r * (1.0 + r * p)              # 1 + r + r²(½ + …)
+    out = jnp.ldexp(p, n.astype(jnp.int32))
+    out = jnp.where(x > 88.72, jnp.inf, out)           # overflow
+    return jnp.where(x < -103.0, 0.0, out)             # underflow
+
+
+def _shift_ge8(x: jax.Array, add):
+    """Recurrence push x → y ≥ 8 accumulating ``add(y)`` along the way."""
+    y, acc = x, jnp.zeros_like(x)
+    for _ in range(8):                       # static unroll; y > 8 once x > 0
+        c = y < 8.0
+        acc = acc + jnp.where(c, add(y), 0.0)
+        y = jnp.where(c, y + 1.0, y)
+    return y, acc
+
+
+def _algamma_f32(x: jax.Array) -> jax.Array:
+    """Accurate f32 lnΓ(x) for x > 0: recurrence to y ≥ 8 + Stirling."""
+    y, acc = _shift_ge8(x, _alog_f32)        # acc = Σ log(x+i), x+i < 8
+    w = 1.0 / y
+    w2 = w * w
+    series = w * (1 / 12 - w2 * (1 / 360 - w2 * (1 / 1260 - w2 * (1 / 1680))))
+    lg = (y - 0.5) * _alog_f32(y) - y + _HALF_LN2PI + series - acc
+    return jnp.where(x > 0, lg, jnp.where(x == 0, jnp.inf, jnp.nan))
+
+
+def _adigamma_f32(x: jax.Array) -> jax.Array:
+    """Accurate f32 ψ(x) for x > 0: recurrence to y ≥ 8 + asymptotic."""
+    y, acc = _shift_ge8(x, lambda v: 1.0 / v)
+    w = 1.0 / y
+    w2 = w * w
+    psi = (_alog_f32(y) - 0.5 * w
+           - w2 * (1 / 12 - w2 * (1 / 120 - w2 * (1 / 252 - w2 * (1 / 240)))))
+    return jnp.where(x > 0, psi - acc,
+                     jnp.where(x == 0, -jnp.inf, jnp.nan))
+
+
+def alog(x: jax.Array) -> jax.Array:
+    """log with ~2-ULP accuracy at f32 on TPU (f64: XLA intrinsic)."""
+    x = jnp.asarray(x)
+    return _alog_f32(x) if x.dtype == jnp.float32 else jnp.log(x)
+
+
+def aexp(x: jax.Array) -> jax.Array:
+    """exp with ~2-ULP accuracy at f32 on TPU (f64: XLA intrinsic)."""
+    x = jnp.asarray(x)
+    return _aexp_f32(x) if x.dtype == jnp.float32 else jnp.exp(x)
+
+
+def asoftmax(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Max-shifted softmax through :func:`aexp` — the ELBO-path phi
+    recompute (the training step keeps the fast VPU softmax; the
+    *reported bound* is what needs the extra digits)."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    e = aexp(x - m)
+    return e / jnp.sum(e, axis=axis, keepdims=True)
+
+
 def digamma(x: jax.Array) -> jax.Array:
-    return jax.lax.digamma(x)
+    x = jnp.asarray(x)
+    return _adigamma_f32(x) if x.dtype == jnp.float32 else jax.lax.digamma(x)
 
 
 def trigamma(x: jax.Array) -> jax.Array:
@@ -71,7 +180,8 @@ def trigamma(x: jax.Array) -> jax.Array:
 
 
 def lgamma(x: jax.Array) -> jax.Array:
-    return jax.lax.lgamma(x)
+    x = jnp.asarray(x)
+    return _algamma_f32(x) if x.dtype == jnp.float32 else jax.lax.lgamma(x)
 
 
 def dirichlet_entropy(alpha: jax.Array, axis: int = -1) -> jax.Array:
@@ -89,13 +199,13 @@ def dirichlet_entropy(alpha: jax.Array, axis: int = -1) -> jax.Array:
 
 def categorical_entropy(p: jax.Array, axis: int = -1) -> jax.Array:
     """−Σ p log p with 0·log 0 = 0 (reference Elogqz terms, LDA.jl:76-80)."""
-    return -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0), axis=axis)
+    return -jnp.sum(jnp.where(p > 0, p * alog(jnp.where(p > 0, p, 1.0)), 0.0), axis=axis)
 
 
 def bernoulli_entropy(t: jax.Array) -> jax.Array:
     """Entropy of Bernoulli(t) with 0·log0 = 0 (fLDA Elogqc, fLDA.jl:95-98)."""
     def xlogx(v):
-        return jnp.where(v > 0, v * jnp.log(jnp.where(v > 0, v, 1.0)), 0.0)
+        return jnp.where(v > 0, v * alog(jnp.where(v > 0, v, 1.0)), 0.0)
 
     return -(xlogx(t) + xlogx(1.0 - t))
 
@@ -105,7 +215,7 @@ def gamma_entropy(shape: jax.Array, rate: jax.Array) -> jax.Array:
 
     H = shape − log(rate) + lnΓ(shape) + (1 − shape)·ψ(shape).
     """
-    return shape - jnp.log(rate) + lgamma(shape) + (1.0 - shape) * digamma(shape)
+    return shape - alog(rate) + lgamma(shape) + (1.0 - shape) * digamma(shape)
 
 
 def mvnormal_diag_entropy(vsq: jax.Array, axis: int = -1) -> jax.Array:
@@ -114,7 +224,7 @@ def mvnormal_diag_entropy(vsq: jax.Array, axis: int = -1) -> jax.Array:
     H = K/2·(1 + log 2π) + ½·Σ log vsq.
     """
     k = vsq.shape[axis]
-    return 0.5 * k * (1.0 + jnp.log(2.0 * jnp.pi)) + 0.5 * jnp.sum(jnp.log(vsq), axis=axis)
+    return 0.5 * k * (1.0 + jnp.log(2.0 * jnp.pi)) + 0.5 * jnp.sum(alog(vsq), axis=axis)
 
 
 def l2norm(x: jax.Array, axis: int = -1) -> jax.Array:
