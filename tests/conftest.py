@@ -49,13 +49,11 @@ def reader_corpus():
 def ordered_corpus(tiny_corpus):
     """Order-preserving twin of tiny_corpus for HMTM: one entry per
     token (all counts 1) — HMTM rejects condensed corpora loudly."""
-    from topicmodelsvb_jl_tpu import Corpus, Document
+    from topicmodelsvb_jl_tpu import Corpus, Document, expand_corp
 
-    docs = []
-    for doc in tiny_corpus.docs:
-        terms = [t for t, c in zip(doc.terms, doc.counts)
-                 for _ in range(int(c))]
-        docs.append(Document(terms=terms, counts=[1] * len(terms),
-                             title=doc.title))
-    return Corpus(docs=docs, vocab=dict(tiny_corpus.vocab),
+    docs = [Document(terms=list(d.terms), counts=list(d.counts),
+                     title=d.title) for d in tiny_corpus.docs]
+    corp = Corpus(docs=docs, vocab=dict(tiny_corpus.vocab),
                   users=dict(tiny_corpus.users))
+    expand_corp(corp)
+    return corp

@@ -142,3 +142,29 @@ def test_pick_stream_batch_divisibility():
     # no multiple of 3 divides 2^11: must report impossibility, not crash
     assert _pick_stream_batch(2048, 8192, 3) == 0
     assert _pick_stream_batch(1536, 8192, 3) == 1536
+
+
+def test_cli_hmtm_expands_condensed_corpus():
+    """--model hmtm must work with the bundled corpus sources (which all
+    carry counts > 1): the CLI expands to one entry per token instead of
+    crashing in check_order_preserving (regression)."""
+    s = run([
+        "--model", "hmtm", "--corpus", "synth", "--synth-m", "24",
+        "--synth-v", "30", "--k", "3", "--iter", "2", "--checkelbo", "1",
+        "--dtype", "float64", "--chunk-docs", "8", "--pad-multiple", "8",
+        "--quiet",
+    ])
+    assert s["model"] == "hmtm" and np.isfinite(s["final_elbo"])
+
+
+def test_pick_stream_batch_matches_bruteforce():
+    """The O(sqrt M) divisor enumeration must agree with brute force."""
+    from topicmodelsvb_jl_tpu.train import _pick_stream_batch
+
+    for M_pad in (1, 7, 36, 97, 120, 1024, 1536):
+        for want in (1, 5, 64, 10_000):
+            for n_dev in (1, 2, 3, 8):
+                brute = max((b for b in range(1, M_pad + 1)
+                             if M_pad % b == 0 and b % n_dev == 0
+                             and b <= want), default=0)
+                assert _pick_stream_batch(M_pad, want, n_dev) == brute

@@ -290,3 +290,23 @@ def test_fixcorp_fuzz_preserves_invariants():
         for doc in corp.docs:     # per-doc invariants too
             assert len(doc.terms) == len(doc.counts)
             assert all(c > 0 for c in doc.counts)
+
+
+def test_expand_corp_inverts_condense():
+    """expand_corp: one entry per token, repeats adjacent, token count
+    preserved — the order-preserving form HMTM requires."""
+    from topicmodelsvb_jl_tpu.corpus import expand_corp
+
+    doc = Document(terms=[3, 1, 2], counts=[2, 1, 3])
+    corp = Corpus(docs=[doc], vocab={1: "a", 2: "b", 3: "c"})
+    expand_corp(corp)
+    assert doc.terms == [3, 3, 1, 2, 2, 2]
+    assert doc.counts == [1] * 6
+    check_corp(corp)
+    # idempotent on an already-expanded corpus
+    expand_corp(corp)
+    assert doc.terms == [3, 3, 1, 2, 2, 2]
+    # duplicate-doc aliasing safe (unique_docs): same object twice
+    corp2 = Corpus(docs=[doc, doc], vocab=dict(corp.vocab))
+    expand_corp(corp2)
+    assert corp2.docs[0].terms == [3, 3, 1, 2, 2, 2]

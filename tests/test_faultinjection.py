@@ -201,3 +201,34 @@ def test_checkpoint_overwrites_same_iter_leftovers(tmp_path):
     import topicmodelsvb_jl_tpu.checkpoint as ckptlib
     resumed = ckptlib.load(final, corp)
     assert resumed.K == 2
+
+
+def test_checkpoint_file_replace_never_preclears(tmp_path, monkeypatch):
+    """Single-host checkpoints are plain files: the callback must rely on
+    os.replace's atomicity alone — an os.remove of the existing final
+    file before the replace would open a crash window with NO durable
+    checkpoint for that iter (regression)."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu import RuntimeConfig
+    from topicmodelsvb_jl_tpu.api import LDA
+
+    ckpt_dir = str(tmp_path / "ck")
+    corp = tm.synth_corpus(M=32, V=24, K=2, seed=4)
+    rt = RuntimeConfig(chunk_docs=8, pad_multiple=8,
+                       checkpoint_every=2, checkpoint_dir=ckpt_dir)
+
+    removed = []
+    real_remove = os.remove
+    monkeypatch.setattr(os, "remove",
+                        lambda p: (removed.append(p), real_remove(p)))
+
+    # first run writes ckpt_iter000002/4; second run re-reaches both so
+    # every final write happens over an existing FILE
+    for _ in range(2):
+        model = LDA(corp, 2, runtime=rt, seed=1)
+        model.train(iter=4, tol=0.0, checkelbo=1, printelbo=False)
+
+    final = os.path.join(ckpt_dir, "ckpt_iter000002")
+    assert os.path.isfile(final)
+    assert not any(p.endswith("ckpt_iter000002") or p.endswith("000004")
+                   for p in removed), f"final files were pre-cleared: {removed}"

@@ -11,7 +11,8 @@ statistics, and data-parallel sharding over a device mesh.
 from .corpus import (
     Corpus, CorpusError, Document, DocumentError,
     abridge_corp, alphabetize_corp, check_corp, check_doc, check_docs,
-    compact_corp, condense_corp, fixcorp, getusers, getvocab, pad_corp,
+    compact_corp, condense_corp, expand_corp, fixcorp, getusers, getvocab,
+    pad_corp,
     readcorp, remove_empty_docs, remove_redundant, remove_terms,
     showdocs, showtitles, stop_corp, trim_corp, trim_docs, writecorp,
 )

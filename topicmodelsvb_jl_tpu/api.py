@@ -312,7 +312,13 @@ class TopicModel:
                         f"tmvb_ckpt_clear:{final}")
                 ckptlib.save(tmp, self)
                 if jax.process_index() == 0:
-                    _clear(final)
+                    # single-host checkpoints are plain files: os.replace
+                    # alone is atomic, and pre-clearing would open a crash
+                    # window with NO durable checkpoint for this iter.
+                    # Directories (multi-host layout) can't be renamed over
+                    # a non-empty target, so only they need clearing first.
+                    if os.path.isdir(final) or os.path.isdir(tmp):
+                        _clear(final)
                     os.replace(tmp, final)
 
             kw["checkpoint_cb"] = _ckpt_cb

@@ -504,6 +504,21 @@ def condense_corp(corp: Corpus) -> None:
         doc.counts = list(dd.values())
 
 
+def expand_corp(corp: Corpus) -> None:
+    """Inverse of :func:`condense_corp`: one entry per token (all counts
+    1), repeats adjacent.  This is the order-preserving form HMTM
+    consumes (it reads ``terms`` as the document's token sequence,
+    reference HMTM.jl:63-67).  For a corpus read with ``counts=True``
+    (or condensed), the original word order is already gone — expansion
+    places repeats adjacently, which is the only order the data still
+    determines; corpora read token-per-line keep their true order."""
+    for doc in corp.unique_docs():
+        terms = [t for t, c in zip(doc.terms, doc.counts)
+                 for _ in range(int(c))]
+        doc.terms = terms
+        doc.counts = [1] * len(terms)
+
+
 def pad_corp(corp: Corpus, vocab: bool = True, users: bool = True) -> None:
     """Add generic entries for keys in docs but missing from dicts (Corpus.jl:541-556)."""
     if vocab:

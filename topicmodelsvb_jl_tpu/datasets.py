@@ -132,8 +132,11 @@ def load_citeu(seed: int = 7, subset: Optional[int] = None) -> Corpus:
         # scale the user pool with the doc subset so reads-per-user
         # density stays at CiteULike's (~12): keeping all 5.5k users
         # over a few hundred docs would leave most users with a single
-        # read, making recommender evaluation degenerate
-        U = max(10, round(U * M / CITEU_SCALE["M"]))
+        # read, making recommender evaluation degenerate.  Never scale
+        # ABOVE the users file's id range: a reader id with no name
+        # entry would break every user-display path.
+        scaled = max(10, round(U * M / CITEU_SCALE["M"]))
+        U = min(U, scaled) if users else scaled
     warnings.warn(
         "CiteULike docfile not available in this mirror; generating a synthetic "
         f"corpus at reference scale (M={M}, V={V}, U={U}, seed={seed})."

@@ -231,10 +231,13 @@ def bucketize(
 
 def unit_counts(packed: PackedCorpus) -> PackedCorpus:
     """Copy of ``packed`` with every real term count set to 1 (padding
-    stays 0) — the order-preserving form HMTM requires (it consumes
-    terms as an ordered token stream; models/hmtm.check_order_preserving
-    rejects anything with counts > 1).  Works on dense and bucketed
-    layouts."""
+    stays 0).  WARNING: this DISCARDS multiplicity — a count-3 term
+    becomes one token — so it is NOT the order-preserving expansion
+    HMTM needs for real data (that is ``corpus.expand_corp``, applied
+    BEFORE packing).  Its legitimate use is benchmark/smoke inputs
+    (bench_hmtm.py, __graft_entry__.py) where the synthetic counts
+    carry no information and only the packed shape matters.  Works on
+    dense and bucketed layouts."""
     def unit(c):
         return (c > 0).astype(c.dtype)
 

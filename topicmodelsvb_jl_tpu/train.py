@@ -152,6 +152,27 @@ def run(argv=None) -> dict:
         fixcorp(corp, stop=True, trim=True, alphabetize=True,
                 remove_empty_docs=True)
 
+    if args.model == "hmtm":
+        # HMTM consumes terms as an ordered token stream and rejects
+        # condensed corpora loudly; every bundled corpus source carries
+        # counts, so expand to one-entry-per-token here (repeats
+        # adjacent — see corpus.expand_corp on what order survives).
+        if isinstance(corp, Corpus):
+            from .corpus import expand_corp
+
+            if any(c > 1 for d in corp.docs for c in d.counts):
+                if not args.json:
+                    print("hmtm: expanding condensed corpus to one entry "
+                          "per token (repeats adjacent)")
+                expand_corp(corp)
+        else:   # packed synthetic (nsf-scale): shape-only benchmark input
+            from .ops.packing import unit_counts
+
+            if not args.json:
+                print("hmtm: flattening synthetic packed counts to 1 "
+                      "(multiplicity is synthetic here; shape-only input)")
+            corp = unit_counts(corp)
+
     rt_kw = {}
     for field, attr in [("chunk_docs", "chunk_docs"),
                         ("pad_multiple", "pad_multiple"),
@@ -215,10 +236,15 @@ def _pick_stream_batch(M_pad: int, want: int, n_dev: int) -> int:
     """Largest batch <= ``want`` that divides ``M_pad`` and is a multiple
     of the ``n_dev``-way data axis (the streaming constructor rejects
     anything else); 0 when no such batch exists."""
-    return max((M_pad // d for d in range(1, M_pad + 1)
-                if M_pad % d == 0
-                and (M_pad // d) % n_dev == 0
-                and M_pad // d <= want), default=0)
+    best = 0
+    d = 1
+    while d * d <= M_pad:           # enumerate divisor pairs in O(sqrt M)
+        if M_pad % d == 0:
+            for b in (d, M_pad // d):
+                if b <= want and b % n_dev == 0:
+                    best = max(best, b)
+        d += 1
+    return best
 
 
 def _run_streaming(args, corp, runtime, mesh=None) -> dict:
