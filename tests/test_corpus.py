@@ -310,3 +310,47 @@ def test_expand_corp_inverts_condense():
     corp2 = Corpus(docs=[doc, doc], vocab=dict(corp.vocab))
     expand_corp(corp2)
     assert corp2.docs[0].terms == [3, 3, 1, 2, 2, 2]
+
+
+def test_showtitles_range_validation(capsys):
+    """showtitles must validate 1-based indices like showdocs — index 0
+    silently printed the LAST doc via negative indexing (regression)."""
+    from topicmodelsvb_jl_tpu.corpus import CorpusError, showtitles
+
+    corp = Corpus(docs=[Document(terms=[1], counts=[1], title="t1")],
+                  vocab={1: "a"})
+    showtitles(corp, 1)
+    capsys.readouterr()
+    for bad in (0, -1, 2):
+        try:
+            showtitles(corp, bad)
+            assert False, f"index {bad} accepted"
+        except CorpusError:
+            pass
+
+
+def test_writecorp_rejects_missing_stamps(tmp_path):
+    """writecorp(stamps=True) with a stamp-less doc would write a literal
+    'None' line readcorp cannot parse back (regression)."""
+    from topicmodelsvb_jl_tpu.corpus import CorpusError, writecorp
+
+    corp = Corpus(docs=[Document(terms=[1], counts=[1])], vocab={1: "a"})
+    try:
+        writecorp(corp, docfile=str(tmp_path / "d.txt"), stamps=True)
+        assert False, "missing stamp accepted"
+    except CorpusError:
+        pass
+
+
+def test_corpus_fingerprint_sees_stamps():
+    """A stamp edit with unchanged terms must change the fingerprint —
+    stamps drive DTM slice assignment on resume (regression)."""
+    from topicmodelsvb_jl_tpu.checkpoint import corpus_fingerprint
+
+    c1 = Corpus(docs=[Document(terms=[1], counts=[1], stamp=1.0)],
+                vocab={1: "a"})
+    c2 = Corpus(docs=[Document(terms=[1], counts=[1], stamp=2.0)],
+                vocab={1: "a"})
+    c3 = Corpus(docs=[Document(terms=[1], counts=[1])], vocab={1: "a"})
+    fps = {corpus_fingerprint(c) for c in (c1, c2, c3)}
+    assert len(fps) == 3

@@ -185,3 +185,25 @@ def test_asoftmax_matches_softmax():
     want = jax.nn.softmax(jnp.asarray(np.asarray(x), np.float64), axis=-1)
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-7)
     np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-6)
+
+
+def test_aexp_f32_overflow_boundaries():
+    """aexp must agree with f32 exp semantics AT the boundaries: finite
+    for x just below log(f32_max) ~ 88.7228, inf just above; nonzero for
+    x above log(min subnormal) ~ -103.279 (regression: an 88.72 cutoff
+    flipped finite values in (88.72, 88.7228] to inf)."""
+    import jax.numpy as jnp
+
+    for x in (88.72, 88.722, 88.7228):
+        got = float(nx.aexp(jnp.float32(x)))
+        assert np.isfinite(got) and got > 3e38 * (x > 88.7), x
+    assert np.isinf(float(nx.aexp(jnp.float32(88.7229))))
+    # below the normal range the platform flushes subnormals to zero
+    # (jnp.exp does too) — require agreement with jnp.exp, not a value
+    for x in (-87.0, -100.0, -103.2, -104.0):
+        assert float(nx.aexp(jnp.float32(x))) == float(jnp.exp(jnp.float32(x))), x
+    # relative accuracy holds right up to the overflow edge
+    for x in (88.0, 88.7, 88.72, 88.7228):
+        want = float(np.exp(np.float64(np.float32(x))))  # post-quantization truth
+        got = float(nx.aexp(jnp.float32(x)))
+        assert abs(got - want) / want < 1e-6, x

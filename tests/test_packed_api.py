@@ -71,3 +71,28 @@ def test_packed_guards():
 
     corp = gencorp(m, M=4, seed=0)
     assert len(corp) == 4 and len(corp.vocab) == m.V
+
+
+def test_prebucketized_shard_mismatch_rejected():
+    """A bucketed corpus laid out for n_shards=S must be rejected by a
+    model on a mesh with a different data-axis size — the shard-major
+    rows would silently pair with the wrong per-doc state (regression)."""
+    packed = synth_packed_nsf_scale(M=33, V=50, mean_terms=10, seed=5,
+                                    chunk_docs=8)
+    b = bucketize_packed(packed, chunk=8, n_shards=1)
+    with pytest.raises(TopicModelError, match="n_shards"):
+        LDA(b, 3, runtime=_rt(), mesh=make_mesh(n_devices=4), seed=1)
+
+
+def test_dtm_basemodel_from_packed_corpus_checks_M():
+    """basemodel built from a PackedCorpus (corp=None) must hit the clear
+    doc-count TopicModelError, not AttributeError (regression)."""
+    import topicmodelsvb_jl_tpu as tm
+
+    packed = synth_packed_nsf_scale(M=16, V=20, mean_terms=6, seed=1,
+                                    chunk_docs=8)
+    base = LDA(packed, 2, runtime=_rt(), mesh=make_mesh(n_devices=1), seed=0)
+    corp = tm.synth_corpus(M=20, V=20, K=2, seed=0, n_slices=2)
+    with pytest.raises(TopicModelError, match="matching number"):
+        DTM(corp, 2, delta=1.0, basemodel=base, runtime=_rt(),
+            mesh=make_mesh(n_devices=1))

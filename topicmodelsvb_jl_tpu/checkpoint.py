@@ -36,7 +36,7 @@ import numpy as np
 
 from .corpus import Corpus
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2   # v2: corpus fingerprint includes Document.stamp
 _MANIFEST = "manifest.json"
 
 
@@ -59,6 +59,10 @@ def corpus_fingerprint(corp: Corpus) -> str:
         h.update(np.asarray(doc.counts, np.int64).tobytes())
         h.update(np.asarray(doc.readers, np.int64).tobytes())
         h.update(np.asarray(doc.ratings, np.int64).tobytes())
+        # stamps drive DTM slice assignment: a stamp edit with unchanged
+        # terms must fail the strict fingerprint check on resume
+        h.update(np.float64(np.nan if doc.stamp is None else doc.stamp)
+                 .tobytes())
     for k in sorted(corp.vocab):
         h.update(f"{k}:{corp.vocab[k]};".encode())
     for k in sorted(corp.users):
@@ -215,7 +219,9 @@ def _rebuild_model(meta: dict, corp, strict_corpus: bool):
     from .utils.config import RuntimeConfig
 
     if meta["format"] != _FORMAT_VERSION:
-        raise ValueError(f"unsupported checkpoint format {meta['format']}")
+        raise ValueError(
+            f"unsupported checkpoint format {meta['format']} "
+            f"(this build reads format {_FORMAT_VERSION}).")
     fp = (packed_fingerprint(corp) if isinstance(corp, PackedCorpus)
           else corpus_fingerprint(corp))
     if strict_corpus and fp != meta["corpus"]:

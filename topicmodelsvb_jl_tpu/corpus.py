@@ -409,6 +409,10 @@ def writecorp(
 
     if docfile:
         attrs = [a for a, on in (("counts", counts), ("readers", readers), ("ratings", ratings)) if on]
+        if stamps and any(doc.stamp is None for doc in corp.docs):
+            raise CorpusError(
+                "stamps=True requires every document to carry a stamp — "
+                "a written 'None' line could not be read back.")
         with open(docfile, "w") as f:
             for doc in corp.docs:
                 f.write(delim.join(map(str, doc.terms)) + "\n")
@@ -712,12 +716,14 @@ def showtitles(corp: Corpus, docs=None) -> None:
 
     if docs is None:
         docs = range(1, len(corp) + 1)
-    if isinstance(docs, int):
+    if isinstance(docs, (int, Document)):
         docs = [docs]
     for item in docs:
         if isinstance(item, Document):
             bullet(item.title or "Document")
         else:
             d = int(item)
+            if not 1 <= d <= len(corp):
+                raise CorpusError("some document indices outside corpus range.")
             doc = corp.docs[d - 1]
             bullet(f"Document {d} {doc.title}" if doc.title else f"Document {d}")

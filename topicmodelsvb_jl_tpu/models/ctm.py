@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
+from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, aexp, alog, asoftmax, categorical_entropy, l2norm,
@@ -138,12 +139,12 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     (see its module docstring for the analysis); it remains available
     explicitly for experimentation."""
     V = packed.V
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if use_pallas is None:
         use_pallas = False   # measured slower (kernels/ctm_estep.py)
     if seq_axis is not None:
         use_pallas = False
-        assert segments is None, "token-axis sharding requires dense packing"
+        assert seg_starts is None, "token-axis sharding requires dense packing"
     from .lda import _round_up_128
     Kp = _round_up_128(K)
 
@@ -230,14 +231,14 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
         carry = (jnp.zeros((V, K), dt), jnp.zeros((K,), dt),
                  jnp.zeros((K,), dt), jnp.zeros((K, K), dt))
-        if segments is None:
+        if seg_starts is None:
             carry, (lam, lam_old, vsq, logzeta) = sweep(
                 terms, counts, doc_mask, state.lam, state.lam_old,
                 state.vsq, state.logzeta, carry)
         else:
             parts = []
-            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
-                lo_, hi_ = seg.loc_start, seg.loc_start + t_arr.shape[0]
+            for lo0, t_arr, c_arr, dm_arr in zip(seg_starts, terms, counts, doc_mask):
+                lo_, hi_ = lo0, lo0 + t_arr.shape[0]
                 carry, ys = sweep(
                     t_arr, c_arr, dm_arr, state.lam[lo_:hi_],
                     state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
@@ -295,9 +296,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
               vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
     """ELBO (CTM.jl:55-98): phi recomputed from (beta_old, lambda_old)."""
     V = packed.V
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if seq_axis is not None:
-        assert segments is None, "token-axis sharding requires dense packing"
+        assert seg_starts is None, "token-axis sharding requires dense packing"
 
     def elbo(state: CTMState, terms, counts, doc_mask):
         dt = state.beta.dtype
@@ -361,12 +362,12 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
 
         zero = jnp.zeros((), dt)
         acc = (zero, zero)
-        if segments is None:
+        if seg_starts is None:
             acc = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
                         state.vsq, state.logzeta, acc)
         else:
-            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
-                lo_, hi_ = seg.loc_start, seg.loc_start + t_arr.shape[0]
+            for lo0, t_arr, c_arr, dm_arr in zip(seg_starts, terms, counts, doc_mask):
+                lo_, hi_ = lo0, lo0 + t_arr.shape[0]
                 acc = sweep(t_arr, c_arr, dm_arr, state.lam[lo_:hi_],
                             state.lam_old[lo_:hi_], state.vsq[lo_:hi_],
                             state.logzeta[lo_:hi_], acc)

@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     aexp, alog, asoftmax, digamma, gamma_entropy, l2norm, lgamma,
@@ -195,10 +196,10 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
     if chunk_docs % 8 != 0 or not fits_vmem(packed.L + packed.Rmax, Kp):
         use_pallas = False
 
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if seq_axis is not None:
         use_pallas = False
-        assert segments is None, "token/reader-axis sharding requires dense packing"
+        assert seg_starts is None, "token/reader-axis sharding requires dense packing"
 
     def step(state: CTPFState, terms, counts, readers, ratings, doc_mask):
         dt = state.alef.dtype
@@ -275,7 +276,7 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
 
         carry = (jnp.zeros((V, K), dt), jnp.zeros((U_seg, K), dt),
                  jnp.zeros((K,), dt), jnp.zeros((K,), dt))
-        if segments is None:
+        if seg_starts is None:
             carry, (gimel, gimel_old, zayin, zayin_old) = sweep(
                 terms, counts, readers, ratings, doc_mask,
                 state.gimel, state.gimel_old, state.zayin, state.zayin_old,
@@ -284,8 +285,8 @@ def make_step(packed, K: int, viter: int, vtol: float, chunk_docs: int,
             # token axis bucketed per segment; reader arrays stay dense
             # [local, Rmax] and are row-sliced per segment
             parts = []
-            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
-                lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
+            for lo0, t_a, c_a, dm_a in zip(seg_starts, terms, counts, doc_mask):
+                lo_, hi_ = lo0, lo0 + t_a.shape[0]
                 carry, ys = sweep(
                     t_a, c_a, readers[lo_:hi_], ratings[lo_:hi_], dm_a,
                     state.gimel[lo_:hi_], state.gimel_old[lo_:hi_],
@@ -368,9 +369,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     def _xlogx(p):
         return jnp.where(p > 0, p * alog(jnp.where(p > 0, p, 1.0)), 0.0)
 
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if seq_axis is not None:
-        assert segments is None, "token/reader-axis sharding requires dense packing"
+        assert seg_starts is None, "token/reader-axis sharding requires dense packing"
 
     def elbo(state: CTPFState, terms, counts, readers, ratings, doc_mask):
         dt = state.alef.dtype
@@ -489,13 +490,13 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
 
         zero = jnp.zeros((), dt)
         acc = (zero, zero)
-        if segments is None:
+        if seg_starts is None:
             acc = sweep(terms, counts, readers, ratings, doc_mask,
                         state.gimel, state.gimel_old,
                         state.zayin, state.zayin_old, acc)
         else:
-            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
-                lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
+            for lo0, t_a, c_a, dm_a in zip(seg_starts, terms, counts, doc_mask):
+                lo_, hi_ = lo0, lo0 + t_a.shape[0]
                 acc = sweep(t_a, c_a, readers[lo_:hi_], ratings[lo_:hi_],
                             dm_a, state.gimel[lo_:hi_],
                             state.gimel_old[lo_:hi_],

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
+from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, aexp, alog, asoftmax, bernoulli_entropy, categorical_entropy,
@@ -137,9 +138,9 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     ``seq_axis`` shards the token axis + tau (SP analogue, dense packing
     only)."""
     V = packed.V
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if seq_axis is not None:
-        assert segments is None, "token-axis sharding requires dense packing"
+        assert seg_starts is None, "token-axis sharding requires dense packing"
 
     def step(state: FCTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
@@ -177,15 +178,15 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
         carry = (jnp.zeros((V, K), dt), jnp.zeros((V,), dt), jnp.zeros((K,), dt),
                  jnp.zeros((K,), dt), jnp.zeros((K, K), dt))
-        if segments is None:
+        if seg_starts is None:
             carry, (lam, lam_old, vsq, logzeta, tau, tau_old) = sweep(
                 terms, counts, doc_mask, state.lam, state.lam_old,
                 state.vsq, state.logzeta, state.tau, state.tau_old, carry)
         else:
             Lmax = state.tau.shape[1]
             parts = []
-            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
-                lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
+            for lo0, t_a, c_a, dm_a in zip(seg_starts, terms, counts, doc_mask):
+                lo_, hi_ = lo0, lo0 + t_a.shape[0]
                 Ls = t_a.shape[1]
                 carry, ys = sweep(
                     t_a, c_a, dm_a, state.lam[lo_:hi_], state.lam_old[lo_:hi_],
@@ -253,9 +254,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     """ELBO (fCTM.jl:67-124): phi from (tau_old, beta_old, lambda_old)."""
     V = packed.V
 
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if seq_axis is not None:
-        assert segments is None, "token-axis sharding requires dense packing"
+        assert seg_starts is None, "token-axis sharding requires dense packing"
 
     def elbo(state: FCTMState, terms, counts, doc_mask):
         dt = state.beta.dtype
@@ -328,13 +329,13 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
 
         zero = jnp.zeros((), dt)
         acc = (zero, zero)
-        if segments is None:
+        if seg_starts is None:
             acc = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
                         state.vsq, state.logzeta, state.tau, state.tau_old,
                         acc)
         else:
-            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
-                lo_, hi_ = seg.loc_start, seg.loc_start + t_a.shape[0]
+            for lo0, t_a, c_a, dm_a in zip(seg_starts, terms, counts, doc_mask):
+                lo_, hi_ = lo0, lo0 + t_a.shape[0]
                 Ls = t_a.shape[1]
                 acc = sweep(t_a, c_a, dm_a, state.lam[lo_:hi_],
                             state.lam_old[lo_:hi_], state.vsq[lo_:hi_],

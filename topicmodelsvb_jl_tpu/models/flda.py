@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.newton import dirichlet_newton
+from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, alog, asoftmax, bernoulli_entropy, categorical_entropy,
@@ -136,14 +137,14 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     over that mesh axis (SP analogue, SURVEY §5.7b); incompatible with
     bucketed packing and the Pallas body, like models/lda.py."""
     V = packed.V
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if use_pallas is None:
         # the kernel pads the topic axis to 128 lanes; below K=64 the
         # padding waste outweighs the fused fixpoint's IO win
         use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
     if seq_axis is not None:
         use_pallas = False
-        assert segments is None, "token-axis sharding requires dense packing"
+        assert seg_starts is None, "token-axis sharding requires dense packing"
     from .lda import _round_up_128
     Kp = _round_up_128(K)
 
@@ -225,7 +226,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
         carry = (jnp.zeros((V, K), dt), jnp.zeros((V,), dt),
                  jnp.zeros((K,), dt), jnp.zeros((), dt))
-        if segments is None:
+        if seg_starts is None:
             carry, (gamma, El, El_old, tau, tau_old) = sweep(
                 terms, counts, doc_mask, state.gamma, state.Elogtheta,
                 state.Elogtheta_old, state.tau, state.tau_old, carry)
@@ -235,8 +236,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             # segment width are never read — doc N ≤ segment L)
             Lmax = state.tau.shape[1]
             parts = []
-            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
-                lo, hi = seg.loc_start, seg.loc_start + t_a.shape[0]
+            for lo0, t_a, c_a, dm_a in zip(seg_starts, terms, counts, doc_mask):
+                lo, hi = lo0, lo0 + t_a.shape[0]
                 Ls = t_a.shape[1]
                 carry, ys = sweep(
                     t_a, c_a, dm_a, state.gamma[lo:hi],
@@ -292,9 +293,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     """ELBO with the reference's *_old recompute semantics (fLDA.jl:109-118)."""
     V = packed.V
 
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if seq_axis is not None:
-        assert segments is None, "token-axis sharding requires dense packing"
+        assert seg_starts is None, "token-axis sharding requires dense packing"
 
     def elbo(state: FLDAState, terms, counts, doc_mask):
         dt = state.beta.dtype
@@ -365,13 +366,13 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
 
         zero = jnp.zeros((), dt)
         acc = (zero, zero)
-        if segments is None:
+        if seg_starts is None:
             acc = sweep(terms, counts, doc_mask, state.gamma,
                         state.Elogtheta, state.Elogtheta_old,
                         state.tau, state.tau_old, acc)
         else:
-            for seg, t_a, c_a, dm_a in zip(segments, terms, counts, doc_mask):
-                lo, hi = seg.loc_start, seg.loc_start + t_a.shape[0]
+            for lo0, t_a, c_a, dm_a in zip(seg_starts, terms, counts, doc_mask):
+                lo, hi = lo0, lo0 + t_a.shape[0]
                 Ls = t_a.shape[1]
                 acc = sweep(t_a, c_a, dm_a, state.gamma[lo:hi],
                             state.Elogtheta[lo:hi],

@@ -68,6 +68,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.newton import dirichlet_newton
+from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, aexp, alog, digamma, dirichlet_entropy, l2norm, lgamma,
@@ -255,7 +256,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     ``vocab_axis`` shards beta storage (TP) exactly like the LDA path.
     """
     V = packed.V
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
 
     def step(state: HMTMState, terms, counts, doc_mask, M_total):
         dtype = state.beta.dtype
@@ -289,15 +290,15 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
         carry0 = (jnp.zeros((V, K), dtype), jnp.zeros((K,), dtype),
                   jnp.zeros((K, K), dtype))
-        if segments is None:
+        if seg_starts is None:
             (beta_temp, pi_sum, th_sum), tau, gamma = sweep(
                 terms, counts, doc_mask, state.tau, state.gamma, carry0)
         else:
             carry = carry0
             tau_parts, g_parts = [], []
-            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts,
+            for lo0, t_arr, c_arr, dm_arr in zip(seg_starts, terms, counts,
                                                  doc_mask):
-                lo = seg.loc_start
+                lo = lo0
                 hi = lo + t_arr.shape[0]
                 carry, tau2, g2 = sweep(
                     t_arr, c_arr, dm_arr,
@@ -354,7 +355,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     implicit (exact) chain update, so the printed trace is monotone.
     """
     V = packed.V
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
 
     def elbo(state: HMTMState, terms, counts, doc_mask):
         dtype = state.beta.dtype
@@ -395,12 +396,12 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             return acc
 
         acc = jnp.zeros((), dtype)
-        if segments is None:
+        if seg_starts is None:
             acc = sweep(terms, counts, doc_mask, state.tau, state.gamma, acc)
         else:
-            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts,
+            for lo0, t_arr, c_arr, dm_arr in zip(seg_starts, terms, counts,
                                                  doc_mask):
-                lo = seg.loc_start
+                lo = lo0
                 hi = lo + t_arr.shape[0]
                 acc = sweep(t_arr, c_arr, dm_arr,
                             state.tau[lo:hi], state.gamma[lo:hi], acc)

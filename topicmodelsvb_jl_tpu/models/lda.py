@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.newton import dirichlet_newton
+from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, alog, asoftmax, categorical_entropy, digamma,
@@ -176,14 +177,14 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     auto (on for TPU backends).  Both paths compute the same math.
     """
     V = packed.V
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if use_pallas is None:
         # the kernel pads the topic axis to 128 lanes; below K=64 the
         # padding waste outweighs the fused fixpoint's IO win
         use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
     if seq_axis is not None:
         use_pallas = False
-        assert segments is None, "token-axis sharding requires dense packing"
+        assert seg_starts is None, "token-axis sharding requires dense packing"
 
     def step(state: LDAState, terms, counts, doc_mask, M_total):
         dtype = state.beta.dtype
@@ -252,7 +253,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             return carry, unsh(gamma), unsh(El), unsh(El_old)
 
         carry0 = (jnp.zeros((V, K), dtype), jnp.zeros((K,), dtype))
-        if segments is None:
+        if seg_starts is None:
             (beta_temp, El_sum), gamma, El, El_old = sweep(
                 terms, counts, doc_mask,
                 state.gamma, state.Elogtheta, state.Elogtheta_old, carry0)
@@ -261,8 +262,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             # each slicing its contiguous rows of the (local) doc state
             carry = carry0
             g_parts, el_parts, elo_parts = [], [], []
-            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
-                lo = seg.loc_start
+            for lo0, t_arr, c_arr, dm_arr in zip(seg_starts, terms, counts, doc_mask):
+                lo = lo0
                 hi = lo + t_arr.shape[0]   # local rows under shard_map
                 carry, g2, el2, elo2 = sweep(
                     t_arr, c_arr, dm_arr,
@@ -320,9 +321,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     M-step (modelutils.jl:574-585).
     """
     V = packed.V
-    segments = packed.segments
+    seg_starts = seg_loc_starts(packed)
     if seq_axis is not None:
-        assert segments is None, "token-axis sharding requires dense packing"
+        assert seg_starts is None, "token-axis sharding requires dense packing"
 
     def elbo(state: LDAState, terms, counts, doc_mask):
         eps = jnp.asarray(EPSILON, state.beta.dtype)
@@ -375,13 +376,13 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
 
         zero = jnp.zeros((), state.beta.dtype)
         acc = (zero, zero)
-        if segments is None:
+        if seg_starts is None:
             acc = sweep(terms, counts, doc_mask,
                         state.gamma, state.Elogtheta, state.Elogtheta_old,
                         acc)
         else:
-            for seg, t_arr, c_arr, dm_arr in zip(segments, terms, counts, doc_mask):
-                lo = seg.loc_start
+            for lo0, t_arr, c_arr, dm_arr in zip(seg_starts, terms, counts, doc_mask):
+                lo = lo0
                 hi = lo + t_arr.shape[0]
                 acc = sweep(t_arr, c_arr, dm_arr,
                             state.gamma[lo:hi], state.Elogtheta[lo:hi],

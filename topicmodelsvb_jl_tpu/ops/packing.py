@@ -229,6 +229,17 @@ def bucketize(
     return tuple(segments), order, local_size
 
 
+def seg_loc_starts(packed):
+    """Per-segment ``loc_start`` tuple, or None for dense layouts.
+
+    make_step/make_elbo closures capture THIS instead of
+    ``packed.segments`` so a cached jitted step (api._infer_cache) never
+    pins the Segment numpy arrays in memory."""
+    if packed.segments is None:
+        return None
+    return tuple(int(s.loc_start) for s in packed.segments)
+
+
 def unit_counts(packed: PackedCorpus) -> PackedCorpus:
     """Copy of ``packed`` with every real term count set to 1 (padding
     stays 0).  WARNING: this DISCARDS multiplicity — a count-3 term

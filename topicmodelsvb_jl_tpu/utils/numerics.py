@@ -114,8 +114,10 @@ def _aexp_f32(x: jax.Array) -> jax.Array:
     p = 0.5 + r * p
     p = 1.0 + r * (1.0 + r * p)              # 1 + r + r²(½ + …)
     out = jnp.ldexp(p, n.astype(jnp.int32))
-    out = jnp.where(x > 88.72, jnp.inf, out)           # overflow
-    return jnp.where(x < -103.0, 0.0, out)             # underflow
+    # true f32 boundaries: log(f32_max) ≈ 88.72284, log(min subnormal)
+    # ≈ −103.2789 — a looser cutoff would flip finite values to inf/0
+    out = jnp.where(x > 88.72284, jnp.inf, out)        # overflow
+    return jnp.where(x < -103.279, 0.0, out)           # underflow
 
 
 def _shift_ge8(x: jax.Array, add):
