@@ -168,3 +168,25 @@ def test_pick_stream_batch_matches_bruteforce():
                              if M_pad % b == 0 and b % n_dev == 0
                              and b <= want), default=0)
                 assert _pick_stream_batch(M_pad, want, n_dev) == brute
+
+
+def test_cli_packed_dir_streaming_from_disk(tmp_path):
+    """--packed-dir + --streaming + --state-dir: the full disk-backed
+    path (corpus memmaps in, state memmaps out) through the CLI."""
+    import numpy as np
+
+    from topicmodelsvb_jl_tpu.datasets import synth_packed_nsf_scale
+    from topicmodelsvb_jl_tpu.ops.packing import save_packed
+
+    packed = synth_packed_nsf_scale(M=96, V=50, mean_terms=10, seed=4,
+                                    chunk_docs=16, pad_multiple=8)
+    save_packed(str(tmp_path / "corp"), packed)
+    s = run([
+        "--model", "lda", "--packed-dir", str(tmp_path / "corp"),
+        "--k", "3", "--iter", "2", "--checkelbo", "1",
+        "--dtype", "float64", "--chunk-docs", "16",
+        "--streaming", "--batch-docs", "32", "--quiet",
+        "--state-dir", str(tmp_path / "state"),
+    ])
+    assert s["mode"] == "streaming" and np.isfinite(s["final_elbo"])
+    assert (tmp_path / "state" / "gamma.npy").exists()

@@ -588,3 +588,53 @@ def test_streaming_lda_tp_vocab_axis_matches_single_device():
 
     with pytest.raises(ValueError):
         st.StreamingLDA(packed, K, vocab_axis="vocab")   # no mesh
+
+
+def test_disk_backed_streaming_matches_ram(tmp_path):
+    """Full beyond-memory story (reference todo.txt:6 'stream docs from
+    disk'): corpus as read-only .npy memmaps + per-doc state as writable
+    memmaps must reproduce the in-RAM streamed trajectory exactly."""
+    from topicmodelsvb_jl_tpu.ops.packing import load_packed, save_packed
+
+    K, iters = 3, 3
+    packed = _packed()
+    save_packed(str(tmp_path / "corp"), packed)
+    disk = load_packed(str(tmp_path / "corp"), mmap=True)
+    assert isinstance(disk.terms, np.memmap) and isinstance(disk.C, np.memmap)
+    assert not disk.terms.flags.writeable
+    np.testing.assert_array_equal(np.asarray(disk.terms), packed.terms)
+    assert (disk.M, disk.V, disk.L, disk.M_pad) == \
+        (packed.M, packed.V, packed.L, packed.M_pad)
+
+    ram = StreamingLDA(packed, K, batch_docs=32, chunk_docs=16,
+                       dtype=jnp.float64, seed=3)
+    ram.train(iter=iters, checkelbo=1, viter=5, printelbo=False)
+
+    sd = str(tmp_path / "state")
+    dm = StreamingLDA(disk, K, batch_docs=32, chunk_docs=16,
+                      dtype=jnp.float64, seed=3, state_dir=sd)
+    assert isinstance(dm.gamma, np.memmap)    # state genuinely on disk
+    dm.train(iter=iters, checkelbo=1, viter=5, printelbo=False)
+
+    np.testing.assert_allclose(np.asarray(dm.beta), np.asarray(ram.beta),
+                               rtol=1e-14)
+    np.testing.assert_allclose(dm.gamma, ram.gamma, rtol=1e-14)
+    assert dm.trace == ram.trace
+    # the state files are real and row-for-row identical to the RAM run
+    reload = np.load(sd + "/gamma.npy", mmap_mode="r")
+    np.testing.assert_allclose(np.asarray(reload), ram.gamma, rtol=1e-14)
+
+
+def test_save_packed_roundtrip_readers(tmp_path):
+    """Reader/rating arrays survive the save/load roundtrip (CTPF)."""
+    from topicmodelsvb_jl_tpu.ops.packing import load_packed, save_packed
+
+    packed = _packed_readers()
+    save_packed(str(tmp_path / "c"), packed)
+    back = load_packed(str(tmp_path / "c"), mmap=False)
+    for f in ("terms", "counts", "doc_mask", "readers", "ratings", "R"):
+        np.testing.assert_array_equal(np.asarray(getattr(back, f)),
+                                      np.asarray(getattr(packed, f)))
+    assert (back.U, back.Rmax, back.max_rating) == \
+        (packed.U, packed.Rmax, packed.max_rating)
+    assert back.counts.dtype == packed.counts.dtype

@@ -28,6 +28,7 @@ from .evaluate import (
     recall_at_k,
     topic_coherence,
 )
+from .ops.packing import load_packed, save_packed
 from .streaming import (
     StreamingCTM, StreamingCTPF, StreamingFCTM, StreamingFLDA, StreamingHMTM,
     StreamingLDA,

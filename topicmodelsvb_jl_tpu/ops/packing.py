@@ -315,3 +315,55 @@ def bucketize_packed(
         segments=segments, order=order, inv_order=inv_order,
         n_shards=n_shards, chunk=chunk,
     )
+
+
+# ── disk-backed packed corpora (reference todo.txt:6 — "stream docs
+# from disk").  A PackedCorpus saved with save_packed loads back as
+# READ-ONLY np.memmap views: batch slices touch only their own pages,
+# so the streaming models train corpora larger than host RAM.  Dense
+# layouts only — bucketing permutes rows in memory, and the streaming
+# models require dense packing anyway. ──
+
+_PACKED_ARRAYS = ("terms", "counts", "doc_mask", "N", "C",
+                  "readers", "ratings", "R")
+_PACKED_SCALARS = ("M", "V", "L", "U", "Rmax", "max_count", "max_rating")
+
+
+def save_packed(path: str, packed: PackedCorpus) -> None:
+    """Write a dense PackedCorpus as ``<path>/meta.json`` + one ``.npy``
+    per array (uncompressed → mmap-loadable)."""
+    import json
+    import os
+
+    if packed.segments is not None:
+        raise ValueError("save_packed takes a dense (non-bucketed) "
+                         "PackedCorpus; save before bucketizing.")
+    os.makedirs(path, exist_ok=True)
+    present = []
+    for name in _PACKED_ARRAYS:
+        a = getattr(packed, name)
+        if a is not None:
+            np.save(os.path.join(path, f"{name}.npy"), np.ascontiguousarray(a))
+            present.append(name)
+    meta = {s: int(getattr(packed, s)) for s in _PACKED_SCALARS}
+    meta["arrays"] = present
+    meta["counts_dtype"] = str(packed.counts.dtype)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_packed(path: str, mmap: bool = True) -> PackedCorpus:
+    """Load a :func:`save_packed` directory.  With ``mmap=True`` (the
+    default) every array is a read-only memory map — constructing the
+    corpus costs no corpus-sized RAM, and the streaming models' batch
+    slices read only the pages they touch."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    kw = {s: meta[s] for s in _PACKED_SCALARS}
+    for name in meta["arrays"]:
+        kw[name] = np.load(os.path.join(path, f"{name}.npy"),
+                           mmap_mode="r" if mmap else None)
+    return PackedCorpus(**kw)

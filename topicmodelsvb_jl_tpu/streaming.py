@@ -277,7 +277,10 @@ class _StreamingModel:
     vocab_axis: Optional[str] = None   # TP composition (StreamingLDA)
 
     def _init_common(self, packed, K, batch_docs, chunk_docs, dtype, seed,
-                     mesh, data_axis):
+                     mesh, data_axis, state_dir=None):
+        self._state_dir = state_dir
+        if state_dir is not None:
+            os.makedirs(state_dir, exist_ok=True)
         if packed.segments is not None:
             raise ValueError(f"{type(self).__name__} takes a dense "
                              "(non-bucketed) PackedCorpus.")
@@ -316,6 +319,19 @@ class _StreamingModel:
         self._svi_t = 0          # SVI step counter (train_online)
         self._epochs_done = 0    # completed online epochs (rng replay)
         self._svi_stats = None   # running online statistics pytree
+
+    def _host_full(self, name, shape, fill, dtype):
+        """Host per-doc state array: RAM, or — with ``state_dir`` — a
+        writable ``.npy`` memmap so the O(M·K) state also lives on disk
+        (full beyond-memory training: corpus AND state out of RAM)."""
+        if self._state_dir is None:
+            return np.full(shape, fill, dtype)
+        from numpy.lib.format import open_memmap
+
+        a = open_memmap(os.path.join(self._state_dir, f"{name}.npy"),
+                        mode="w+", dtype=np.dtype(dtype), shape=shape)
+        a[...] = fill
+        return a
 
     def _batches(self):
         n = self.packed.M_pad // self.batch_docs
@@ -663,7 +679,8 @@ class StreamingLDA(_StreamingModel):
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
                  mesh=None, data_axis: str = "data",
-                 vocab_axis: Optional[str] = None):
+                 vocab_axis: Optional[str] = None,
+                 state_dir: Optional[str] = None):
         """``mesh`` makes each streamed batch data-parallel over its
         devices (stats psum'd): a beyond-memory corpus streams through a
         whole mesh.  Batch rows must divide chunk_docs × mesh size.
@@ -675,7 +692,7 @@ class StreamingLDA(_StreamingModel):
             raise ValueError("vocab_axis needs a mesh carrying that axis")
         self.vocab_axis = vocab_axis
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
-                          mesh, data_axis)
+                          mesh, data_axis, state_dir=state_dir)
         npdt = np.dtype(dtype)
         M_pad = packed.M_pad
 
@@ -688,9 +705,9 @@ class StreamingLDA(_StreamingModel):
         self.alpha = jnp.ones((self.K,), self.dtype)
         # host-resident per-doc state (the O(M·K) memory)
         el0 = -sum(1.0 / i for i in range(1, self.K))
-        self.gamma = np.ones((M_pad, self.K), npdt)
-        self.Elogtheta = np.full((M_pad, self.K), el0, npdt)
-        self.Elogtheta_old = np.full((M_pad, self.K), el0, npdt)
+        self.gamma = self._host_full("gamma", (M_pad, self.K), 1.0, npdt)
+        self.Elogtheta = self._host_full("Elogtheta", (M_pad, self.K), el0, npdt)
+        self.Elogtheta_old = self._host_full("Elogtheta_old", (M_pad, self.K), el0, npdt)
         self._sweep = None
         self._batch_elbo = None
 
@@ -841,12 +858,13 @@ class StreamingCTPF(_StreamingModel):
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
-                 mesh=None, data_axis: str = "data"):
+                 mesh=None, data_axis: str = "data",
+                 state_dir: Optional[str] = None):
         if packed.readers is None or packed.ratings is None:
             raise ValueError("StreamingCTPF needs reader arrays "
                              "(pack with with_readers=True).")
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
-                          mesh, data_axis)
+                          mesh, data_axis, state_dir=state_dir)
         self.U = packed.U
         self.U_seg = max(packed.U, 1)
         npdt = np.dtype(dtype)
@@ -866,10 +884,10 @@ class StreamingCTPF(_StreamingModel):
         self.vav, self.vav_old = ones_k, ones_k
         self.het, self.het_old = ones_k, ones_k
         # host-resident per-doc state
-        self.gimel = np.ones((M_pad, self.K), npdt)
-        self.gimel_old = np.ones((M_pad, self.K), npdt)
-        self.zayin = np.ones((M_pad, self.K), npdt)
-        self.zayin_old = np.ones((M_pad, self.K), npdt)
+        self.gimel = self._host_full("gimel", (M_pad, self.K), 1.0, npdt)
+        self.gimel_old = self._host_full("gimel_old", (M_pad, self.K), 1.0, npdt)
+        self.zayin = self._host_full("zayin", (M_pad, self.K), 1.0, npdt)
+        self.zayin_old = self._host_full("zayin_old", (M_pad, self.K), 1.0, npdt)
         self._sweep = None
         self._elbo_first = None
         self._elbo_rest = None
@@ -1025,9 +1043,10 @@ class StreamingCTM(_StreamingModel):
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 2048, dtype=jnp.float32, seed: int = 0,
-                 mesh=None, data_axis: str = "data"):
+                 mesh=None, data_axis: str = "data",
+                 state_dir: Optional[str] = None):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
-                          mesh, data_axis)
+                          mesh, data_axis, state_dir=state_dir)
         npdt = np.dtype(dtype)
         M_pad = packed.M_pad
         # constructor state (reference CTM.jl:27-52, = models/ctm.init)
@@ -1039,10 +1058,10 @@ class StreamingCTM(_StreamingModel):
         eye = jnp.eye(self.K, dtype=self.dtype)
         self.mu = jnp.zeros((self.K,), self.dtype)
         self.sigma, self.invsigma = eye, eye
-        self.lam = np.zeros((M_pad, self.K), npdt)
-        self.lam_old = np.zeros((M_pad, self.K), npdt)
-        self.vsq = np.ones((M_pad, self.K), npdt)
-        self.logzeta = np.full((M_pad,), 0.5, npdt)
+        self.lam = self._host_full("lam", (M_pad, self.K), 0.0, npdt)
+        self.lam_old = self._host_full("lam_old", (M_pad, self.K), 0.0, npdt)
+        self.vsq = self._host_full("vsq", (M_pad, self.K), 1.0, npdt)
+        self.logzeta = self._host_full("logzeta", (M_pad,), 0.5, npdt)
         self._sweep = None
         self._elbo_fn = None
 
@@ -1160,9 +1179,10 @@ class StreamingFLDA(_StreamingModel):
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
-                 mesh=None, data_axis: str = "data"):
+                 mesh=None, data_axis: str = "data",
+                 state_dir: Optional[str] = None):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
-                          mesh, data_axis)
+                          mesh, data_axis, state_dir=state_dir)
         npdt = np.dtype(dtype)
         M_pad, L = packed.M_pad, packed.L
         # constructor state (reference fLDA.jl:30-58, = models/flda.init)
@@ -1177,11 +1197,11 @@ class StreamingFLDA(_StreamingModel):
         self.eta = jnp.asarray(0.5, self.dtype)
         self.alpha = jnp.ones((self.K,), self.dtype)
         el0 = -sum(1.0 / i for i in range(1, self.K))
-        self.gamma = np.ones((M_pad, self.K), npdt)
-        self.Elogtheta = np.full((M_pad, self.K), el0, npdt)
-        self.Elogtheta_old = np.full((M_pad, self.K), el0, npdt)
-        self.tau = np.full((M_pad, L), 0.5, npdt)
-        self.tau_old = np.full((M_pad, L), 0.5, npdt)
+        self.gamma = self._host_full("gamma", (M_pad, self.K), 1.0, npdt)
+        self.Elogtheta = self._host_full("Elogtheta", (M_pad, self.K), el0, npdt)
+        self.Elogtheta_old = self._host_full("Elogtheta_old", (M_pad, self.K), el0, npdt)
+        self.tau = self._host_full("tau", (M_pad, L), 0.5, npdt)
+        self.tau_old = self._host_full("tau_old", (M_pad, L), 0.5, npdt)
         self._C_total = float(np.asarray(packed.C, np.float64).sum())
         self._sweep = None
         self._elbo_fn = None
@@ -1295,9 +1315,10 @@ class StreamingFCTM(_StreamingModel):
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 2048, dtype=jnp.float32, seed: int = 0,
-                 mesh=None, data_axis: str = "data"):
+                 mesh=None, data_axis: str = "data",
+                 state_dir: Optional[str] = None):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
-                          mesh, data_axis)
+                          mesh, data_axis, state_dir=state_dir)
         npdt = np.dtype(dtype)
         M_pad, L = packed.M_pad, packed.L
         # constructor state (reference fCTM.jl:33-64, = models/fctm.init)
@@ -1313,12 +1334,12 @@ class StreamingFCTM(_StreamingModel):
         eye = jnp.eye(self.K, dtype=self.dtype)
         self.mu = jnp.zeros((self.K,), self.dtype)
         self.sigma, self.invsigma = eye, eye
-        self.lam = np.zeros((M_pad, self.K), npdt)
-        self.lam_old = np.zeros((M_pad, self.K), npdt)
-        self.vsq = np.ones((M_pad, self.K), npdt)
-        self.logzeta = np.full((M_pad,), 0.5, npdt)
-        self.tau = np.full((M_pad, L), 0.5, npdt)
-        self.tau_old = np.full((M_pad, L), 0.5, npdt)
+        self.lam = self._host_full("lam", (M_pad, self.K), 0.0, npdt)
+        self.lam_old = self._host_full("lam_old", (M_pad, self.K), 0.0, npdt)
+        self.vsq = self._host_full("vsq", (M_pad, self.K), 1.0, npdt)
+        self.logzeta = self._host_full("logzeta", (M_pad,), 0.5, npdt)
+        self.tau = self._host_full("tau", (M_pad, L), 0.5, npdt)
+        self.tau_old = self._host_full("tau_old", (M_pad, L), 0.5, npdt)
         self._sweep = None
         self._elbo_fn = None
 
@@ -1467,9 +1488,10 @@ class StreamingHMTM(_StreamingModel):
 
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
-                 mesh=None, data_axis: str = "data"):
+                 mesh=None, data_axis: str = "data",
+                 state_dir: Optional[str] = None):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
-                          mesh, data_axis)
+                          mesh, data_axis, state_dir=state_dir)
         from .models import hmtm as hmtm_mod
         hmtm_mod.check_order_preserving(packed)
         npdt = np.dtype(dtype)
@@ -1481,8 +1503,8 @@ class StreamingHMTM(_StreamingModel):
             shape=(self.K,)).astype(self.dtype)
         self.eta = jnp.ones((self.K,), self.dtype)
         self.alpha = jnp.ones((self.K, self.K), self.dtype)
-        self.tau = np.ones((M_pad, self.K), npdt)
-        self.gamma = np.ones((M_pad, self.K, self.K), npdt)
+        self.tau = self._host_full("tau", (M_pad, self.K), 1.0, npdt)
+        self.gamma = self._host_full("gamma", (M_pad, self.K, self.K), 1.0, npdt)
         self._sweep = None
         self._elbo_fn = None
 

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "'nsf-scale' (fast packed synthetic at NSF scale)")
     c.add_argument("--subset", type=int, default=None,
                    help="truncate the corpus to this many documents")
+    c.add_argument("--packed-dir", default=None,
+                   help="directory written by ops.packing.save_packed; "
+                        "loaded as read-only memmaps (corpus larger than "
+                        "RAM streams from disk)")
     c.add_argument("--docfile", default="", help="readcorp docfile")
     c.add_argument("--vocabfile", default="")
     c.add_argument("--userfile", default="")
@@ -100,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-minibatch SVI-schedule updates (implies "
                         "--streaming); --iter counts epochs")
     s.add_argument("--batch-docs", type=int, default=8192)
+    s.add_argument("--state-dir", default=None,
+                   help="with --streaming/--online: keep the per-doc "
+                        "variational state in writable .npy memmaps under "
+                        "this directory instead of RAM")
     s.add_argument("--tau0", type=float, default=64.0)
     s.add_argument("--kappa", type=float, default=0.7)
 
@@ -112,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
 def _build_corpus(args):
     from . import datasets
 
+    if args.packed_dir:
+        from .ops.packing import load_packed
+
+        return load_packed(args.packed_dir)
     if args.corpus == "nsf-scale":
         chunk = args.chunk_docs or 1024
         seed = 7 if args.seed is None else args.seed   # explicit 0 honoured
@@ -136,7 +148,7 @@ def _build_corpus(args):
                         userfile=args.userfile, titlefile=args.titlefile,
                         counts=args.counts, readers=args.readers,
                         ratings=args.ratings, stamps=args.stamps)
-    raise SystemExit("need --corpus or --docfile/--vocabfile")
+    raise SystemExit("need --corpus, --packed-dir or --docfile/--vocabfile")
 
 
 def run(argv=None) -> dict:
@@ -191,6 +203,8 @@ def run(argv=None) -> dict:
                       axis_names=(runtime.data_axis,))
             if args.n_devices else None)
 
+    if args.state_dir and not (args.streaming or args.online):
+        raise SystemExit("--state-dir only applies with --streaming/--online")
     if args.streaming or args.online:
         if args.model == "dtm":
             raise SystemExit(
@@ -287,7 +301,8 @@ def _run_streaming(args, corp, runtime, mesh=None) -> dict:
             chunk_docs=chunk,
             dtype=runtime.dtype,
             seed=0 if args.seed is None else args.seed,
-            mesh=mesh, data_axis=runtime.data_axis)
+            mesh=mesh, data_axis=runtime.data_axis,
+            state_dir=args.state_dir)
     checkelbo = float("inf") if str(args.checkelbo).lower() in ("inf", "none") \
         else int(args.checkelbo)
     quiet = not (args.quiet or args.json)
