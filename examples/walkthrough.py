@@ -139,6 +139,21 @@ s.train_online(epochs=1, tau0=8.0, checkelbo=1, printelbo=False)
 print(f"one online pass over {packed.M} host-resident docs: "
       f"ELBO {s.trace[-1][1]:.0f}")
 
+# literal disk streaming (reference todo.txt:6): corpus saved once as
+# mmap-loadable .npy files, per-doc state in writable memmaps — neither
+# needs to fit in RAM
+import tempfile
+
+ddir = tempfile.mkdtemp(prefix="tmvb_disk_")
+tm.save_packed(ddir + "/corp", packed)
+disk = tm.load_packed(ddir + "/corp")          # read-only memmaps
+sd = StreamingLDA(disk, 20, batch_docs=1024, chunk_docs=256,
+                  state_dir=ddir + "/state")   # writable state memmaps
+sd.train(iter=2, checkelbo=1, printelbo=False)
+print(f"disk-backed stream (corpus+state memmapped): "
+      f"ELBO {sd.trace[-1][1]:.0f}, state on disk: "
+      f"{type(sd.gamma).__name__}")
+
 # ── 10. HMTM (the model the reference never finished) ──
 section("10. HMTM: order-aware topics (completed reference stub)")
 # ordered corpus: sticky topic chains over topic-disjoint vocabularies

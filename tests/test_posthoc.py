@@ -320,3 +320,54 @@ def test_infer_cache_is_lru_bounded():
         assert len(model._infer_cache) <= 2
         sigs.append(set(model._infer_cache))
     assert sigs[0] != sigs[-1]  # oldest entry was evicted
+
+
+def test_infer_cache_retains_no_corpus_arrays():
+    """The cached jitted steps must not pin the held-out corpus's packed
+    numpy arrays (regression: make_step closures captured packed.segments,
+    keeping gigabytes of dead host memory alive across serving calls)."""
+    import numpy as np
+
+    import topicmodelsvb_jl_tpu as tm
+
+    corp = tm.synth_corpus(M=32, V=24, K=2, seed=4)
+    model = tm.LDA(corp, 2, seed=1)
+    model.train(iter=2, checkelbo=2, printelbo=False)
+    held = tm.synth_corpus(M=16, V=24, K=2, seed=9)
+    tm.predict(held, model)
+    assert model._infer_cache
+
+    def walk_arrays(fn, seen, depth=0):
+        if id(fn) in seen or depth > 6:
+            return
+        seen.add(id(fn))
+        cells = getattr(fn, "__closure__", None) or ()
+        for c in cells:
+            try:
+                v = c.cell_contents
+            except ValueError:
+                continue
+            if isinstance(v, np.ndarray):
+                yield v
+            elif callable(v) or hasattr(v, "__closure__"):
+                yield from walk_arrays(v, seen, depth + 1)
+            elif isinstance(v, (tuple, list)):
+                for item in v:
+                    if isinstance(item, np.ndarray):
+                        yield item
+                    elif hasattr(item, "__dataclass_fields__"):
+                        # e.g. a packing.Segment — the original leak
+                        for f in item.__dataclass_fields__:
+                            fv = getattr(item, f)
+                            if isinstance(fv, np.ndarray):
+                                yield fv
+                    elif callable(item):
+                        yield from walk_arrays(item, seen, depth + 1)
+        w = getattr(fn, "__wrapped__", None)
+        if w is not None:
+            yield from walk_arrays(w, seen, depth + 1)
+
+    for step_fn in model._infer_cache.values():
+        big = [a.shape for a in walk_arrays(step_fn, set())
+               if a.size > 64]   # token-scale arrays; scalars/K-vectors ok
+        assert not big, f"cached step pins host arrays of shapes {big}"
