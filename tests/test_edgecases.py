@@ -89,3 +89,54 @@ def test_single_token_vocab():
     m.train(iter=3, checkelbo=1, printelbo=False)
     assert np.isfinite(m.elbo)
     np.testing.assert_allclose(np.asarray(m.beta), 1.0)
+
+
+def test_vocab_of_one():
+    """V=1: every token is the same term — beta is a [K,1] all-ones
+    stochastic matrix; nothing may divide by zero or emit NaN."""
+    docs = [tm.Document(terms=[1], counts=[5]),
+            tm.Document(terms=[1], counts=[2])]
+    corp = tm.Corpus(docs=docs, vocab={1: "only"})
+    m = LDA(corp, 2, runtime=_rt(), mesh=_mesh())
+    m.train(iter=3, checkelbo=1, printelbo=False)
+    assert np.isfinite(m.elbo)
+    assert np.allclose(np.asarray(m.beta).sum(axis=1), 1.0)
+
+
+def test_huge_counts():
+    """Counts of ~1e4 stress CTPF's E[log y!] handling and everyone's
+    f64 accumulation — bounds must stay finite."""
+    rng = np.random.default_rng(0)
+    docs = []
+    for _ in range(8):
+        terms = list(rng.choice(np.arange(1, 13), size=6, replace=False))
+        counts = [int(c) for c in rng.integers(1, 10_000, size=6)]
+        readers = [int(r) for r in rng.choice(np.arange(1, 5), 2, replace=False)]
+        docs.append(tm.Document(terms=terms, counts=counts,
+                                readers=readers, ratings=[1, 1]))
+    corp = tm.Corpus(docs=docs, vocab={j: f"w{j}" for j in range(1, 13)},
+                     users={u: f"u{u}" for u in range(1, 5)})
+    for cls in (LDA, CTPF):
+        m = cls(corp, 2, runtime=_rt(), mesh=_mesh())
+        m.train(iter=3, checkelbo=1, printelbo=False)
+        assert np.isfinite(m.elbo), cls.__name__
+
+
+def test_single_very_long_doc():
+    """One 2,000-token doc (L far above the usual bucket) through the
+    packed path; gamma mass must equal alpha + doc length."""
+    rng = np.random.default_rng(1)
+    terms = [int(t) for t in rng.integers(1, 40, size=2000)]
+    corp = tm.Corpus(docs=[tm.Document(terms=terms, counts=[1] * 2000)],
+                     vocab={j: f"w{j}" for j in range(1, 40)})
+    tm.condense_corp(corp)
+    tm.compact_corp(corp)
+    m = LDA(corp, 3, runtime=_rt(), mesh=_mesh())
+    m.train(iter=3, checkelbo=1, printelbo=False)
+    assert np.isfinite(m.elbo)
+    # gamma = alpha_at_update + Σ phi·counts, so its mass exceeds the
+    # token count by the (positive) alpha mass
+    g = np.asarray(m.gamma)
+    assert g.sum() > 2000 and np.all(g > 0)
+    td = m.topicdist(1)
+    assert np.isclose(float(np.sum(td)), 1.0)

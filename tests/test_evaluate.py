@@ -163,3 +163,24 @@ def test_ranked_users_shared_across_metrics():
     np.testing.assert_array_equal(r1, r2)
     assert recall_at_k(model, held, k=5, recs=recs) == \
         recall_at_k(model, held, k=5)
+
+
+def test_holdout_readers_skips_duplicated_readers():
+    """A reader listed twice in a doc must never be held out: popping one
+    copy leaves the user a reader, and heldout_reader_rank would crash on
+    row.index (regression)."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.evaluate import holdout_readers
+
+    docs = [tm.Document(terms=[1, 2], counts=[1, 1],
+                        readers=[3, 3], ratings=[1, 1]),
+            tm.Document(terms=[2], counts=[1],
+                        readers=[1, 2, 2], ratings=[1, 1, 1])]
+    corp = tm.Corpus(docs=docs, vocab={1: "a", 2: "b"},
+                     users={1: "u1", 2: "u2", 3: "u3"})
+    held = holdout_readers(corp, seed=0)
+    # doc 1: only duplicated readers -> skipped entirely
+    # doc 2: reader 1 is the only single-occurrence candidate
+    assert held == [(2, 1)]
+    assert docs[0].readers == [3, 3]
+    assert docs[1].readers == [2, 2] and docs[1].ratings == [1, 1]

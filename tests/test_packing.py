@@ -119,3 +119,22 @@ def test_ctm_bucketed_matches_dense():
     np.testing.assert_allclose(m_b.beta, m_d.beta, rtol=2e-3, atol=1e-6)
     np.testing.assert_allclose(m_b.lam, m_d.lam, rtol=2e-2, atol=1e-3)
     np.testing.assert_allclose(m_b.elbo, m_d.elbo, rtol=1e-4)
+
+
+def test_pack_corpus_native_fastpath_matches_loop():
+    """The f32 native fill (tmvb_fill_dense) must produce byte-identical
+    packed arrays to the per-doc Python loop (the f64 path)."""
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+
+    corp = tm.synth_corpus(M=37, V=40, K=3, seed=2, mean_terms=9)
+    corp.docs[3].terms, corp.docs[3].counts = [], []     # empty doc
+    f32 = pack_corpus(corp, pad_multiple=8, docs_multiple=8,
+                      dtype=np.float32)
+    f64 = pack_corpus(corp, pad_multiple=8, docs_multiple=8,
+                      dtype=np.float64)
+    np.testing.assert_array_equal(f32.terms, f64.terms)
+    np.testing.assert_array_equal(f32.counts, f64.counts.astype(np.float32))
+    np.testing.assert_array_equal(f32.doc_mask, f64.doc_mask.astype(np.float32))
+    assert (f32.M, f32.V, f32.L, f32.max_count) == \
+        (f64.M, f64.V, f64.L, f64.max_count)

@@ -22,6 +22,7 @@ standard quantitative metrics of the topic-modeling literature:
 
 from __future__ import annotations
 
+import itertools
 from typing import Optional
 
 import numpy as np
@@ -144,14 +145,20 @@ def topic_coherence(model, N: int = 10,
     top = np.asarray(model.topics)[:, :N]                  # 1-based ids
     need = sorted({int(w) for row in top for w in row})
     col = {w: j for j, w in enumerate(need)}
-    # doc-incidence matrix for just the needed words
+    # doc-incidence matrix for just the needed words — one flat C-speed
+    # pass over the corpus (a per-token Python loop is minutes of host
+    # time at the 100k-doc scales this targets)
     M = len(corp.docs)
     inc = np.zeros((M, len(need)), dtype=np.bool_)
-    for d, doc in enumerate(corp.docs):
-        for w in doc.terms:
-            j = col.get(int(w))
-            if j is not None:
-                inc[d, j] = True
+    lens = np.fromiter((len(d.terms) for d in corp.docs), np.int64, M)
+    flat = np.fromiter(itertools.chain.from_iterable(
+        d.terms for d in corp.docs), np.int64, int(lens.sum()))
+    doc_ids = np.repeat(np.arange(M), lens)
+    need_arr = np.asarray(need, np.int64)
+    pos = np.searchsorted(need_arr, flat)
+    pos_c = np.minimum(pos, len(need_arr) - 1)
+    valid = need_arr[pos_c] == flat
+    inc[doc_ids[valid], pos_c[valid]] = True
     D = inc.sum(axis=0).astype(np.float64)                 # D(w)
     CO = (inc.T.astype(np.float64) @ inc)                  # D(w_i, w_j)
 
@@ -183,7 +190,16 @@ def holdout_readers(corp: Corpus, seed: int = 0, min_readers: int = 2):
     held = []
     for d, doc in enumerate(corp.docs, start=1):
         if len(doc.readers) >= min_readers:
-            i = int(rng.integers(len(doc.readers)))
+            # only readers listed ONCE are valid holdouts: popping one
+            # copy of a duplicated reader would leave the user a reader,
+            # so they'd never appear in the ranked non-reader list
+            cnt = {}
+            for u in doc.readers:
+                cnt[u] = cnt.get(u, 0) + 1
+            singles = [i for i, u in enumerate(doc.readers) if cnt[u] == 1]
+            if not singles:
+                continue
+            i = singles[int(rng.integers(len(singles)))]
             held.append((d, doc.readers.pop(i)))
             doc.ratings.pop(i)  # ratings are parallel to readers
     return held

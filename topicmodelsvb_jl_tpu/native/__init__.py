@@ -35,13 +35,22 @@ _f64p = ctypes.POINTER(ctypes.c_double)
 
 
 def _build() -> bool:
+    # compile to a private temp name and os.replace into place: concurrent
+    # processes (test workers, parallel jobs) may build simultaneously, and
+    # dlopen of a half-written .so fails or loads garbage
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -103,16 +112,19 @@ def parse_delimited_ints(data: bytes, delim: str = ","):
 
 
 def fill_dense(term_vals: np.ndarray, count_vals: Optional[np.ndarray],
-               offsets: np.ndarray, rows: int, L: int):
-    """CSR → dense [rows, L] (terms 0-based int32, counts f32, 1 if None).
+               offsets: np.ndarray, rows: int, L: int,
+               rows_alloc: Optional[int] = None):
+    """CSR → dense [rows_alloc or rows, L] (terms 0-based int32, counts
+    f32, 1 if None); rows beyond ``rows`` stay zero-padding.
 
     Returns (terms, counts) or None when native is unavailable.
+    This is ops.packing.pack_corpus's fast path (f32 corpora).
     """
     lib = get_lib()
     if lib is None:
         return None
-    terms = np.zeros((rows, L), dtype=np.int32)
-    counts = np.zeros((rows, L), dtype=np.float32)
+    terms = np.zeros((rows_alloc or rows, L), dtype=np.int32)
+    counts = np.zeros((rows_alloc or rows, L), dtype=np.float32)
     tv = np.ascontiguousarray(term_vals, dtype=np.int64)
     cv = np.ascontiguousarray(
         count_vals if count_vals is not None else np.zeros(1),

@@ -104,13 +104,31 @@ def pack_corpus(
     L = _round_up(int(N.max()) if M else 1, pad_multiple)
     M_pad = _round_up(max(M, 1), docs_multiple)
 
-    terms = np.zeros((M_pad, L), dtype=np.int32)
-    counts = np.zeros((M_pad, L), dtype=dtype)
-    for d, doc in enumerate(corp.docs):
-        n = len(doc.terms)
-        if n:
-            terms[d, :n] = np.asarray(doc.terms, dtype=np.int64) - 1
-            counts[d, :n] = doc.counts
+    filled = None
+    if np.dtype(dtype) == np.float32 and M:
+        # native C++ fast path (tmvb_fill_dense): one flat CSR build +
+        # one C fill instead of M per-doc numpy slice assignments
+        from .. import native
+        import itertools as _it
+
+        total = int(N.sum())
+        tv = np.fromiter(_it.chain.from_iterable(
+            d.terms for d in corp.docs), np.int64, total)
+        cv = np.fromiter(_it.chain.from_iterable(
+            d.counts for d in corp.docs), np.float64, total)
+        off = np.zeros(M + 1, np.int64)
+        off[1:] = np.cumsum(N, dtype=np.int64)
+        filled = native.fill_dense(tv, cv, off, M, L, rows_alloc=M_pad)
+    if filled is not None:
+        terms, counts = filled
+    else:
+        terms = np.zeros((M_pad, L), dtype=np.int32)
+        counts = np.zeros((M_pad, L), dtype=dtype)
+        for d, doc in enumerate(corp.docs):
+            n = len(doc.terms)
+            if n:
+                terms[d, :n] = np.asarray(doc.terms, dtype=np.int64) - 1
+                counts[d, :n] = doc.counts
 
     doc_mask = np.zeros(M_pad, dtype=dtype)
     doc_mask[:M] = 1.0
