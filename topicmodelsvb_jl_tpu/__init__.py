@@ -16,7 +16,9 @@ from .corpus import (
     readcorp, remove_empty_docs, remove_redundant, remove_terms,
     showdocs, showtitles, stop_corp, trim_corp, trim_docs, writecorp,
 )
-from .datasets import load_citeu, load_nsf, load_stopwords, synth_corpus
+from .datasets import (
+    load_citeu, load_mac, load_nsf, load_stopwords, synth_corpus,
+)
 from .utils.config import RuntimeConfig, TrainConfig
 
 from .api import (
