@@ -40,7 +40,7 @@ from .checkpoint import load as load_checkpoint
 from .checkpoint import save as save_checkpoint
 from .validate import check_model
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Corpus", "Document", "CorpusError", "DocumentError", "TopicModelError",
