@@ -172,14 +172,9 @@ class FLDAOracle:
         prod = np.prod(self.beta[:, terms] ** (-self.phi), axis=0)
         self.tau[d] = self.eta / (self.eta + (1 - self.eta) * self.kappa[terms] * prod + EPS)
 
-    def update_gamma(self, d):
-        _, counts = self.docs[d]
-        self.gamma[d] = EPS + self.alpha + self.phi @ counts
-
-    def update_Elogtheta(self, d):
-        self.Elogtheta_old[d] = self.Elogtheta[d]
-        g = self.gamma[d]
-        self.Elogtheta[d] = digamma(g) - digamma(g.sum())
+    # update_gamma!/update_Elogtheta! are LDA's own (fLDA.jl:181-191)
+    update_gamma = LDAOracle.update_gamma
+    update_Elogtheta = LDAOracle.update_Elogtheta
 
     # update_beta! / update_kappa! streaming stats (fLDA.jl:174-177, 160-163)
     def accum(self, d):
@@ -347,6 +342,7 @@ class CTMOracle:
     def update_elbo(self):
         total = 0.0
         sign, logdet_inv = np.linalg.slogdet(self.invsigma)
+        assert sign > 0, "invsigma lost positive-definiteness"
         for d in range(self.M):
             terms, counts = self.docs[d]
             with np.errstate(divide="ignore"):
@@ -404,12 +400,8 @@ class FCTMOracle(CTMOracle):
         x = self.tau[d][None, :] * np.log(self.beta[:, terms] + EPS) + self.lam[d][:, None]
         self.phi = _softmax_cols(x)
 
-    # update_tau! (fCTM.jl:221-226)
-    def update_tau(self, d):
-        self.tau_old[d] = self.tau[d]
-        terms, _ = self.docs[d]
-        prod = np.prod(self.beta[:, terms] ** (-self.phi), axis=0)
-        self.tau[d] = self.eta / (self.eta + (1 - self.eta) * self.kappa[terms] * prod + EPS)
+    # update_tau! (fCTM.jl:221-226 — same equation as fLDA.jl:195-200)
+    update_tau = FLDAOracle.update_tau
 
     # stats (fCTM.jl:168-171, 154-157) with last phi = f(beta, tau_old, lam_old)
     def accum(self, d):
@@ -431,6 +423,7 @@ class FCTMOracle(CTMOracle):
     def update_elbo(self):
         total = 0.0
         sign, logdet_inv = np.linalg.slogdet(self.invsigma)
+        assert sign > 0, "invsigma lost positive-definiteness"
         for d in range(self.M):
             terms, counts = self.docs[d]
             x = self.tau_old[d][None, :] * np.log(self.beta_old[:, terms] + EPS) \

@@ -15,6 +15,15 @@ import topicmodelsvb_jl_tpu as tm
 from topicmodelsvb_jl_tpu.models import dtm as dtm_mod
 
 
+
+def _sid_from_S(m):
+    """0-based slice id per doc from the model's 1-based m.S lists."""
+    sid = np.zeros(m.M, np.int64)
+    for t, docs in enumerate(m.S):
+        for d in docs:
+            sid[d - 1] = t
+    return sid
+
 def _corpus(M=160, V=50, K=3, n_slices=4, seed=2):
     return tm.synth_corpus(M=M, V=V, K=K, seed=seed, n_slices=n_slices,
                            drift=0.3, mean_terms=18, mean_tokens=30)
@@ -79,8 +88,10 @@ def test_dtm_elbo_monotone():
     m = tm.DTM(corp, 3, delta=1.0, seed=5)
     m.train(iter=6, checkelbo=1, printelbo=False, cgiter=6)
     deltas = [r.delta_elbo for r in m.trainer.trace if r.delta_elbo is not None]
-    assert len(deltas) >= 5
-    assert all(d > 0 for d in deltas[: 5]), deltas
+    assert len(deltas) >= 6
+    # deltas[0] is vs the initial elbo=0; monotonicity from deltas[1],
+    # with the same float-noise tolerance as the sibling tests
+    assert all(d > -1e-6 for d in deltas[1:]), deltas
 
 
 def test_dtm_topic_drift_recovery():
@@ -148,10 +159,7 @@ def test_dtm_estep_matches_perdoc_oracle():
     rowsum = np.exp(x - maxl[:, None, None]).sum(axis=2)  # [T, K]
 
     # slice id per doc (0-based), reference slice partition via m.S
-    sid = np.zeros(m.M, np.int64)
-    for t, docs in enumerate(m.S):
-        for d in docs:
-            sid[d - 1] = t
+    sid = _sid_from_S(m)
 
     gam = np.ones((m.M, K))
     El = dg(gam) - dg(gam.sum(1, keepdims=True))
@@ -190,7 +198,7 @@ def test_dtm_estep_matches_perdoc_oracle():
     alpha_ref = alpha0.copy()
     for t in range(T):
         docs_t = np.nonzero(sid == t)[0]
-        St = len(docs_t)
+        St = max(len(docs_t), 1)
         a = alpha_ref[t].copy()
         nu = float(K)
         elsum = El[docs_t].sum(0)
@@ -228,10 +236,7 @@ def test_dtm_elbo_trace_matches_oracle():
     rt = RuntimeConfig(chunk_docs=8, dtype="float64", pad_multiple=8)
     m = tm.DTM(corp, 3, delta=1.0, runtime=rt, seed=4,
                mesh=make_mesh(n_devices=1))
-    sid = np.zeros(m.M, np.int64)
-    for t, docs in enumerate(m.S):
-        for d in docs:
-            sid[d - 1] = t
+    sid = _sid_from_S(m)
 
     oracle = DTMOracle(docs_from_corpus(corp), sid, V=m.V, K=m.K, T=m.T,
                        betahat0=np.asarray(m.state.betahat),

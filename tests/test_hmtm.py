@@ -53,6 +53,7 @@ def test_hmtm_elbo_monotone(ordered_corpus):
     model.train(iter=15, checkelbo=1, printelbo=False)
     deltas = [r.delta_elbo for r in model.trainer.trace
               if r.delta_elbo is not None]
+    assert len(deltas) >= 10     # not vacuous if tracing regresses
     assert all(d > -1e-6 for d in deltas[1:])
 
 
@@ -178,10 +179,6 @@ def test_hmtm_check_model_catches_corruption(ordered_corpus):
 def test_hmtm_rejects_condensed_corpus():
     """HMTM ignores counts (HMTM.jl:63-67); a condensed corpus must be
     rejected loudly, not silently fit with multiplicity destroyed."""
-    import pytest
-
-    import topicmodelsvb_jl_tpu as tm
-
     corp = tm.synth_corpus(M=16, V=20, K=2, seed=0)
     tm.condense_corp(corp)
     assert any(c > 1 for doc in corp.docs for c in doc.counts), \
