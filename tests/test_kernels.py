@@ -194,3 +194,42 @@ def test_ctm_estep_kernel_padded_docs_frozen():
                                   np.asarray(state.lam)[-3:])
     np.testing.assert_array_equal(np.asarray(s.vsq)[-3:],
                                   np.asarray(state.vsq)[-3:])
+
+
+def test_alog_bits_matches_log():
+    """The bitcast-based in-kernel log must be sub-ULP-accurate for the
+    positive normals the ELBO kernel feeds it."""
+    from topicmodelsvb_jl_tpu.kernels.lda_elbo import alog_bits
+
+    r = np.random.default_rng(0)
+    x = np.concatenate([r.uniform(1e-30, 1.0, 5000),
+                        r.uniform(1.0, 1e4, 5000),
+                        [1e-30, 1.0, 2.0, np.float32(np.finfo(np.float32).max)]
+                        ]).astype(np.float32)
+    got = np.asarray(alog_bits(jnp.asarray(x)), np.float64)
+    want = np.log(x.astype(np.float64))
+    eps32 = np.float64(np.finfo(np.float32).eps)
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+    assert rel.max() < 2.0 * eps32
+
+
+@pytest.mark.parametrize("K", [7, 16])
+def test_lda_elbo_kernel_matches_xla(K):
+    """The fused ELBO kernel's bound must agree with the XLA pass."""
+    packed = _small_packed()
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
+    data = (
+        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+        jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float32),
+    )
+    step = jax.jit(lda_mod.make_step(
+        packed, K, viter=6, vtol=1.0 / K**2, niter=50, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name=None, use_pallas=False))
+    for _ in range(2):
+        state = step(state, *data)
+    ex = jax.jit(lda_mod.make_elbo(packed, K, chunk_docs=16, use_pallas=False))
+    ep = jax.jit(lda_mod.make_elbo(packed, K, chunk_docs=16, use_pallas=True,
+                                   pallas_interpret=True))
+    a = float(ex(state, *data[:3]))
+    b = float(ep(state, *data[:3]))
+    assert abs(a - b) / abs(a) < 1e-5, (a, b)

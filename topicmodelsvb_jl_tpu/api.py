@@ -475,7 +475,9 @@ class LDA(TopicModel):
             use_pallas=None if self.runtime.use_pallas else False,
         )
         elbo_local = lda_mod.make_elbo(
-            p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
+            p, self.K, chunk_docs=self.chunk_docs,
+            axis_name=self.runtime.data_axis,
+            use_pallas=None if self.runtime.use_pallas else False,
         )
         spec = lda_mod.partition_spec(self.runtime.data_axis)
         from jax.sharding import PartitionSpec as P
