@@ -317,14 +317,19 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         log2pi = jnp.log(2.0 * jnp.pi)
         isd = jnp.diagonal(invsigma)
 
+        # one combined [V, 2K] table: both per-token gathers pay their
+        # per-row cost once (same trick as models/lda.py make_elbo)
+        log_tabT = jnp.concatenate([logbeta_oldT, logbetaT], axis=1)
+
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
             t, c, dm, la, lao, v, lz = xs
+            lt = log_tabT[t]                                   # [B, L, 2K]
             cd = jnp.sum(c, axis=-1)
             # phi from (beta_old, lambda_old) (CTM.jl:93); terms below use
             # the *current* lambda (CTM.jl:56-66). Zero-count slots masked as
             # in _estep_chunk.
-            p = _phi(jnp.where(c[..., None] > 0, logbeta_oldT[t], 0.0), lao,
+            p = _phi(jnp.where(c[..., None] > 0, lt[..., :K], 0.0), lao,
                      softmax=asoftmax)
             pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
             if seq_axis is not None:
@@ -338,7 +343,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             bound = jnp.sum(aexp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
             e_pz = jnp.sum(pc * la, -1) - cd * bound
             # Elogpw (CTM.jl:69-73)
-            e_pw = jnp.sum(p * logbetaT[t] * c[..., None], axis=(1, 2))
+            e_pw = jnp.sum(p * lt[..., K:] * c[..., None], axis=(1, 2))
             # −Elogqeta = +entropy(MvNormal(λ, diag(vsq))) (CTM.jl:76-79)
             e_qeta = mvnormal_diag_entropy(v)
             # −Elogqz (CTM.jl:82-86)

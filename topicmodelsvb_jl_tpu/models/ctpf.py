@@ -430,19 +430,26 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         else:
             e_pbeta = e_qbeta_ent = e_peta = e_qeta_ent = jnp.zeros((), dt)
 
+        # combined [V, 2K] / [U, 2K] tables: the old- and current-param
+        # per-token (and per-rating) gathers pay their per-row cost once
+        vtab = jnp.concatenate([dg_alef_oT, dg_alefT_cur], axis=1)
+        utab = jnp.concatenate([dg_he_oT, dg_heT_cur], axis=1)
+
         def scan_body(acc, xs):
             t, cnt, rd, rt, dm, gi, gio, za, zao = xs
+            vt = vtab[t]                                  # [B, L, 2K]
+            ut = utab[rd]                                 # [B, R, 2K]
             dg_gi_o, dg_za_o = digamma(gio), digamma(zao)
-            p = _phi(dg_alef_oT[t], dg_gi_o, log_dalet_o[None, :],
+            p = _phi(vt[..., :K], dg_gi_o, log_dalet_o[None, :],
                      log_bet_o[None, :], softmax=asoftmax)
-            xi_top, xi_bot = _xi(dg_he_oT[rd], dg_gi_o, dg_za_o,
+            xi_top, xi_bot = _xi(ut[..., :K], dg_gi_o, dg_za_o,
                                  log_dalet_o[None, :], log_het_o[None, :],
                                  log_vav_o[None, :], exp=aexp)
             dg_gi, dg_za = digamma(gi), digamma(za)
 
             # Elogpya + Elogpyb − Elogqy, E[lnΓ] cancelled (CTPF.jl:111-130, 180-186)
-            lin_top = (dg_gi - log_dalet)[:, None, :] + dg_heT_cur[rd] - log_vav[None, None, :]
-            lin_bot = (dg_za - log_het)[:, None, :] + dg_heT_cur[rd] - log_vav[None, None, :]
+            lin_top = (dg_gi - log_dalet)[:, None, :] + ut[..., K:] - log_vav[None, None, :]
+            lin_bot = (dg_za - log_het)[:, None, :] + ut[..., K:] - log_vav[None, None, :]
             rate_lin = jnp.sum(rt[..., None] * (xi_top * lin_top + xi_bot * lin_bot),
                                axis=(1, 2))
             xi_ent = jnp.sum(_xlogx(xi_top) + _xlogx(xi_bot), axis=-1)   # Σ xi ln xi
@@ -451,7 +458,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             dot_yb = jnp.sum((za / (het * state.vav)) * he_sum, -1)
 
             # Elogpz − Elogqz, E[lnΓ] cancelled (CTPF.jl:133-141, 189-195)
-            lin_z = (dg_gi - log_dalet)[:, None, :] + dg_alefT_cur[t] - log_bet[None, None, :]
+            lin_z = (dg_gi - log_dalet)[:, None, :] + vt[..., K:] - log_bet[None, None, :]
             tok_lin = jnp.sum(cnt[..., None] * p * lin_z, axis=(1, 2))
             p_ent = jnp.sum(_xlogx(p), axis=-1)
             tok_q = jnp.sum(lgamma(cnt + 1.0) + cnt * p_ent, axis=1)

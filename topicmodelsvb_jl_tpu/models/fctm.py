@@ -278,11 +278,17 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         isd = jnp.diagonal(invsigma)
         log_eps = jnp.log(eps)
 
+        # one combined [V, 2K+1] table — the three per-token gathers
+        # (logbeta_old, logbeta, logkappa) pay their per-row cost once
+        log_tabT = jnp.concatenate(
+            [logbeta_oldT, logbetaT, logkappa[:, None]], axis=1)
+
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
             t, c, dm, la, lao, v, lz, ta, tao = xs
+            lt = log_tabT[t]                             # [B, L, 2K+1]
             cd = jnp.sum(c, axis=-1)
-            p = _phi(logbeta_oldT[t], tao, lao, softmax=asoftmax)
+            p = _phi(lt[..., :K], tao, lao, softmax=asoftmax)
             tau_c = jnp.sum(ta * c, -1)
             pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
             if seq_axis is not None:
@@ -302,8 +308,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             bound = jnp.sum(aexp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
             e_pz = jnp.sum(pc * la, -1) - cd * bound
             # Elogpw (fCTM.jl:88-92)
-            e_pw = jnp.sum(p * logbetaT[t] * (c * ta)[..., None], axis=(1, 2)) \
-                + jnp.sum(c * (1.0 - ta) * logkappa[t], axis=-1)
+            e_pw = jnp.sum(p * lt[..., K:2 * K] * (c * ta)[..., None], axis=(1, 2)) \
+                + jnp.sum(c * (1.0 - ta) * lt[..., 2 * K], axis=-1)
             # −Elogqeta (fCTM.jl:95-98)
             e_qeta = mvnormal_diag_entropy(v)
             # −Elogqc (fCTM.jl:101-105)

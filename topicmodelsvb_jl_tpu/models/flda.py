@@ -315,11 +315,17 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))
         log_eps = jnp.log(eps)
 
+        # one combined [V, 2K+1] table — the three per-token gathers
+        # (logbeta_old, logbeta, logkappa) pay their per-row cost once
+        log_tabT = jnp.concatenate(
+            [logbeta_oldT, logbetaT, logkappa[:, None]], axis=1)
+
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
             t, c, dm, g, el, elo, ta, tao = xs
+            lt = log_tabT[t]                             # [B, L, 2K+1]
             # phi recompute from tau_old/beta_old/Elogtheta_old (fLDA.jl:113)
-            p = _phi(logbeta_oldT[t], tao, elo, softmax=asoftmax)
+            p = _phi(lt[..., :K], tao, elo, softmax=asoftmax)
             C_d = jnp.sum(c, -1)
             tau_c = jnp.sum(ta * c, -1)
             pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=dt)
@@ -338,8 +344,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             # Elogpz (fLDA.jl:74-78)
             e_pz = jnp.sum(pc * el, -1)
             # Elogpw (fLDA.jl:82-86)
-            e_pw = jnp.sum(p * logbetaT[t] * (c * ta)[..., None], axis=(1, 2)) \
-                + jnp.sum(c * (1.0 - ta) * logkappa[t], axis=-1)
+            e_pw = jnp.sum(p * lt[..., K:2 * K] * (c * ta)[..., None], axis=(1, 2)) \
+                + jnp.sum(c * (1.0 - ta) * lt[..., 2 * K], axis=-1)
             # −Elogqtheta (fLDA.jl:89-92)
             e_qtheta = dirichlet_entropy(g)
             # −Elogqc (fLDA.jl:95-98)
