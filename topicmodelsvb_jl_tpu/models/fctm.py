@@ -78,8 +78,11 @@ def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
     if seq_axis is not None:
         C = jax.lax.psum(C, seq_axis)
     eps = jnp.asarray(EPSILON, dtype)
-    logbeta_d = logbetaT[terms]    # log(beta+EPS) — @boink'd (fCTM.jl:232)
-    kappa_d = kappa_full[terms]
+    # ONE combined [V, K+1] gather (see models/flda.py:_estep_chunk)
+    K = logbetaT.shape[1]
+    tab_d = jnp.concatenate([logbetaT, kappa_full[:, None]], axis=1)[terms]
+    logbeta_d = tab_d[..., :K]     # log(beta+EPS) — @boink'd (fCTM.jl:232)
+    kappa_d = tab_d[..., K]
     active0 = doc_mask > 0
     isd = jnp.diagonal(invsigma)
 

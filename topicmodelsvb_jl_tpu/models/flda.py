@@ -77,8 +77,13 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
     mesh axis (SP analogue, SURVEY §5.7b): tau/phi rows live shard-local
     and every per-doc token reduction becomes a psum over the shards."""
     eps = jnp.asarray(EPSILON, gamma.dtype)
-    logbeta_d = logbetaT[terms]          # [B, L, K]
-    kappa_d = kappa_full[terms]          # [B, L]  raw kappa values (fLDA.jl:199)
+    # ONE combined [V, K+1] gather (logbeta lanes + a kappa lane): the
+    # gather's cost is per-row, so the second width-1 kappa gather was
+    # nearly as expensive as the K-wide one (fLDA.jl:199)
+    K = logbetaT.shape[1]
+    tab_d = jnp.concatenate([logbetaT, kappa_full[:, None]], axis=1)[terms]
+    logbeta_d = tab_d[..., :K]           # [B, L, K]
+    kappa_d = tab_d[..., K]              # [B, L]  raw kappa values
     active0 = doc_mask > 0
 
     def body(_, carry):
@@ -169,11 +174,21 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                                   constant_values=-1e30)
         padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
 
+        # kappa rides in pad lane K of the log-beta table so the E-step
+        # pays ONE gather per chunk, not two (the kernel never reads pad
+        # lanes unmasked: Elogtheta pads are −1e30, so phi pads are 0)
+        if K < Kp:
+            tab_p = logbetaT_p.at[:, K].set(kappa_full_v)
+
         def scan_body_pallas(carry, xs):
             bt, kt, es, tc = carry
             t, c, dm, g, el, elo, ta, tao = xs
-            lb = logbetaT_p[t]
-            kd = kappa_full_v[t]
+            if K < Kp:
+                lb = tab_p[t]
+                kd = lb[..., K]
+            else:           # no spare lane — two gathers (rare config)
+                lb = logbetaT_p[t]
+                kd = kappa_full_v[t]
             g2, el2, elo2, ta2, tao2, wb, wk = flda_estep(
                 lb, kd, c, dm, alpha_p, state.eta,
                 padk(g), padel(el), padel(elo), ta, tao,
