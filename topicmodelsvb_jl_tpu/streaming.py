@@ -163,13 +163,19 @@ def make_batch_elbo(V: int, K: int, chunk_docs: int, mesh=None,
         a = alpha
         theta_const = finite(lgamma(jnp.sum(a))) - finite(jnp.sum(lgamma(a)))
 
+        # ONE combined [V, 2K] gather (same per-row-cost argument as
+        # models/lda.py make_elbo)
+        K = logbetaT.shape[1]
+        log_tabT = jnp.concatenate([logbeta_oldT, logbetaT], axis=1)
+
         def body(acc, xs):
             t, c, dm, g, el, elo = xs
-            p = _phi(logbeta_oldT[t], elo)
+            lt = log_tabT[t]
+            p = _phi(lt[..., :K], elo)
             e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
             pc = jnp.einsum("bl,blk->bk", c, p, preferred_element_type=p.dtype)
             e_pz = jnp.sum(pc * el, -1)
-            e_pw = jnp.sum(p * logbetaT[t] * c[..., None], axis=(1, 2))
+            e_pw = jnp.sum(p * lt[..., K:] * c[..., None], axis=(1, 2))
             e_qtheta = dirichlet_entropy(g)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
             return acc + jnp.sum(dm * (e_ptheta + e_pz + e_pw
