@@ -233,3 +233,54 @@ def test_lda_elbo_kernel_matches_xla(K):
     a = float(ex(state, *data[:3]))
     b = float(ep(state, *data[:3]))
     assert abs(a - b) / abs(a) < 1e-5, (a, b)
+
+
+@pytest.mark.parametrize("K", [7, 16])
+def test_ctm_elbo_kernel_matches_xla(K):
+    """CTM reuses lda_elbo_tok with (El, El_old) := (lambda, lambda_old);
+    the bound must agree with CTM's XLA ELBO pass."""
+    from topicmodelsvb_jl_tpu.models import ctm as ctm_mod
+
+    packed = _small_packed()
+    state = ctm_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
+    data = (
+        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+        jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float32),
+    )
+    step = jax.jit(ctm_mod.make_step(
+        packed, K, viter=4, vtol=1.0 / K**2, niter=20, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name=None, use_pallas=False))
+    for _ in range(2):
+        state = step(state, *data)
+    ex = jax.jit(ctm_mod.make_elbo(packed, K, chunk_docs=16, use_pallas=False))
+    ep = jax.jit(ctm_mod.make_elbo(packed, K, chunk_docs=16, use_pallas=True,
+                                   pallas_interpret=True))
+    a = float(ex(state, *data[:3]))
+    b = float(ep(state, *data[:3]))
+    assert abs(a - b) / abs(a) < 1e-5, (a, b)
+
+
+def test_flda_elbo_kernel_matches_xla():
+    """The fused fLDA ELBO kernel (in-kernel softmax over tau·logβ + Elo,
+    lse-identity entropy, κ pad lane) must agree with the XLA pass."""
+    from topicmodelsvb_jl_tpu.models import flda as flda_mod
+
+    K = 7
+    packed = _small_packed()
+    state = flda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
+    data = (
+        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+        jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float32),
+        jnp.asarray(float(packed.counts.sum()), jnp.float32),
+    )
+    step = jax.jit(flda_mod.make_step(
+        packed, K, viter=4, vtol=1.0 / K**2, niter=20, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name=None, use_pallas=False))
+    for _ in range(2):
+        state = step(state, *data)
+    ex = jax.jit(flda_mod.make_elbo(packed, K, chunk_docs=16, use_pallas=False))
+    ep = jax.jit(flda_mod.make_elbo(packed, K, chunk_docs=16, use_pallas=True,
+                                    pallas_interpret=True))
+    a = float(ex(state, *data[:3]))
+    b = float(ep(state, *data[:3]))
+    assert abs(a - b) / abs(a) < 1e-5, (a, b)

@@ -628,7 +628,9 @@ class CTM(TopicModel):
             use_pallas=None if self.runtime.use_pallas else False,
         )
         elbo_local = ctm_mod.make_elbo(
-            p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis
+            p, self.K, chunk_docs=self.chunk_docs,
+            axis_name=self.runtime.data_axis,
+            use_pallas=None if self.runtime.use_pallas else False,
         )
         spec = ctm_mod.partition_spec(self.runtime.data_axis)
         from jax.sharding import PartitionSpec as P

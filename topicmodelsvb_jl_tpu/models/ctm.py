@@ -293,11 +293,22 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
 
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
-              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
-    """ELBO (CTM.jl:55-98): phi recomputed from (beta_old, lambda_old)."""
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
+    """ELBO (CTM.jl:55-98): phi recomputed from (beta_old, lambda_old).
+
+    ``use_pallas`` routes the token-level terms through the SAME fused
+    kernel as LDA's ELBO (kernels/lda_elbo.py): CTM's phi is
+    softmax(log beta_old + lambda_old) — algebraically LDA's phi with
+    lambda in Elogtheta's role — so ``lda_elbo_tok`` computes CTM's
+    Elogpz(token part) + Elogpw − Elogqz verbatim with
+    (El, El_old) := (lambda, lambda_old)."""
     V = packed.V
     seg_starts = seg_loc_starts(packed)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and seq_axis is None
     if seq_axis is not None:
+        use_pallas = False
         assert seg_starts is None, "token-axis sharding requires dense packing"
 
     def elbo(state: CTMState, terms, counts, doc_mask):
@@ -320,6 +331,34 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         # one combined [V, 2K] table: both per-token gathers pay their
         # per-row cost once (same trick as models/lda.py make_elbo)
         log_tabT = jnp.concatenate([logbeta_oldT, logbetaT], axis=1)
+
+        if use_pallas:
+            from ..kernels.lda_elbo import lda_elbo_tok
+
+            Kp = ((K + 127) // 128) * 128
+            boT = beta_old_full.T                         # [V, K] raw (CTM.jl:93)
+            # g2 = bo·(log(beta+eps) − log bo) with 0·log 0 = 0
+            g2T = jnp.where(boT > 0,
+                            boT * (logbetaT - logbeta_oldT), 0.0)
+            padt = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
+            tabT = jnp.concatenate([padt(boT), padt(g2T)], axis=1)
+            padk = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
+
+            def scan_body_pallas(acc, xs):
+                acc_doc, acc_tok = acc
+                t, c, dm, la, lao, v, lz = xs
+                tok = lda_elbo_tok(tabT[t], c, dm, padk(la), padk(lao),
+                                   interpret=pallas_interpret)
+                cd = jnp.sum(c, axis=-1)
+                diff = la - mu
+                quad = jnp.einsum("bi,ij,bj->b", diff, invsigma, diff)
+                e_peta = 0.5 * (logdet_inv - K * log2pi
+                                - jnp.sum(isd * v, -1) - quad)
+                bound = jnp.sum(aexp(la + 0.5 * v - lz[:, None]), -1) + lz - 1.0
+                e_qeta = mvnormal_diag_entropy(v)
+                acc_doc = acc_doc + jnp.sum(
+                    dm * (e_peta - cd * bound + e_qeta))
+                return (acc_doc, acc_tok + tok), None
 
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
@@ -357,9 +396,16 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             n_rows = t_arr.shape[0]
             B = min(chunk_docs, n_rows)
             n_chunks = n_rows // B
+            from ..kernels.lda_elbo import fits_vmem as elbo_fits
+
+            body = (scan_body_pallas
+                    if use_pallas and B % 8 == 0
+                    and dt == jnp.float32
+                    and elbo_fits(t_arr.shape[1], ((K + 127) // 128) * 128)
+                    else scan_body)
             sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
             acc, _ = jax.lax.scan(
-                scan_body, acc,
+                body, acc,
                 (sh(t_arr), sh(c_arr), sh(dm_arr),
                  sh(la_a), sh(lao_a), sh(v_a), sh(lz_a)),
             )

@@ -304,11 +304,24 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
 
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
-              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
-    """ELBO with the reference's *_old recompute semantics (fLDA.jl:109-118)."""
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
+    """ELBO with the reference's *_old recompute semantics (fLDA.jl:109-118).
+
+    ``use_pallas`` routes the token-level terms through the fused kernel
+    (kernels/flda_elbo.py); doc-level terms (Elogptheta, Elogpc, the
+    Dirichlet/Bernoulli entropies) stay in XLA."""
     V = packed.V
 
+    Kp = ((K + 127) // 128) * 128
     seg_starts = seg_loc_starts(packed)
+    if use_pallas is None:
+        # measured PARITY with the XLA pass (kernels/flda_elbo.py
+        # docstring) — the tau exponent makes both transcendental-bound,
+        # so the kernel stays an explicitly-requested experimental path
+        use_pallas = False
+    if seq_axis is not None or K == Kp:
+        use_pallas = False
     if seq_axis is not None:
         assert seg_starts is None, "token-axis sharding requires dense packing"
 
@@ -334,6 +347,35 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         # (logbeta_old, logbeta, logkappa) pay their per-row cost once
         log_tabT = jnp.concatenate(
             [logbeta_oldT, logbetaT, logkappa[:, None]], axis=1)
+
+        if use_pallas:
+            from ..kernels.flda_elbo import flda_elbo_tok
+
+            # lane layout: [logβo (κ in pad lane K) | logβc], width 2Kp
+            padt = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
+            lbo_p = padt(logbeta_oldT).at[:, K].set(logkappa)
+            tabT = jnp.concatenate([lbo_p, padt(logbetaT)], axis=1)
+            padel = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)),
+                                      constant_values=-1e30)
+            padk = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
+
+            def scan_body_pallas(acc, xs):
+                acc_doc, acc_tok = acc
+                t, c, dm, g, el, elo, ta, tao = xs
+                tok = flda_elbo_tok(tabT[t], c, ta, tao, dm,
+                                    padk(el), padel(elo), kappa_lane=K,
+                                    interpret=pallas_interpret)
+                C_d = jnp.sum(c, -1)
+                tau_c = jnp.sum(ta * c, -1)
+                e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
+                sc = tau_c * alog(eta + eps) \
+                    + (C_d - tau_c) * alog(1.0 - eta + eps)
+                e_pc = jnp.logaddexp(sc, log_eps)
+                e_qtheta = dirichlet_entropy(g)
+                e_qc = jnp.sum(bernoulli_entropy(ta) * c, axis=-1)
+                acc_doc = acc_doc + jnp.sum(
+                    dm * (e_ptheta + e_pc + e_qtheta + e_qc))
+                return (acc_doc, acc_tok + tok), None
 
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
@@ -377,9 +419,16 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             n_rows = t_a.shape[0]
             B = min(chunk_docs, n_rows)
             n_chunks = n_rows // B
+            from ..kernels.flda_elbo import fits_vmem as elbo_fits
+
+            body = (scan_body_pallas
+                    if use_pallas and B % 8 == 0
+                    and dt == jnp.float32
+                    and elbo_fits(t_a.shape[1], Kp)
+                    else scan_body)
             sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
             acc, _ = jax.lax.scan(
-                scan_body, acc,
+                body, acc,
                 (sh(t_a), sh(c_a), sh(dm_a), sh(g_a),
                  sh(el_a), sh(elo_a), sh(ta_a), sh(tao_a)),
             )
