@@ -49,7 +49,6 @@ _VMEM_BUDGET_BYTES = 12_500_000
 _SQRT2 = 1.4142135623730951
 _LN2_C1 = 0.693359375          # ln2 split, low mantissa bits zero
 _LN2_C2 = -2.12194440e-4
-_TINY = 1e-30                  # guard for 0·log(pad-lane) products
 
 
 def fits_vmem(l_elems: int, Kp: int) -> bool:
@@ -87,8 +86,11 @@ def _elbo_kernel(tab_ref, counts_ref, mask_ref,
     elo = elo_ref[:]                    # [bt, Kp] old Elogtheta, 0 pad
 
     e = jnp.exp(elo)                                     # [bt, Kp]
-    s = jnp.sum(bo * e[:, None, :], axis=-1)             # [bt, L] > 0
-    r = c / s                                            # [bt, L] 0 on padding
+    s = jnp.sum(bo * e[:, None, :], axis=-1)             # [bt, L]
+    # LDA folds +eps into bo so s > 0 everywhere, but CTM feeds raw
+    # beta_old (CTM.jl:93): a padded slot gathering an unused vocab row
+    # gives s = 0 and c/s = 0/0 = NaN without the mask.
+    r = jnp.where(c > 0, c / s, 0.0)                     # [bt, L] 0 on padding
     q = jnp.sum(r[:, :, None] * bo, axis=1)              # [bt, Kp]
     a2 = jnp.sum(r[:, :, None] * g2, axis=1)             # [bt, Kp]
     eq = e * q                                           # Σ_l c·phi  [bt, Kp]

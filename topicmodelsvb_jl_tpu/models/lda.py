@@ -329,6 +329,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     V = packed.V
     seg_starts = seg_loc_starts(packed)
     if use_pallas is None:
+        # no small-K gate here (unlike make_step's K >= 64): the ELBO
+        # pass is bound by the [V, 2Kp]-table gather's per-ROW cost, so
+        # the 128-lane pad is free — measured on-chip at NSF scale:
+        # kernel wins 1.25-1.32x at every K in {8,16,25,32,50,100}
         use_pallas = jax.default_backend() == "tpu" and seq_axis is None
     if seq_axis is not None:
         use_pallas = False

@@ -283,7 +283,10 @@ class _StreamingModel:
     vocab_axis: Optional[str] = None   # TP composition (StreamingLDA)
 
     def _init_common(self, packed, K, batch_docs, chunk_docs, dtype, seed,
-                     mesh, data_axis, state_dir=None):
+                     mesh, data_axis, state_dir=None, use_pallas=True):
+        # use_pallas=False forces the batch-ELBO onto the pure-XLA path
+        # (same escape hatch as RuntimeConfig.use_pallas for api models)
+        self.use_pallas = bool(use_pallas)
         self._state_dir = state_dir
         if state_dir is not None:
             os.makedirs(state_dir, exist_ok=True)
