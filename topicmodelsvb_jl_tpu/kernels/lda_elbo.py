@@ -89,8 +89,13 @@ def _elbo_kernel(tab_ref, counts_ref, mask_ref,
     s = jnp.sum(bo * e[:, None, :], axis=-1)             # [bt, L]
     # LDA folds +eps into bo so s > 0 everywhere, but CTM feeds raw
     # beta_old (CTM.jl:93): a padded slot gathering an unused vocab row
-    # gives s = 0 and c/s = 0/0 = NaN without the mask.
-    r = jnp.where(c > 0, c / s, 0.0)                     # [bt, L] 0 on padding
+    # gives s = 0 and c/s = 0/0 = NaN without the mask.  The unselected
+    # lane divides by a safe 1.0 so no 0/0 is ever computed (it would
+    # poison gradients if this kernel were differentiated); a REAL token
+    # (c > 0) over an all-zero beta_old column still yields inf — genuine
+    # degeneracy is surfaced, not masked.
+    s_safe = jnp.where(c > 0, s, 1.0)
+    r = jnp.where(c > 0, c / s_safe, 0.0)                # [bt, L] 0 on padding
     q = jnp.sum(r[:, :, None] * bo, axis=1)              # [bt, Kp]
     a2 = jnp.sum(r[:, :, None] * g2, axis=1)             # [bt, Kp]
     eq = e * q                                           # Σ_l c·phi  [bt, Kp]

@@ -285,7 +285,11 @@ class _StreamingModel:
     def _init_common(self, packed, K, batch_docs, chunk_docs, dtype, seed,
                      mesh, data_axis, state_dir=None, use_pallas=True):
         # use_pallas=False forces the batch-ELBO onto the pure-XLA path
-        # (same escape hatch as RuntimeConfig.use_pallas for api models)
+        # (same escape hatch as RuntimeConfig.use_pallas for api models).
+        # Consulted only by the models whose streamed bound has a Pallas
+        # path (StreamingCTM/StreamingfLDA, which expose the kwarg);
+        # LDA's make_batch_elbo and the CTPF/fCTM/HMTM bounds are
+        # pure-XLA by construction, so there is nothing to switch.
         self.use_pallas = bool(use_pallas)
         self._state_dir = state_dir
         if state_dir is not None:
@@ -1053,9 +1057,10 @@ class StreamingCTM(_StreamingModel):
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 2048, dtype=jnp.float32, seed: int = 0,
                  mesh=None, data_axis: str = "data",
-                 state_dir: Optional[str] = None):
+                 state_dir: Optional[str] = None, use_pallas: bool = True):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
-                          mesh, data_axis, state_dir=state_dir)
+                          mesh, data_axis, state_dir=state_dir,
+                          use_pallas=use_pallas)
         npdt = np.dtype(dtype)
         M_pad = packed.M_pad
         # constructor state (reference CTM.jl:27-52, = models/ctm.init)
@@ -1096,7 +1101,8 @@ class StreamingCTM(_StreamingModel):
         ax = self.data_axis if self.mesh is not None else None
         self._elbo_fn = self._wrap_batch_elbo(
             ctm_mod.make_elbo(self.packed, self.K,
-                              chunk_docs=self.chunk_docs, axis_name=ax),
+                              chunk_docs=self.chunk_docs, axis_name=ax,
+                              use_pallas=None if self.use_pallas else False),
             ctm_mod.partition_spec(self.data_axis))
 
     def _zero_stats(self):
@@ -1189,9 +1195,10 @@ class StreamingFLDA(_StreamingModel):
     def __init__(self, packed, K: int, batch_docs: int = 8192,
                  chunk_docs: int = 1024, dtype=jnp.float32, seed: int = 0,
                  mesh=None, data_axis: str = "data",
-                 state_dir: Optional[str] = None):
+                 state_dir: Optional[str] = None, use_pallas: bool = True):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
-                          mesh, data_axis, state_dir=state_dir)
+                          mesh, data_axis, state_dir=state_dir,
+                          use_pallas=use_pallas)
         npdt = np.dtype(dtype)
         M_pad, L = packed.M_pad, packed.L
         # constructor state (reference fLDA.jl:30-58, = models/flda.init)
@@ -1237,7 +1244,8 @@ class StreamingFLDA(_StreamingModel):
         ax = self.data_axis if self.mesh is not None else None
         self._elbo_fn = self._wrap_batch_elbo(
             flda_mod.make_elbo(self.packed, self.K,
-                               chunk_docs=self.chunk_docs, axis_name=ax),
+                               chunk_docs=self.chunk_docs, axis_name=ax,
+                               use_pallas=None if self.use_pallas else False),
             flda_mod.partition_spec(self.data_axis))
 
     def _zero_stats(self):
