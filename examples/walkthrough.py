@@ -97,7 +97,7 @@ citeu = tm.load_citeu(subset=2000)
 tm.fixcorp(citeu, trim=True)
 # hide one reader per multi-reader doc for the §8 evaluation
 # (the reference's leave-one-out demo, README.md:512-560)
-held = tm.holdout_readers(citeu, seed=7)
+citeu, held = tm.holdout_readers(citeu, seed=7)
 base = tm.LDA(citeu, 30, seed=7)
 base.train(iter=15, tol=0.0, checkelbo=np.inf, printelbo=False)
 ctpf = tm.CTPF(citeu, 30, seed=7).warm_start_from(base)

@@ -132,7 +132,7 @@ def test_ctpf_heldout_reader_rank():
         heldout_reader_rank, holdout_readers, recall_at_k)
 
     corp = _structured_reader_corpus()
-    held = holdout_readers(corp, seed=11)
+    corp, held = holdout_readers(corp, seed=11)
     assert held
     model = _make(corp, K=10)
     model.train(iter=40, checkelbo=np.inf, printelbo=False)
@@ -155,7 +155,7 @@ def test_ctpf_online_one_pass_heldout_rank():
     from topicmodelsvb_jl_tpu.streaming import StreamingCTPF
 
     corp = _structured_reader_corpus(docs_per_group=50)
-    held = holdout_readers(corp, seed=11)
+    corp, held = holdout_readers(corp, seed=11)
     packed = pack_corpus(corp, pad_multiple=8, docs_multiple=32,
                          with_readers=True, dtype=np.float64)
     s = StreamingCTPF(packed, 10, batch_docs=32, chunk_docs=16,

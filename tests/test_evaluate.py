@@ -141,8 +141,18 @@ def test_holdout_readers_keeps_reader_rating_alignment():
                   users={u: f"u{u}" for u in range(1, 8)})
     orig = {d: dict(zip(doc.readers, doc.ratings))
             for d, doc in enumerate(corp.docs, start=1)}
-    held = holdout_readers(corp, seed=0)
+    corp2, held = holdout_readers(corp, seed=0)
     assert held
+    # default is copy-out: the caller's corpus is untouched
+    for d, doc in enumerate(corp.docs, start=1):
+        assert len(doc.readers) == 3 and orig[d] == dict(
+            zip(doc.readers, doc.ratings))
+    for d, doc in enumerate(corp2.docs, start=1):
+        for r, rating in zip(doc.readers, doc.ratings):
+            assert orig[d][r] == rating
+    # inplace=True edits the argument itself (corp_out is corp)
+    corp3, held3 = holdout_readers(corp, seed=0, inplace=True)
+    assert corp3 is corp and held3 == held
     for d, doc in enumerate(corp.docs, start=1):
         for r, rating in zip(doc.readers, doc.ratings):
             assert orig[d][r] == rating
@@ -154,7 +164,7 @@ def test_ranked_users_shared_across_metrics():
         ranked_users, recall_at_k, synth_corpus)
 
     corp = synth_corpus(M=48, V=30, K=3, U=12, seed=5)
-    held = holdout_readers(corp, seed=1)
+    corp, held = holdout_readers(corp, seed=1)
     model = CTPF(corp, 3, runtime=RuntimeConfig(chunk_docs=8))
     model.train(iter=3, checkelbo=float("inf"), printelbo=False)
     recs = ranked_users(model, held)
@@ -178,9 +188,11 @@ def test_holdout_readers_skips_duplicated_readers():
                         readers=[1, 2, 2], ratings=[1, 1, 1])]
     corp = tm.Corpus(docs=docs, vocab={1: "a", 2: "b"},
                      users={1: "u1", 2: "u2", 3: "u3"})
-    held = holdout_readers(corp, seed=0)
+    corp2, held = holdout_readers(corp, seed=0)
     # doc 1: only duplicated readers -> skipped entirely
     # doc 2: reader 1 is the only single-occurrence candidate
     assert held == [(2, 1)]
-    assert docs[0].readers == [3, 3]
-    assert docs[1].readers == [2, 2] and docs[1].ratings == [1, 1]
+    assert corp2.docs[0].readers == [3, 3]
+    assert corp2.docs[1].readers == [2, 2] and corp2.docs[1].ratings == [1, 1]
+    # default copy-out: the caller's docs keep their readers
+    assert docs[1].readers == [1, 2, 2]

@@ -74,6 +74,7 @@ def test_sigkill_and_resume_reproduces_elbo_trace(tmp_path):
 
     # resume from the killed run's last checkpoint
     resumed = ckptlib.load(os.path.join(ckpt_dir, last), corp)
+    assert resumed.trained_iters == k_ckpt
     resumed.train(iter=total - k_ckpt, tol=0.0, checkelbo=1, printelbo=False)
     res_trace = [r.elbo for r in resumed.trainer.trace if r.elbo is not None]
 
@@ -81,6 +82,10 @@ def test_sigkill_and_resume_reproduces_elbo_trace(tmp_path):
     np.testing.assert_allclose(res_trace, ref_trace[k_ckpt:], rtol=1e-10)
     np.testing.assert_allclose(np.asarray(resumed.beta), np.asarray(ref.beta),
                                rtol=1e-10)
+    # ...and the global iteration numbering continues without collision
+    assert [r.k for r in resumed.trainer.trace] == \
+        list(range(k_ckpt + 1, total + 1))
+    assert resumed.trained_iters == total
 
 
 def _free_port() -> int:
@@ -165,17 +170,20 @@ def test_multiprocess_sigkill_and_resume(tmp_path):
 
     # cross-process-count restore: the 2-process checkpoint loads and
     # continues in THIS single process, matching the same trajectory
+    # AND the same global iteration numbering
     single = ckptlib.load(os.path.join(ckpt_dir, last), corp)
     single.train(iter=total - k_ckpt, tol=0.0, checkelbo=1, printelbo=False)
     strace = [r.elbo for r in single.trainer.trace if r.elbo is not None]
     np.testing.assert_allclose(strace, ref_trace[k_ckpt:], rtol=1e-10)
+    assert [r.k for r in single.trainer.trace] == \
+        list(range(k_ckpt + 1, total + 1))
 
 
 def test_checkpoint_overwrites_same_iter_leftovers(tmp_path):
-    """A resumed run restarts k at 1 and re-reaches earlier checkpoint
-    numbers; stale same-named leftovers — including the multi-host
-    DIRECTORY format and stale .tmp artifacts — must be replaced, not
-    crash os.replace (ENOTEMPTY/IsADirectoryError)."""
+    """Stale same-named leftovers (what a killed run leaves behind) —
+    including the multi-host DIRECTORY format and stale .tmp artifacts —
+    must be replaced, not crash os.replace
+    (ENOTEMPTY/IsADirectoryError)."""
     import topicmodelsvb_jl_tpu as tm
     from topicmodelsvb_jl_tpu import RuntimeConfig
     from topicmodelsvb_jl_tpu.api import LDA

@@ -9,6 +9,8 @@ the single-device trajectory up to reduction-order roundoff.
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from topicmodelsvb_jl_tpu.utils.numerics import elbo_value
 from jax.sharding import PartitionSpec as P
 
 from topicmodelsvb_jl_tpu.models import lda as lda_mod
@@ -42,7 +44,7 @@ def _reference_run(packed, K, iters=3):
     for _ in range(iters):
         state = step(state, *data)
     elbo = jax.jit(lda_mod.make_elbo(packed, K, chunk_docs=16))(state, *data[:3])
-    return state, float(elbo)
+    return state, elbo_value(elbo)
 
 
 def test_vocab_axis_tp_matches_single_device():
@@ -79,7 +81,7 @@ def test_vocab_axis_tp_matches_single_device():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(state.alpha), np.asarray(ref.alpha),
                                rtol=1e-7)
-    e = float(elbo_fn(state, *data[:3]))
+    e = elbo_value(elbo_fn(state, *data[:3]))
     np.testing.assert_allclose(e, ref_elbo, rtol=1e-9)
 
 
@@ -115,7 +117,7 @@ def test_seq_axis_sp_matches_single_device():
                                rtol=1e-8)
     np.testing.assert_allclose(np.asarray(state.gamma), np.asarray(ref.gamma),
                                rtol=1e-6)
-    e = float(elbo_fn(state, *data[:3]))
+    e = elbo_value(elbo_fn(state, *data[:3]))
     np.testing.assert_allclose(e, ref_elbo, rtol=1e-9)
 
 
@@ -196,14 +198,14 @@ def test_ctpf_vocab_and_user_axis_tp_matches_single_device():
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-8, err_msg=f)
     elbo1 = jax.jit(ctpf_mod.make_elbo(packed, K, chunk_docs=8))
-    ref_e = float(elbo1(ref, *data))
+    ref_e = elbo_value(elbo1(ref, *data))
     elbo_l = ctpf_mod.make_elbo(packed, K, chunk_docs=4, axis_name=axes,
                                 vocab_axis="vocab", user_axis="user")
     elbo_fn = jax.jit(shard_map(
         elbo_l, mesh=mesh,
         in_specs=(spec, dspec, dspec, dspec, dspec, dspec),
         out_specs=P(), check_vma=False))
-    np.testing.assert_allclose(float(elbo_fn(s, *data)), ref_e, rtol=1e-9)
+    np.testing.assert_allclose(elbo_value(elbo_fn(s, *data)), ref_e, rtol=1e-9)
 
 
 def test_flda_vocab_axis_tp_matches_single_device():
@@ -245,14 +247,14 @@ def test_flda_vocab_axis_tp_matches_single_device():
             rtol=1e-8, err_msg=f)
     # ELBO under vocab sharding must match the single-device bound
     elbo1 = jax.jit(flda_mod.make_elbo(packed, K, chunk_docs=8))
-    ref_e = float(elbo1(ref, *data[:3]))
+    ref_e = elbo_value(elbo1(ref, *data[:3]))
     elbo_l = flda_mod.make_elbo(packed, K, chunk_docs=4,
                                 axis_name=("data", "vocab"),
                                 vocab_axis="vocab")
     elbo_fn = jax.jit(shard_map(
         elbo_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec),
         out_specs=P(), check_vma=False))
-    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+    np.testing.assert_allclose(elbo_value(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
 
 
 def test_fctm_vocab_axis_tp_matches_single_device():
@@ -289,14 +291,14 @@ def test_fctm_vocab_axis_tp_matches_single_device():
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-8, err_msg=f)
     elbo1 = jax.jit(fctm_mod.make_elbo(packed, K, chunk_docs=8))
-    ref_e = float(elbo1(ref, *data[:3]))
+    ref_e = elbo_value(elbo1(ref, *data[:3]))
     elbo_l = fctm_mod.make_elbo(packed, K, chunk_docs=4,
                                 axis_name=("data", "vocab"),
                                 vocab_axis="vocab")
     elbo_fn = jax.jit(shard_map(
         elbo_l, mesh=mesh, in_specs=(spec, dspec, dspec, dspec),
         out_specs=P(), check_vma=False))
-    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+    np.testing.assert_allclose(elbo_value(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
 
 
 def test_dtm_vocab_axis_tp_matches_single_device():
@@ -383,13 +385,13 @@ def test_flda_seq_axis_sp_matches_single_device():
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-8, err_msg=f)
     elbo1 = jax.jit(flda_mod.make_elbo(packed, K, chunk_docs=8))
-    ref_e = float(elbo1(ref, *data[:3]))
+    ref_e = elbo_value(elbo1(ref, *data[:3]))
     elbo_l = flda_mod.make_elbo(packed, K, chunk_docs=16, axis_name="data",
                                 seq_axis="seq")
     elbo_fn = jax.jit(shard_map(
         elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
         out_specs=P(), check_vma=False))
-    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+    np.testing.assert_allclose(elbo_value(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
 
 
 def test_ctm_seq_axis_sp_matches_single_device():
@@ -427,13 +429,13 @@ def test_ctm_seq_axis_sp_matches_single_device():
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-7, err_msg=f)
     elbo1 = jax.jit(ctm_mod.make_elbo(packed, K, chunk_docs=8))
-    ref_e = float(elbo1(ref, *data[:3]))
+    ref_e = elbo_value(elbo1(ref, *data[:3]))
     elbo_l = ctm_mod.make_elbo(packed, K, chunk_docs=16, axis_name="data",
                                seq_axis="seq")
     elbo_fn = jax.jit(shard_map(
         elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
         out_specs=P(), check_vma=False))
-    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+    np.testing.assert_allclose(elbo_value(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
 
 
 def test_fctm_seq_axis_sp_matches_single_device():
@@ -469,13 +471,13 @@ def test_fctm_seq_axis_sp_matches_single_device():
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-7, err_msg=f)
     elbo1 = jax.jit(fctm_mod.make_elbo(packed, K, chunk_docs=8))
-    ref_e = float(elbo1(ref, *data[:3]))
+    ref_e = elbo_value(elbo1(ref, *data[:3]))
     elbo_l = fctm_mod.make_elbo(packed, K, chunk_docs=16, axis_name="data",
                                 seq_axis="seq")
     elbo_fn = jax.jit(shard_map(
         elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
         out_specs=P(), check_vma=False))
-    np.testing.assert_allclose(float(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
+    np.testing.assert_allclose(elbo_value(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
 
 
 def test_ctpf_seq_axis_sp_matches_single_device():
@@ -519,14 +521,14 @@ def test_ctpf_seq_axis_sp_matches_single_device():
             np.asarray(getattr(s, f)), np.asarray(getattr(ref, f)),
             rtol=1e-8, err_msg=f)
     elbo1 = jax.jit(ctpf_mod.make_elbo(packed, K, chunk_docs=8))
-    ref_e = float(elbo1(ref, *data))
+    ref_e = elbo_value(elbo1(ref, *data))
     elbo_l = ctpf_mod.make_elbo(packed, K, chunk_docs=16, axis_name="data",
                                 seq_axis="seq")
     elbo_fn = jax.jit(shard_map(
         elbo_l, mesh=mesh,
         in_specs=(spec, tokspec, tokspec, tokspec, tokspec, dspec),
         out_specs=P(), check_vma=False))
-    np.testing.assert_allclose(float(elbo_fn(s, *data)), ref_e, rtol=1e-9)
+    np.testing.assert_allclose(elbo_value(elbo_fn(s, *data)), ref_e, rtol=1e-9)
 
 
 def test_lda_3d_dp_tp_sp_mesh_matches_single_device():
@@ -569,7 +571,7 @@ def test_lda_3d_dp_tp_sp_mesh_matches_single_device():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(state.alpha), np.asarray(ref.alpha),
                                rtol=1e-7)
-    np.testing.assert_allclose(float(elbo_fn(state, *data[:3])), ref_elbo,
+    np.testing.assert_allclose(elbo_value(elbo_fn(state, *data[:3])), ref_elbo,
                                rtol=1e-9)
 
 
@@ -610,7 +612,7 @@ def test_hmtm_vocab_axis_tp_matches_single_device():
                 out_specs=P(), check_vma=False))
         for _ in range(3):
             state = step(state, *data)
-        return state, float(elbo_fn(state, *data[:3]))
+        return state, elbo_value(elbo_fn(state, *data[:3]))
 
     ref, ref_elbo = run(None, None, None)
     tp, tp_elbo = run(("data", "vocab"), (2, 4), "vocab")

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from topicmodelsvb_jl_tpu.utils.numerics import elbo_value
+
 from topicmodelsvb_jl_tpu.datasets import synth_packed_nsf_scale
 from topicmodelsvb_jl_tpu.ops.packing import unit_counts
 from topicmodelsvb_jl_tpu.models import lda as lda_mod
@@ -29,7 +31,7 @@ def _inmemory_run(packed, K, iters, viter=5):
             jnp.asarray(float(packed.M), jnp.float64))
     for _ in range(iters):
         state = step(state, *data)
-    return state, float(elbo(state, *data[:3]))
+    return state, elbo_value(elbo(state, *data[:3]))
 
 
 def test_streaming_matches_inmemory_trajectory():
@@ -180,7 +182,7 @@ def _inmemory_ctpf(packed, K, iters, viter=5):
             jnp.asarray(packed.doc_mask.astype(np.float64)))
     for _ in range(iters):
         state = step(state, *data)
-    return state, float(elbo(state, *data))
+    return state, elbo_value(elbo(state, *data))
 
 
 def test_streaming_ctpf_matches_inmemory_trajectory():
@@ -378,7 +380,7 @@ def _inmemory_generic(name, packed, K, iters, viter=4):
     state = mod.init(key, packed, K, jnp.float64)
     for _ in range(iters):
         state = step(state, *data)
-    return state, float(elbo(state, *base))
+    return state, elbo_value(elbo(state, *base))
 
 
 _STREAM_CASES = {

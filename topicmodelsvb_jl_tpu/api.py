@@ -158,6 +158,11 @@ class TopicModel:
         self.state = None
         self.trainer: Optional[Trainer] = None
         self.topics: Optional[np.ndarray] = None  # [K, V] 1-based rankings
+        # global outer-iteration counter (monotone across resumes):
+        # checkpoint save/load round-trips it so a resumed run continues
+        # k, JSONL rows, and ckpt_iter* filenames without collision
+        self.trained_iters: int = 0
+        self._ckpt_writer = None   # AsyncWriter when auto-checkpointing
         # serve-path cache: jitted E-step programs keyed by (inference
         # config, packed shape signature) — see infer()/predict().
         # LRU-bounded: a long-lived serving loop over varying corpus
@@ -300,8 +305,8 @@ class TopicModel:
             def _clear(p):
                 # leftovers may be a FILE (single-host format) or a
                 # non-empty DIRECTORY (multi-host format) — e.g. a
-                # killed run's stale tmp, or a same-iter checkpoint
-                # from a resumed run (resume restarts k at 1).
+                # killed run's stale tmp (the global iteration counter
+                # means a resumed run never reuses an iter number).
                 # os.replace handles neither onto-a-dir case itself.
                 if os.path.isdir(p):
                     shutil.rmtree(p)
@@ -310,24 +315,45 @@ class TopicModel:
 
             def _ckpt_cb(k, state):
                 self.state = state
+                self.trained_iters = int(k)   # checkpoint carries global k
                 os.makedirs(rt.checkpoint_dir, exist_ok=True)
                 final = os.path.join(rt.checkpoint_dir, f"ckpt_iter{k:06d}")
                 tmp = final + ".tmp"
+                if jax.process_count() == 1:
+                    # ASYNC path: capture an immutable snapshot + start the
+                    # device→host DMA on this thread (~free), then hand the
+                    # fetch + serialise + atomic rename to the background
+                    # writer — the training loop never blocks on disk or
+                    # a multi-GB transfer (todo.txt item 5, orbax-style).
+                    # One-slot back-pressure: a new submit first joins the
+                    # previous write.
+                    if self._ckpt_writer is None:
+                        self._ckpt_writer = ckptlib.AsyncWriter()
+                    snap = ckptlib.snapshot(self)
+
+                    def _write():
+                        _clear(tmp)
+                        ckptlib.write_snapshot(tmp, snap)
+                        if os.path.isdir(final):
+                            _clear(final)
+                        os.replace(tmp, final)
+
+                    self._ckpt_writer.submit(_write)
+                    return
+                # multi-controller path stays synchronous: the shard
+                # writes and the manifest-last protocol need the same
+                # cross-process barriers as checkpoint.save itself
                 if jax.process_index() == 0:
                     _clear(tmp)
-                if jax.process_count() > 1:
-                    # don't let other processes write shard files into a
-                    # stale tmp dir that process 0 is still removing
-                    from jax.experimental import multihost_utils
-                    multihost_utils.sync_global_devices(
-                        f"tmvb_ckpt_clear:{final}")
+                # don't let other processes write shard files into a
+                # stale tmp dir that process 0 is still removing
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(
+                    f"tmvb_ckpt_clear:{final}")
                 ckptlib.save(tmp, self)
                 if jax.process_index() == 0:
-                    # single-host checkpoints are plain files: os.replace
-                    # alone is atomic, and pre-clearing would open a crash
-                    # window with NO durable checkpoint for this iter.
-                    # Directories (multi-host layout) can't be renamed over
-                    # a non-empty target, so only they need clearing first.
+                    # directories (multi-host layout) can't be renamed
+                    # over a non-empty target, so clear first
                     if os.path.isdir(final) or os.path.isdir(tmp):
                         _clear(final)
                     os.replace(tmp, final)
@@ -365,14 +391,25 @@ class TopicModel:
         self._cfg = cfg
         self.trainer = self._build_trainer(cfg)
         all_empty = all(n == 0 for n in self.N)
-        self.state = self.trainer.train(self.state, cfg, corpus_all_empty=all_empty)
+        try:
+            self.state = self.trainer.train(
+                self.state, cfg, corpus_all_empty=all_empty,
+                start_iter=self.trained_iters)
+        finally:
+            if self._ckpt_writer is not None:
+                # drain the in-flight async checkpoint before returning
+                self._ckpt_writer.wait()
+        if self.trainer.trace:
+            self.trained_iters = self.trainer.trace[-1].k
         self._finalize()
         return self
 
     # ── post-hoc API ──
     @property
     def elbo(self) -> float:
-        return float(self.state.elbo)
+        from .utils.numerics import elbo_value
+
+        return elbo_value(self.state.elbo)
 
     def topicdist(self, d):
         """Topic distribution for doc(s), 1-based index (modelutils.jl:946-984)."""

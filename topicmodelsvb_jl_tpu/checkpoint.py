@@ -101,6 +101,9 @@ def _model_meta(model) -> dict:
         doc_fields=sorted(doc_fields),
         ctor=getattr(model, "_ctor_kwargs", lambda: {})(),
         trained=model.topics is not None,
+        # global outer-iteration counter: a resumed run continues k,
+        # JSONL rows, and ckpt_iter* names without collision
+        iteration=int(getattr(model, "trained_iters", 0)),
     )
 
 
@@ -149,21 +152,80 @@ def save(path: str, model) -> None:
     if jax.process_count() > 1:
         _save_multihost(path, model)
         return
-    fields = list(model.state._fields)
+    write_snapshot(path, snapshot(model))
+
+
+def snapshot(model) -> tuple:
+    """Immutable (meta, state, doc_fields, rows) capture of everything
+    :func:`write_snapshot` needs, taken on the training thread.  Starts
+    the device→host DMA of every leaf (``copy_to_host_async``) so a
+    background writer's ``np.asarray`` only waits for completion instead
+    of issuing a blocking fetch — the double-buffered half of async
+    checkpointing (the state pytree is immutable, so the capture is
+    race-free even while training replaces ``model.state``)."""
+    state = model.state
+    meta = _model_meta(model)
     doc_fields = set(getattr(model, "_per_doc_fields", ()))
     rows = model._doc_rows()
+    for leaf in state:
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass   # best effort; np.asarray below still works
+    return meta, state, doc_fields, rows
+
+
+def write_snapshot(path: str, snap: tuple) -> None:
+    """Fetch + serialise a :func:`snapshot` (single-process format)."""
+    meta, state, doc_fields, rows = snap
     arrays = {}
-    for i, name in enumerate(fields):
-        arr = np.asarray(getattr(model.state, name))
+    for i, name in enumerate(state._fields):
+        arr = np.asarray(getattr(state, name))
         if name in doc_fields:
             arr = arr[rows]              # packed rows → original doc order
         arrays[f"leaf_{i}"] = arr
-    meta = _model_meta(model)
     # write through a file handle so the exact path is used (np.savez
     # appends '.npz' to bare string paths, breaking the round trip)
     with open(path, "wb") as f:
         np.savez(f, __meta__=np.frombuffer(json.dumps(meta).encode(), np.uint8),
                  **arrays)
+
+
+class AsyncWriter:
+    """One-slot background checkpoint writer (todo.txt item 5 aimed at
+    the orbax async standard): ``submit(fn)`` runs ``fn`` on a daemon
+    thread; a second submit (or ``wait``) first joins the outstanding
+    write, so at most one checkpoint is in flight and back-pressure is
+    the previous write's remaining time, not a growing queue.  Errors
+    re-raise on the next submit/wait."""
+
+    def __init__(self):
+        self._thread = None
+        self._exc = None
+
+    def submit(self, fn) -> None:
+        import threading
+
+        self.wait()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:   # re-raised on the caller thread
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=run, name="tmvb-ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def _save_multihost(path: str, model) -> None:
@@ -233,8 +295,12 @@ def _rebuild_model(meta: dict, corp, strict_corpus: bool):
     else:                   # older checkpoints: dtype + class preference
         rt = RuntimeConfig(dtype=meta["dtype"],
                            chunk_docs=getattr(cls, "_preferred_chunk", 1024))
-    return cls(corp, meta["K"], runtime=rt,
-               seed=meta["seed"], **meta.get("ctor", {}))
+    model = cls(corp, meta["K"], runtime=rt,
+                seed=meta["seed"], **meta.get("ctor", {}))
+    # resume the global iteration counter (older checkpoints: 0, i.e.
+    # the pre-counter behavior of restarting at k=1)
+    model.trained_iters = int(meta.get("iteration", 0))
+    return model
 
 
 def _restore_state(model, meta: dict, global_leaves: dict,
@@ -269,6 +335,9 @@ def _restore_state(model, meta: dict, global_leaves: dict,
             fixed.append(out.astype(ref.dtype))
         else:
             saved = np.asarray(global_leaves[name])
+            if name == "elbo" and saved.shape == () and ref.shape == (2,):
+                # pre-compensation checkpoint: scalar bound → (hi, lo=0)
+                saved = np.stack([saved, np.zeros_like(saved)])
             if saved.shape != ref.shape:
                 raise ValueError(
                     f"checkpoint field {name} shape {saved.shape} != {ref.shape}")

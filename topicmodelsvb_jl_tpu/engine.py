@@ -27,6 +27,7 @@ import jax
 import numpy as np
 
 from .utils.config import TrainConfig
+from .utils.numerics import elbo_value
 
 
 @dataclasses.dataclass
@@ -98,7 +99,12 @@ class Trainer:
         self.checkpoint_cb = checkpoint_cb
         self.checkpoint_every = int(checkpoint_every)
 
-    def train(self, state, cfg: TrainConfig, corpus_all_empty: bool = False):
+    def train(self, state, cfg: TrainConfig, corpus_all_empty: bool = False,
+              start_iter: int = 0):
+        """Run ``cfg.iter`` outer iterations, numbering them globally
+        from ``start_iter + 1`` — a resumed run continues the iteration
+        counter (JSONL rows and checkpoint filenames never collide
+        across a resume)."""
         cfg.validate()
         if self.state_sharding is not None:
             if jax.process_count() > 1:
@@ -122,13 +128,14 @@ class Trainer:
         # step_time_s is back-filled as the average over each sync span.
         span_start = time.perf_counter()
         span_recs = []
-        for k in range(1, n_iter + 1):
-            if self.profile_dir and k == 2:  # skip the compile iteration
+        k0 = int(start_iter)
+        for k in range(k0 + 1, k0 + n_iter + 1):
+            if self.profile_dir and k == k0 + 2:  # skip the compile iteration
                 jax.profiler.start_trace(self.profile_dir)
                 profiling = True
             with jax.profiler.StepTraceAnnotation("cavi_step", step_num=k):
                 state = self.step_fn(state, *self.data)
-            if profiling and k >= 1 + self.profile_steps:
+            if profiling and k >= k0 + 1 + self.profile_steps:
                 jax.block_until_ready(jax.tree_util.tree_leaves(state))
                 jax.profiler.stop_trace()
                 profiling = False
@@ -137,16 +144,20 @@ class Trainer:
 
             # check_elbo! (modelutils.jl:574-585)
             sync = cfg.checkelbo != float("inf") and k % int(cfg.checkelbo) == 0
-            if sync or k == n_iter:
+            if sync or k == k0 + n_iter:
                 if sync:
                     new_elbo = self.elbo_fn(state, *self.elbo_data)
                     sync_t0 = time.perf_counter()
-                    delta = float(new_elbo - state.elbo)  # fetch = real sync
+                    # the bound is a compensated (hi, lo) pair; combine
+                    # in f64 on the host so ∆elbo keeps sub-ulp(total)
+                    # resolution (fetch = real sync)
+                    new_val = elbo_value(new_elbo)
+                    delta = new_val - elbo_value(state.elbo)
                     sync_wait = time.perf_counter() - sync_t0
                     state = state._replace(elbo=new_elbo)
                     # assign before the span backfill below so the JSONL
                     # row for this iteration carries elbo/∆elbo too
-                    rec.elbo, rec.delta_elbo = float(new_elbo), delta
+                    rec.elbo, rec.delta_elbo = new_val, delta
                     rec.host_sync_s = sync_wait
                     if cfg.printelbo:
                         self.printer(f"{k} ∆elbo: {round(delta, 3)}")

@@ -180,12 +180,21 @@ def topic_coherence(model, N: int = 10,
 # reader per document before training, then ask where the trained
 # model ranks the hidden reader among the document's non-readers.
 
-def holdout_readers(corp: Corpus, seed: int = 0, min_readers: int = 2):
+def holdout_readers(corp: Corpus, seed: int = 0, min_readers: int = 2,
+                    inplace: bool = False):
     """Remove one random reader (and a rating) from every document with
-    at least ``min_readers`` readers, **mutating** ``corp``; returns the
-    held-out ``[(doc, user)]`` pairs (1-based ids).  Train on the
-    mutated corpus, then score with :func:`heldout_reader_rank` /
-    :func:`recall_at_k`."""
+    at least ``min_readers`` readers; returns ``(corp_out, held)`` where
+    ``held`` is the held-out ``[(doc, user)]`` pairs (1-based ids).
+    Train on ``corp_out``, then score with :func:`heldout_reader_rank` /
+    :func:`recall_at_k`.
+
+    By default the caller's corpus is left untouched and ``corp_out`` is
+    a deep copy with the holdouts removed (the reference's by-hand
+    protocol edits a working copy, README.md:512-524); pass
+    ``inplace=True`` to edit ``corp`` itself (then ``corp_out is corp``).
+    """
+    if not inplace:
+        corp = corp.deepcopy()
     rng = np.random.default_rng(seed)
     held = []
     for d, doc in enumerate(corp.docs, start=1):
@@ -202,7 +211,7 @@ def holdout_readers(corp: Corpus, seed: int = 0, min_readers: int = 2):
             i = singles[int(rng.integers(len(singles)))]
             held.append((d, doc.readers.pop(i)))
             doc.ratings.pop(i)  # ratings are parallel to readers
-    return held
+    return corp, held
 
 
 def _ranked_users(model, d: int):

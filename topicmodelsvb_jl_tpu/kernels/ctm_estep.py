@@ -10,6 +10,12 @@ of ops/newton.py (matvec = one [bt,Kp]@[Kp,Kp] MXU dot) — inside one
 kernel, with the gathered ``log beta[:, terms]`` tile VMEM-resident
 throughout.
 
+SUNSET (2026-08, round 4): this file is retained ONLY as the runnable
+record of the measured negative result below (ROADMAP.md preserves the
+numbers).  It is not a production path, gets no new features, and will
+be deleted (analysis kept in ROADMAP.md) the first time it blocks a
+refactor of models/ctm.py or ops/newton.py.
+
 MEASURED NEGATIVE RESULT (kept as documentation + the `use_pallas=True`
 experimental path): at NSF K=50 this kernel runs 3.1 s/iter vs the XLA
 body's 0.57 — 5.5× SLOWER.  The hypothesis (in-jit while-loop

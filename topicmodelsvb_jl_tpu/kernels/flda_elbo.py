@@ -10,6 +10,11 @@ gather (which IS a win) already serves the XLA path.  Kept as a tested
 experimental path (``use_pallas=True``) per the repo's negative-result
 convention (see kernels/ctm_estep.py).
 
+SUNSET (2026-08, round 4): retained only as the runnable record of the
+parity measurement (numbers preserved in ROADMAP.md/RESULTS.md); not a
+production path, no new features, deleted on first conflict with a
+models/flda.py refactor.
+
 fLDA's ELBO phi is softmax(tau·log β_old + Elogtheta_old) — the
 per-token tau exponent (fLDA.jl:113, 204-207) means the LDA ELBO
 kernel's pre-folded multiplicative form doesn't apply: the softmax must

@@ -36,8 +36,8 @@ import jax.numpy as jnp
 from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    aexp, alog, asoftmax, digamma, gamma_entropy, l2norm, lgamma,
-    masked_fixpoint,
+    aexp, alog, asoftmax, digamma, gamma_entropy, kbn_add, kbn_merge,
+    kbn_pack, kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
 )
 
 # Gamma hyperpriors a..h = 0.1 (CTPF.jl:81)
@@ -81,7 +81,7 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> CTPFState:
         vav=ones_k, vav_old=ones_k,
         zayin=jnp.ones((M_pad, K), dtype), zayin_old=jnp.ones((M_pad, K), dtype),
         het=ones_k, het_old=ones_k,
-        elbo=jnp.zeros((), dtype),
+        elbo=jnp.zeros((2,), dtype),
     )
 
 
@@ -477,10 +477,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             # full alef/he sums) are replicated across seq shards; the
             # token/reader-linear terms are shard-local partial sums
             acc_doc, acc_tok = acc
-            acc_doc = acc_doc + jnp.sum(dm * (
-                -dot_ya - dot_yb - dot_z + e_pth + e_qth + e_pep + e_qep))
-            acc_tok = acc_tok + jnp.sum(dm * (
-                rate_lin - rate_q + tok_lin - tok_q))
+            acc_doc = kbn_add(acc_doc, jnp.sum(dm * (
+                -dot_ya - dot_yb - dot_z + e_pth + e_qth + e_pep + e_qep)))
+            acc_tok = kbn_add(acc_tok, jnp.sum(dm * (
+                rate_lin - rate_q + tok_lin - tok_q)))
             return (acc_doc, acc_tok), None
 
         def sweep(t_a, c_a, rd_a, rt_a, dm_a, gi_a, gio_a, za_a, zao_a, acc):
@@ -495,8 +495,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             )
             return acc
 
-        zero = jnp.zeros((), dt)
-        acc = (zero, zero)
+        acc = (kbn_zero(dt), kbn_zero(dt))
         if seg_starts is None:
             acc = sweep(terms, counts, readers, ratings, doc_mask,
                         state.gimel, state.gimel_old,
@@ -514,12 +513,14 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         if isinstance(axes, str):
             axes = (axes,)
         if seq_axis is not None:
-            per_tok = jax.lax.psum(per_tok, axes + (seq_axis,))
-            per_doc = jax.lax.psum(per_doc, axes) if axes else per_doc
+            per_tok = kbn_psum(per_tok, axes + (seq_axis,))
+            per_doc = kbn_psum(per_doc, axes)
         elif axes:
-            per_doc = jax.lax.psum(per_doc, axes)
-            per_tok = jax.lax.psum(per_tok, axes)
-        return e_pbeta + e_qbeta_ent + e_peta + e_qeta_ent + per_doc + per_tok
+            per_doc = kbn_psum(per_doc, axes)
+            per_tok = kbn_psum(per_tok, axes)
+        total = kbn_merge(per_doc, per_tok)
+        return kbn_pack(kbn_add(
+            total, e_pbeta + e_qbeta_ent + e_peta + e_qeta_ent))
 
     return elbo
 

@@ -42,7 +42,8 @@ from ..ops.newton import dirichlet_newton
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, aexp, alog, asoftmax, categorical_entropy, digamma,
-    dirichlet_entropy, finite, l2norm, lgamma, masked_fixpoint,
+    dirichlet_entropy, finite, kbn_add, kbn_merge, kbn_pack,
+    kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -139,7 +140,7 @@ def init(key: jax.Array, packed, K: int, T: int, dtype=jnp.float32,
     return DTMState(
         alpha=alpha, betahat=betahat, mbeta=mbeta, vbeta=vbeta,
         v_filt=v_filt, gamma=gamma, Elogtheta=el,
-        lzeta=jnp.ones((M_pad,), dtype), elbo=jnp.zeros((), dtype),
+        lzeta=jnp.ones((M_pad,), dtype), elbo=jnp.zeros((2,), dtype),
     )
 
 
@@ -435,11 +436,12 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
             # −Elogqtheta, −Elogqz (DTM.jl:150-159)
             e_qt = dirichlet_entropy(g)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
-            return acc + jnp.sum(dm * (e_pt + e_pz + e_pw + e_qt + e_qz)), None
+            return kbn_add(
+                acc, jnp.sum(dm * (e_pt + e_pz + e_pw + e_qt + e_qz))), None
 
         sh = lambda a_: a_.reshape((n_chunks, B) + a_.shape[1:])
         total, _ = jax.lax.scan(
-            scan_body, jnp.zeros((), dt),
+            scan_body, kbn_zero(dt),
             (sh(slice_id), sh(terms), sh(counts), sh(doc_mask),
              sh(state.gamma), sh(state.Elogtheta), sh(state.lzeta)))
 
@@ -457,9 +459,10 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
                     (state.mbeta - prev_m) ** 2 + state.vbeta + prev_v))
         # +entropy of N(mbeta, vbeta) per coordinate
         e_qb = 0.5 * jnp.sum(alog(2 * jnp.pi * jnp.e * state.vbeta))
-        if axis_name is not None:
-            total = jax.lax.psum(total, axis_name)
-        return total + e_pb + e_qb
+        axes = (axis_name,) if isinstance(axis_name, str) else (
+            axis_name if axis_name is not None else ())
+        total = kbn_psum(total, axes)
+        return kbn_pack(kbn_add(total, e_pb + e_qb))
 
     return elbo
 

@@ -22,7 +22,8 @@ from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, aexp, alog, asoftmax, bernoulli_entropy, categorical_entropy,
-    l2norm, logsumexp, masked_fixpoint, mvnormal_diag_entropy,
+    kbn_add, kbn_merge, kbn_pack, kbn_psum, kbn_zero, l2norm,
+    logsumexp, masked_fixpoint, mvnormal_diag_entropy,
 )
 
 
@@ -58,7 +59,7 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FCTMState:
         kappa=kappa, kappa_old=kappa, beta=beta, beta_old=beta,
         lam=jnp.zeros((M_pad, K), dtype), lam_old=jnp.zeros((M_pad, K), dtype),
         vsq=jnp.ones((M_pad, K), dtype), logzeta=jnp.full((M_pad,), 0.5, dtype),
-        tau=tau, tau_old=tau, elbo=jnp.zeros((), dtype),
+        tau=tau, tau_old=tau, elbo=jnp.zeros((2,), dtype),
     )
 
 
@@ -320,8 +321,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             # −Elogqz (fCTM.jl:108-112)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
             # doc-level vs token-local terms in separate accumulators
-            acc_doc = acc_doc + jnp.sum(dm * (e_peta + e_pc + e_pz + e_qeta))
-            acc_tok = acc_tok + jnp.sum(dm * (e_pw + e_qc + e_qz))
+            acc_doc = kbn_add(acc_doc,
+                             jnp.sum(dm * (e_peta + e_pc + e_pz + e_qeta)))
+            acc_tok = kbn_add(acc_tok, jnp.sum(dm * (e_pw + e_qc + e_qz)))
             return (acc_doc, acc_tok), None
 
         def sweep(t_a, c_a, dm_a, la_a, lao_a, v_a, lz_a, ta_a, tao_a, acc):
@@ -336,8 +338,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             )
             return acc
 
-        zero = jnp.zeros((), dt)
-        acc = (zero, zero)
+        acc = (kbn_zero(dt), kbn_zero(dt))
         if seg_starts is None:
             acc = sweep(terms, counts, doc_mask, state.lam, state.lam_old,
                         state.vsq, state.logzeta, state.tau, state.tau_old,
@@ -355,13 +356,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         if isinstance(axes, str):
             axes = (axes,)
         if seq_axis is not None:
-            total_tok = jax.lax.psum(total_tok, axes + (seq_axis,))
-            total_doc = jax.lax.psum(total_doc, axes) if axes else total_doc
-            return total_doc + total_tok
-        total = total_doc + total_tok
-        if axes:
-            total = jax.lax.psum(total, axes)
-        return total
+            total_tok = kbn_psum(total_tok, axes + (seq_axis,))
+            total_doc = kbn_psum(total_doc, axes)
+            return kbn_pack(kbn_merge(total_doc, total_tok))
+        return kbn_pack(kbn_psum(kbn_merge(total_doc, total_tok), axes))
 
     return elbo
 

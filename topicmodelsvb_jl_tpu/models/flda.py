@@ -27,7 +27,8 @@ from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, alog, asoftmax, bernoulli_entropy, categorical_entropy,
-    digamma, dirichlet_entropy, finite, l2norm, lgamma, masked_fixpoint,
+    digamma, dirichlet_entropy, finite, kbn_add, kbn_merge, kbn_pack,
+    kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -61,7 +62,7 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FLDAState:
         eta=eta, alpha=jnp.ones((K,), dtype), kappa=kappa, kappa_old=kappa,
         beta=beta, beta_old=beta, gamma=jnp.ones((M_pad, K), dtype),
         Elogtheta=El, Elogtheta_old=El, tau=tau, tau_old=tau,
-        elbo=jnp.zeros((), dtype),
+        elbo=jnp.zeros((2,), dtype),
     )
 
 
@@ -373,9 +374,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
                 e_pc = jnp.logaddexp(sc, log_eps)
                 e_qtheta = dirichlet_entropy(g)
                 e_qc = jnp.sum(bernoulli_entropy(ta) * c, axis=-1)
-                acc_doc = acc_doc + jnp.sum(
-                    dm * (e_ptheta + e_pc + e_qtheta + e_qc))
-                return (acc_doc, acc_tok + tok), None
+                acc_doc = kbn_add(acc_doc, jnp.sum(
+                    dm * (e_ptheta + e_pc + e_qtheta + e_qc)))
+                return (acc_doc, kbn_add(acc_tok, tok)), None
 
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
@@ -411,8 +412,9 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
             # doc-level terms are replicated across token shards; token-
             # level terms are shard-local — separate accumulators
-            acc_doc = acc_doc + jnp.sum(dm * (e_ptheta + e_pc + e_pz + e_qtheta))
-            acc_tok = acc_tok + jnp.sum(dm * (e_pw + e_qc + e_qz))
+            acc_doc = kbn_add(acc_doc,
+                             jnp.sum(dm * (e_ptheta + e_pc + e_pz + e_qtheta)))
+            acc_tok = kbn_add(acc_tok, jnp.sum(dm * (e_pw + e_qc + e_qz)))
             return (acc_doc, acc_tok), None
 
         def sweep(t_a, c_a, dm_a, g_a, el_a, elo_a, ta_a, tao_a, acc):
@@ -434,8 +436,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             )
             return acc
 
-        zero = jnp.zeros((), dt)
-        acc = (zero, zero)
+        acc = (kbn_zero(dt), kbn_zero(dt))
         if seg_starts is None:
             acc = sweep(terms, counts, doc_mask, state.gamma,
                         state.Elogtheta, state.Elogtheta_old,
@@ -454,13 +455,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         if isinstance(axes, str):
             axes = (axes,)
         if seq_axis is not None:
-            total_tok = jax.lax.psum(total_tok, axes + (seq_axis,))
-            total_doc = jax.lax.psum(total_doc, axes) if axes else total_doc
-            return total_doc + total_tok
-        total = total_doc + total_tok
-        if axes:
-            total = jax.lax.psum(total, axes)
-        return total
+            total_tok = kbn_psum(total_tok, axes + (seq_axis,))
+            total_doc = kbn_psum(total_doc, axes)
+            return kbn_pack(kbn_merge(total_doc, total_tok))
+        return kbn_pack(kbn_psum(kbn_merge(total_doc, total_tok), axes))
 
     return elbo
 

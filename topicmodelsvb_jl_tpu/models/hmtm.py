@@ -71,8 +71,8 @@ from ..ops.newton import dirichlet_newton
 from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, aexp, alog, digamma, dirichlet_entropy, l2norm, lgamma,
-    masked_fixpoint,
+    EPSILON, aexp, alog, digamma, dirichlet_entropy, kbn_add, kbn_pack,
+    kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -82,7 +82,7 @@ class HMTMState(NamedTuple):
     beta: jax.Array     # [K, V] right-stochastic rows
     tau: jax.Array      # [M_pad, K] q(pi_d)
     gamma: jax.Array    # [M_pad, K, K] q(theta_d), columns are Dirichlets
-    elbo: jax.Array     # scalar
+    elbo: jax.Array     # compensated (hi, lo) bound, shape (2,)
 
 
 def check_order_preserving(packed) -> None:
@@ -109,7 +109,7 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> HMTMState:
         beta=beta.astype(dtype),
         tau=jnp.ones((M_pad, K), dtype),
         gamma=jnp.ones((M_pad, K, K), dtype),
-        elbo=jnp.zeros((), dtype),
+        elbo=jnp.zeros((2,), dtype),
     )
 
 
@@ -383,7 +383,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             e_pth = th_const + jnp.sum((alpha - 1.0) * Elogth, (-2, -1))
             e_qpi = dirichlet_entropy(tau)
             e_qth = jnp.sum(dirichlet_entropy(gamma, axis=-2), -1)
-            return acc + jnp.sum(dm * (logZ + e_ppi + e_pth + e_qpi + e_qth)), None
+            return kbn_add(
+                acc, jnp.sum(dm * (logZ + e_ppi + e_pth + e_qpi + e_qth))), None
 
         def sweep(t_arr, c_arr, dm_arr, tau_arr, g_arr, acc):
             n_rows = t_arr.shape[0]
@@ -395,7 +396,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
                 (sh(t_arr), sh(c_arr), sh(dm_arr), sh(tau_arr), sh(g_arr)))
             return acc
 
-        acc = jnp.zeros((), dtype)
+        acc = kbn_zero(dtype)
         if seg_starts is None:
             acc = sweep(terms, counts, doc_mask, state.tau, state.gamma, acc)
         else:
@@ -408,9 +409,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         axes = axis_name if axis_name is not None else ()
         if isinstance(axes, str):
             axes = (axes,)
-        if axes:
-            acc = jax.lax.psum(acc, axes)
-        return acc
+        return kbn_pack(kbn_psum(acc, axes))
 
     return elbo
 

@@ -36,7 +36,8 @@ from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, alog, asoftmax, categorical_entropy, digamma,
-    dirichlet_entropy, finite, l2norm, lgamma, masked_fixpoint,
+    dirichlet_entropy, finite, kbn_add, kbn_merge, kbn_pack,
+    kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -47,7 +48,7 @@ class LDAState(NamedTuple):
     gamma: jax.Array          # [M_pad, K]
     Elogtheta: jax.Array      # [M_pad, K]
     Elogtheta_old: jax.Array  # [M_pad, K]
-    elbo: jax.Array           # scalar
+    elbo: jax.Array           # compensated (hi, lo) bound, shape (2,)
 
 
 def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> LDAState:
@@ -67,7 +68,7 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> LDAState:
         gamma=jnp.ones((M_pad, K), dtype),
         Elogtheta=Elogtheta,
         Elogtheta_old=Elogtheta,
-        elbo=jnp.zeros((), dtype),
+        elbo=jnp.zeros((2,), dtype),
     )
 
 
@@ -372,8 +373,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
                                    interpret=pallas_interpret)
                 e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
                 e_qtheta = dirichlet_entropy(g)
-                acc_doc = acc_doc + jnp.sum(dm * (e_ptheta + e_qtheta))
-                return (acc_doc, acc_tok + tok), None
+                acc_doc = kbn_add(acc_doc, jnp.sum(dm * (e_ptheta + e_qtheta)))
+                return (acc_doc, kbn_add(acc_tok, tok)), None
 
         # one combined [V, 2K] table: the gather's per-row cost is paid
         # once at double width instead of twice (measured −30% on the
@@ -401,8 +402,8 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
             # doc-level terms are replicated across token shards; token-
             # level terms are shard-local — kept in separate accumulators
-            acc_doc = acc_doc + jnp.sum(dm * (e_ptheta + e_pz + e_qtheta))
-            acc_tok = acc_tok + jnp.sum(dm * (e_pw + e_qz))
+            acc_doc = kbn_add(acc_doc, jnp.sum(dm * (e_ptheta + e_pz + e_qtheta)))
+            acc_tok = kbn_add(acc_tok, jnp.sum(dm * (e_pw + e_qz)))
             return (acc_doc, acc_tok), None
 
         def sweep(t_arr, c_arr, dm_arr, g_arr, el_arr, elo_arr, acc):
@@ -424,8 +425,12 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             )
             return acc
 
-        zero = jnp.zeros((), state.beta.dtype)
-        acc = (zero, zero)
+        # the bound rides a compensated (hi, lo) pair end to end — the
+        # scan carry, the cross-shard reduction, and the (2,) return —
+        # so the reference's tol=1.0 stopping (LDA.jl:161) is reachable
+        # at corpus magnitudes where the f32 ulp alone exceeds tol (see
+        # utils/numerics.py, compensated ELBO accumulation)
+        acc = (kbn_zero(state.beta.dtype), kbn_zero(state.beta.dtype))
         if seg_starts is None:
             acc = sweep(terms, counts, doc_mask,
                         state.gamma, state.Elogtheta, state.Elogtheta_old,
@@ -442,13 +447,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         if isinstance(axes, str):
             axes = (axes,)
         if seq_axis is not None:
-            total_tok = jax.lax.psum(total_tok, axes + (seq_axis,))
-            total_doc = jax.lax.psum(total_doc, axes) if axes else total_doc
-            return total_doc + total_tok
-        total = total_doc + total_tok
-        if axes:
-            total = jax.lax.psum(total, axes)
-        return total
+            total_tok = kbn_psum(total_tok, axes + (seq_axis,))
+            total_doc = kbn_psum(total_doc, axes)
+            return kbn_pack(kbn_merge(total_doc, total_tok))
+        return kbn_pack(kbn_psum(kbn_merge(total_doc, total_tok), axes))
 
     return elbo
 

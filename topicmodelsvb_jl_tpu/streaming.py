@@ -59,7 +59,8 @@ from .models import fctm as fctm_mod
 from .models import flda as flda_mod
 from .utils.config import TrainConfig
 from .utils.numerics import (
-    EPSILON, categorical_entropy, digamma, dirichlet_entropy, finite, lgamma,
+    EPSILON, categorical_entropy, digamma, dirichlet_entropy, elbo_value,
+    finite, kbn_add, kbn_psum, kbn_zero, lgamma,
 )
 
 _CKPT_FORMAT = 1
@@ -178,20 +179,21 @@ def make_batch_elbo(V: int, K: int, chunk_docs: int, mesh=None,
             e_pw = jnp.sum(p * lt[..., K:] * c[..., None], axis=(1, 2))
             e_qtheta = dirichlet_entropy(g)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
-            return acc + jnp.sum(dm * (e_ptheta + e_pz + e_pw
-                                       + e_qtheta + e_qz)), None
+            return kbn_add(acc, jnp.sum(dm * (e_ptheta + e_pz + e_pw
+                                              + e_qtheta + e_qz))), None
 
         n = terms.shape[0]
         B = min(chunk_docs, n)
         sh = lambda x: x.reshape((n // B, B) + x.shape[1:])
         part, _ = jax.lax.scan(
-            body, jnp.zeros_like(acc),
+            body, (jnp.zeros_like(acc[0]), jnp.zeros_like(acc[1])),
             (sh(terms), sh(counts), sh(doc_mask),
              sh(gamma), sh(El), sh(Elo)))
         if mesh is not None:
-            part = jax.lax.psum(part, (data_axis, vocab_axis)
-                                if vocab_axis is not None else data_axis)
-        return acc + part
+            part = kbn_psum(part, (data_axis, vocab_axis)
+                            if vocab_axis is not None else (data_axis,))
+        hi, lo = kbn_add((acc[0], acc[1] + part[1]), part[0])
+        return hi, lo
 
     if mesh is None:
         return jax.jit(batch_elbo)
@@ -397,8 +399,8 @@ class _StreamingModel:
         the model's in-memory ELBO over batch-state views."""
         acc = 0.0
         for sl in self._batches():
-            acc += float(self._elbo_fn(self._batch_state(sl),
-                                       *self._data_slices(sl)))
+            acc += elbo_value(self._elbo_fn(self._batch_state(sl),
+                                            *self._data_slices(sl)))
         return acc
 
     def _finalize(self):
@@ -498,7 +500,11 @@ class _StreamingModel:
         for f in m.state._fields:
             ref = np.asarray(getattr(m.state, f))
             if f == "elbo":
-                vals.append(jnp.asarray(self.elbo, ref.dtype))
+                # host f64 → compensated (hi, lo) pair: hi carries the
+                # f32-rounded value, lo the representation remainder
+                hi = np.asarray(self.elbo, ref.dtype)
+                lo = np.asarray(self.elbo - float(hi), ref.dtype)
+                vals.append(jnp.asarray(np.stack([hi, lo]), ref.dtype))
                 continue
             src = np.asarray(getattr(self, f))
             if f in doc_state:
@@ -756,12 +762,12 @@ class StreamingLDA(_StreamingModel):
         batch_elbo = batch_elbo if batch_elbo is not None else self._batch_elbo
         beta = beta if beta is not None else self.beta
         beta_old = beta_old if beta_old is not None else self.beta_old
-        acc = jnp.zeros((), self.dtype)
+        acc = kbn_zero(self.dtype)
         for sl in self._batches():
             acc = batch_elbo(beta, beta_old, self.alpha,
                              *self._data_slices(sl),
                              *self._doc_slices(sl), acc)
-        return float(acc)
+        return elbo_value(np.stack([np.asarray(acc[0]), np.asarray(acc[1])]))
 
     def _svi_init_stats(self):
         # running statistics seeded by one pass worth of the beta prior
@@ -965,12 +971,12 @@ class StreamingCTPF(_StreamingModel):
             elbo=jnp.zeros((), self.dtype))
 
     def _sweep_elbo(self):
-        total = None
+        total = 0.0
         for i, sl in enumerate(self._batches()):
             fn = self._elbo_first if i == 0 else self._elbo_rest
-            e = fn(self._batch_state(sl), *self._data_slices(sl))
-            total = e if total is None else total + e
-        return float(total)
+            total += elbo_value(fn(self._batch_state(sl),
+                                   *self._data_slices(sl)))
+        return total
 
     def _finalize(self):
         # Ebeta = alef ./ bet (CTPF.jl:378)

@@ -266,3 +266,68 @@ def is_stochastic(p: np.ndarray, axis: int, atol: float = 1e-6) -> bool:
     """Host-side stochastic-matrix predicate (reference utils.jl:144-154)."""
     p = np.asarray(p)
     return bool(np.all(p >= 0) and np.allclose(p.sum(axis=axis), 1.0, atol=atol))
+
+
+# ── compensated (Kahan–Neumaier) ELBO accumulation ──
+#
+# A corpus bound at NSF scale has magnitude ~1.4e8, where the f32 ulp is
+# 16 — far above the reference's default stopping tolerance tol=1.0
+# (LDA.jl:161).  The reference reaches tol=1.0 only because its CPU path
+# is f64.  Three places round at ulp(total): the sequential scan carry
+# across chunks, the cross-shard psum, and the final f32 representation
+# itself.  All three are fixed by carrying the bound as an UNEVALUATED
+# (hi, lo) pair: Neumaier two-sum per chunk partial, gather+fold across
+# shards, and host-side f64 combination (``elbo_value``).  Within-chunk
+# reductions stay plain f32 — XLA reduces as a tree, whose error at
+# chunk scale is O(0.1), below tol.  Tensor math is untouched.
+
+def kbn_zero(dtype) -> tuple:
+    """Fresh (hi, lo) compensated accumulator."""
+    z = jnp.zeros((), dtype)
+    return (z, z)
+
+
+def kbn_add(acc: tuple, x: jax.Array) -> tuple:
+    """Neumaier two-sum: add scalar ``x`` into the (hi, lo) pair."""
+    hi, lo = acc
+    s = hi + x
+    e = jnp.where(jnp.abs(hi) >= jnp.abs(x), (hi - s) + x, (x - s) + hi)
+    return (s, lo + e)
+
+
+def kbn_merge(a: tuple, b: tuple) -> tuple:
+    """Merge two (hi, lo) pairs into one."""
+    return kbn_add((a[0], a[1] + b[1]), b[0])
+
+
+def kbn_pack(acc: tuple) -> jax.Array:
+    """(hi, lo) pair → shape-(2,) array (the ELBO return convention)."""
+    return jnp.stack([acc[0], acc[1]])
+
+
+def kbn_psum(acc: tuple, axes) -> tuple:
+    """Compensated cross-shard reduction of an (hi, lo) pair.
+
+    A plain ``psum(hi)`` rounds at ulp(total) per shard; instead the hi
+    parts are all_gathered and folded sequentially with two-sum (mesh
+    sizes are tiny, so the [n] gather+fold is free).  The lo parts are
+    far below ulp(total) and psum exactly enough.
+    """
+    if not axes:
+        return acc
+    hi, lo = acc
+    hs = jax.lax.all_gather(hi, axes).reshape(-1)
+    lo_t = jax.lax.psum(lo, axes)
+
+    def body(i, c):
+        return kbn_add(c, hs[i])
+
+    return jax.lax.fori_loop(0, hs.shape[0],
+                             body, (jnp.zeros_like(hi), lo_t))
+
+
+def elbo_value(e) -> float:
+    """Float64 value of an ELBO — a compensated shape-(2,) (hi, lo) pair,
+    or a plain scalar (older checkpoints / oracle paths)."""
+    a = np.asarray(e, np.float64)
+    return float(a.sum()) if a.ndim else float(a)
