@@ -30,7 +30,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Modes beyond the default headline run:
 
-  python bench.py --assert       regression gate: run the six standard
+  python bench.py --assert       regression gate: FIRST an on-chip
+                                 Pallas-vs-XLA value-equivalence check
+                                 (run_kernel_check — a Mosaic lowering
+                                 regression fails the gate as a
+                                 correctness error, not a perf
+                                 mystery), then the six standard
                                  configs (LDA K=100 / CTM K=50 / fLDA
                                  K=100 / fCTM K=50 / DTM K=20 at their
                                  corpus scales, CTPF K=100 CiteULike),
@@ -118,6 +123,57 @@ def run_lda(reps=None, skew=3.0):
 
 # regression floors (VERDICT r2 #8): each entry is the bench runner, the
 # floor, and whether higher is better for its value field
+def run_kernel_check():
+    """ON-CHIP Pallas-vs-XLA value equivalence (VERDICT r3 #9).
+
+    CI validates the kernels only in interpret mode on CPU
+    (tests/test_kernels.py) — a Mosaic lowering regression would
+    otherwise surface here as a perf mystery, not a correctness
+    failure.  One small NSF-shaped config per compiled kernel family:
+    the LDA fused E-step, the LDA/CTM fused ELBO (CTM reuses the LDA
+    kernel), each compared against its pure-XLA twin on the real
+    device.  value = the worst deviation as a FRACTION of its CI
+    tolerance (E-step beta: rtol 5e-3/atol 1e-5 as in
+    tests/test_kernels.py, two f32 fixpoint iterations diverge; ELBO:
+    1e-5 relative); floor 1.0 = at tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from topicmodelsvb_jl_tpu.models import ctm as ctm_mod
+    from topicmodelsvb_jl_tpu.models import lda as lda_mod
+    from topicmodelsvb_jl_tpu.utils.numerics import elbo_value
+
+    packed = make_packed_nsf_scale(M=4096, chunk_docs=512)
+    data3 = (jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+             jnp.asarray(packed.doc_mask))
+    M_f = jnp.asarray(float(packed.M), jnp.float32)
+    worst = 0.0
+    for mod, K in ((lda_mod, 100), (ctm_mod, 50)):
+        kw = dict(viter=4, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
+                  chunk_docs=512, axis_name=None)
+        sx = jax.jit(mod.make_step(packed, K, use_pallas=False, **kw))
+        sp = jax.jit(mod.make_step(packed, K, use_pallas=True, **kw))
+        st0 = mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
+        stx = sp_state = st0
+        for _ in range(2):
+            stx, sp_state = sx(stx, *data3, M_f), sp(sp_state, *data3, M_f)
+        # E-step equivalence: the sufficient-statistic carrier (beta)
+        bx, bp = np.asarray(stx.beta), np.asarray(sp_state.beta)
+        estep_dev = float(np.max(np.abs(bx - bp)
+                                 / (1e-5 + 5e-3 * np.abs(bx))))
+        worst = max(worst, estep_dev)
+        # ELBO equivalence on the XLA-stepped state
+        ex = jax.jit(mod.make_elbo(packed, K, chunk_docs=512,
+                                   use_pallas=False))
+        ep = jax.jit(mod.make_elbo(packed, K, chunk_docs=512,
+                                   use_pallas=True))
+        a, b = elbo_value(ex(stx, *data3)), elbo_value(ep(stx, *data3))
+        worst = max(worst, (abs(a - b) / abs(a)) / 1e-5)
+    return {"metric": "kernel_vs_xla_dev_over_tol", "value": worst,
+            "unit": "fraction of CI tolerance", "vs_baseline": 0.0}
+
+
 def _gate_specs():
     from bench_ctm import run_ctm
     from bench_ctpf import run_ctpf
@@ -125,6 +181,8 @@ def _gate_specs():
     from bench_filtered import run_filtered
     from bench_hmtm import run_hmtm
     return [
+        # on-chip kernel correctness rides the perf gate (VERDICT r3 #9)
+        (run_kernel_check, 1.0, False),
         (lambda: run_lda(reps=5), 600_000.0, True),    # docs/s
         (lambda: run_ctm(reps=5), 0.7, False),         # s/iter
         (lambda: run_ctpf(reps=5), 0.040, False),      # s/iter

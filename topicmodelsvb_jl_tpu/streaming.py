@@ -299,22 +299,56 @@ class _StreamingModel:
         if packed.segments is not None:
             raise ValueError(f"{type(self).__name__} takes a dense "
                              "(non-bucketed) PackedCorpus.")
-        if mesh is not None and jax.process_count() > 1:
-            raise ValueError(
-                "streaming training is single-controller (the corpus and "
-                "per-doc state live in ONE host's RAM); for multi-process "
-                "runs use the in-memory api models over "
-                "parallel.multihost, which shard state across hosts.")
+        # ── multi-controller streaming (VERDICT r3 #1) ──
+        # Each OS process owns a BATCH-STRIDED document shard: the p-th
+        # L-row slice of EVERY global batch (L = batch_docs / n_proc),
+        # i.e. global rows [bG + pL, bG + (p+1)L) for every batch b.
+        # Global batch b is then the union of every process's local
+        # batch b — the batch PARTITION is process-count invariant, so
+        # both batch CAVI and the per-minibatch online SVI trajectory
+        # match the single-process run exactly.  Each per-batch read is
+        # one contiguous row range (disk-friendly with load_packed
+        # memmaps; no host ever materialises the full corpus), and the
+        # host per-doc state covers only the owned rows.  Sufficient
+        # statistics and the bound reduce across processes once per
+        # sweep (online: once per global minibatch) via
+        # multihost_utils.process_allgather + a deterministic host-side
+        # sum — the DP stat reduction of SURVEY §2.3 at process grain.
+        self._nproc = jax.process_count()
+        self._pid = jax.process_index()
+        if self._nproc > 1:
+            if mesh is not None:
+                local = {d.id for d in jax.local_devices()}
+                if any(d.id not in local for d in mesh.devices.flat):
+                    raise ValueError(
+                        "multi-process streaming takes a LOCAL mesh (only "
+                        "this process's devices): each process streams its "
+                        "own document shard; cross-process reduction "
+                        "happens at sweep grain, not inside the sweep. "
+                        "Build it from jax.local_devices().")
+            if packed.M_pad % self._nproc:
+                raise ValueError(
+                    f"process count {self._nproc} must divide the padded "
+                    f"doc count {packed.M_pad} (choose docs_multiple "
+                    "accordingly)")
+            if batch_docs % self._nproc:
+                raise ValueError(
+                    f"process count {self._nproc} must divide batch_docs "
+                    f"({batch_docs}) — it is the GLOBAL batch size)")
         self.mesh = mesh
         self.data_axis = data_axis
         self.packed = packed
         self.K = int(K)
         self.M, self.V = packed.M, packed.V
-        M_pad = packed.M_pad
-        self.batch_docs = min(batch_docs, M_pad)
+        # this process's rows: the p-th L-slice of every global batch
+        self.M_rows = packed.M_pad // self._nproc
+        self._batch_docs_global = min(batch_docs, packed.M_pad)
+        M_pad = self.M_rows
+        self.batch_docs = min(self._batch_docs_global // self._nproc, M_pad)
+        self._batch_docs_global = self.batch_docs * self._nproc
         if M_pad % self.batch_docs:
             raise ValueError(
-                f"batch_docs must divide the padded doc count {M_pad} "
+                f"batch_docs must divide the per-process doc rows {M_pad} "
                 f"(got {self.batch_docs})")
         n_sh = 1 if mesh is None else mesh.shape[data_axis]
         # with TP (vocab_axis) documents shard over BOTH mesh axes
@@ -343,15 +377,61 @@ class _StreamingModel:
             return np.full(shape, fill, dtype)
         from numpy.lib.format import open_memmap
 
-        a = open_memmap(os.path.join(self._state_dir, f"{name}.npy"),
+        fname = (f"{name}.npy" if self._nproc == 1
+                 else f"{name}.proc{self._pid}.npy")
+        a = open_memmap(os.path.join(self._state_dir, fname),
                         mode="w+", dtype=np.dtype(dtype), shape=shape)
         a[...] = fill
         return a
 
     def _batches(self):
-        n = self.packed.M_pad // self.batch_docs
+        # LOCAL row slices: under multi-controller each process sweeps
+        # its batch-strided shard (see _init_common / _gsl)
+        n = self.M_rows // self.batch_docs
         for b in range(n):
             yield slice(b * self.batch_docs, (b + 1) * self.batch_docs)
+
+    def _gsl(self, sl) -> slice:
+        """Local batch-aligned slice → global packed-row slice: local
+        batch b (rows [bL, (b+1)L)) is the p-th L-slice of global batch
+        b (rows [bG + pL, bG + (p+1)L))."""
+        L, G = self.batch_docs, self._batch_docs_global
+        b, o = sl.start // L, sl.start % L
+        g0 = b * G + self._pid * L + o
+        return slice(g0, g0 + (sl.stop - sl.start))
+
+    def _local_to_global_rows(self, n_rows: int, L: int, G: int,
+                              pid: int) -> np.ndarray:
+        """Global packed-row index of each local state row under the
+        batch-strided ownership (vectorised; used by checkpoint I/O)."""
+        r = np.arange(n_rows, dtype=np.int64)
+        return (r // L) * G + pid * L + (r % L)
+
+    def _reduce_stats(self, stats):
+        """Cross-process sum of a sufficient-statistic pytree (identity
+        single-controller).  Host-side allgather + deterministic sum —
+        the per-sweep stat reduction crossing processes (SURVEY §2.3);
+        at one reduction per sweep (online: per global minibatch) the
+        [V, K]-sized transfer is noise next to the sweep itself."""
+        if self._nproc == 1:
+            return stats
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            jax.tree_util.tree_map(np.asarray, stats))
+        return jax.tree_util.tree_map(
+            lambda g: jnp.asarray(g.sum(axis=0), self.dtype), gathered)
+
+    def _reduce_elbo(self, hi, lo) -> float:
+        """Cross-process f64 combination of per-process compensated
+        (hi, lo) bound pairs."""
+        if self._nproc == 1:
+            return float(np.float64(hi) + np.float64(lo))
+        from jax.experimental import multihost_utils
+
+        pairs = multihost_utils.process_allgather(
+            np.array([hi, lo], np.float64))
+        return float(np.asarray(pairs, np.float64).sum())
 
     def _doc_slices(self, sl) -> tuple:
         return tuple(jnp.asarray(getattr(self, n)[sl])
@@ -390,18 +470,20 @@ class _StreamingModel:
 
     def _data_slices(self, sl) -> tuple:
         p = self.packed
-        return (jnp.asarray(p.terms[sl]),
-                jnp.asarray(p.counts[sl].astype(self.dtype)),
-                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
+        g = self._gsl(sl)
+        return (jnp.asarray(p.terms[g]),
+                jnp.asarray(p.counts[g].astype(self.dtype)),
+                jnp.asarray(p.doc_mask[g].astype(self.dtype)))
 
     def _sweep_elbo(self):
         """Full-corpus streamed bound: sum of per-batch evaluations of
-        the model's in-memory ELBO over batch-state views."""
+        the model's in-memory ELBO over batch-state views (this
+        process's shard), reduced across processes."""
         acc = 0.0
         for sl in self._batches():
             acc += elbo_value(self._elbo_fn(self._batch_state(sl),
                                             *self._data_slices(sl)))
-        return acc
+        return self._reduce_elbo(acc, 0.0)
 
     def _finalize(self):
         self.topics = topics_ranking(np.asarray(self.beta))
@@ -430,7 +512,7 @@ class _StreamingModel:
 
         meta = dict(
             format=_CKPT_FORMAT, cls=type(self).__name__, K=self.K,
-            batch_docs=self.batch_docs, chunk_docs=self.chunk_docs,
+            batch_docs=self._batch_docs_global, chunk_docs=self.chunk_docs,
             dtype=str(self.dtype), seed=self.seed,
             corpus=packed_fingerprint(self.packed),
             trace=self.trace,
@@ -444,16 +526,64 @@ class _StreamingModel:
             for i, leaf in enumerate(jax.tree_util.tree_leaves(
                     self._svi_stats)):
                 arrays[f"svi_{i}"] = np.asarray(leaf)
+        if self._nproc > 1:
+            # directory layout, one shard file per process; the manifest
+            # is written LAST after a cross-process barrier, so its
+            # presence certifies a complete checkpoint (same protocol as
+            # checkpoint._save_multihost) — the doc arrays are each
+            # process's batch-strided row shard, keyed by (L, G, pid) so
+            # a restore at ANY process count can recover global row ids
+            from jax.experimental import multihost_utils
+
+            meta["nproc"] = self._nproc
+            meta["row_map"] = dict(L=self.batch_docs,
+                                   G=self._batch_docs_global,
+                                   pid=self._pid)
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, f"proc{self._pid}.npz"), "wb") as f:
+                np.savez(f, __meta__=np.frombuffer(
+                    json.dumps(meta).encode(), np.uint8), **arrays)
+            multihost_utils.sync_global_devices(f"tmvb_stream_ckpt:{path}")
+            if self._pid == 0:
+                manifest = dict(format=_CKPT_FORMAT, nproc=self._nproc,
+                                cls=type(self).__name__)
+                tmpm = os.path.join(path, "manifest.json.tmp")
+                with open(tmpm, "w") as f:
+                    json.dump(manifest, f)
+                os.replace(tmpm, os.path.join(path, "manifest.json"))
+            return
         with open(path, "wb") as f:
             np.savez(f, __meta__=np.frombuffer(
                 json.dumps(meta).encode(), np.uint8), **arrays)
 
-    def _restore(self, z, meta) -> None:
+    def _restore_doc_shard(self, z, row_map: dict) -> None:
+        """Scatter one checkpoint shard's doc arrays into this
+        process's rows.  Both sides use the batch-strided ownership
+        (``_local_to_global_rows``); shard and restore process counts —
+        and global batch sizes — may differ."""
+        n_saved = z[f"doc_{self._doc_state[0]}"].shape[0]
+        g_saved = self._local_to_global_rows(
+            n_saved, int(row_map["L"]), int(row_map["G"]),
+            int(row_map["pid"]))
+        # which saved rows are mine, and where they land locally
+        L, G = self.batch_docs, self._batch_docs_global
+        o = g_saved % G
+        sel = (o >= self._pid * L) & (o < (self._pid + 1) * L)
+        local = (g_saved[sel] // G) * L + (o[sel] - self._pid * L)
         for n in self._doc_state:
             saved = z[f"doc_{n}"]
-            if saved.shape != getattr(self, n).shape:
+            if saved.shape[1:] != getattr(self, n).shape[1:]:
                 raise ValueError(f"checkpoint field {n} shape mismatch")
-            getattr(self, n)[...] = saved
+            getattr(self, n)[local] = saved[sel]
+
+    def _restore(self, z, meta) -> None:
+        self._restore_doc_shard(
+            z, meta.get("row_map",
+                        dict(L=meta["batch_docs"], G=meta["batch_docs"],
+                             pid=0)))
+        self._restore_common(z, meta)
+
+    def _restore_common(self, z, meta) -> None:
         for n in self._globals:
             setattr(self, n, jnp.asarray(z[f"glob_{n}"], self.dtype))
         for n, v in meta["counters"].items():
@@ -473,7 +603,18 @@ class _StreamingModel:
         final = os.path.join(ckpt_dir, f"ckpt_iter{k:06d}")
         tmp = final + ".tmp"
         self.save(tmp)            # atomic: a SIGKILL mid-write never
-        os.replace(tmp, final)    # leaves a torn latest checkpoint
+        if self._nproc > 1:       # leaves a torn latest checkpoint
+            # directory format: save() barriered internally; rank 0 owns
+            # the rename (manifest presence already certifies the tmp)
+            if self._pid == 0:
+                import shutil
+                if os.path.isdir(final):
+                    shutil.rmtree(final)
+                os.replace(tmp, final)
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"tmvb_stream_mv:{final}")
+            return
+        os.replace(tmp, final)
 
     _api_cls: str = ""      # matching api.TopicModel subclass name
 
@@ -487,6 +628,13 @@ class _StreamingModel:
         memory (serving usually runs on a subset anyway); the streamed
         per-doc arrays are scattered through the api model's (possibly
         length-bucketed) packed row permutation."""
+        if self._nproc > 1:
+            raise ValueError(
+                "to_model needs the full per-doc state on one host; a "
+                "multi-process streaming run holds only its own shard. "
+                "save() a checkpoint and streaming.load() it in a "
+                "single-process session first (the directory format "
+                "restores at any process count).")
         from . import api
         from .utils.config import RuntimeConfig
 
@@ -552,7 +700,7 @@ class _StreamingModel:
             self.elbo = self._sweep_elbo()
 
         for k in range(1, cfg.iter + 1):
-            stats = self._streamed_sweep(self._zero_stats())
+            stats = self._reduce_stats(self._streamed_sweep(self._zero_stats()))
             self._global_update(stats)
             delta = self._check(k, cfg)
             self._auto_ckpt(k, checkpoint_every, checkpoint_dir)
@@ -600,15 +748,23 @@ class _StreamingModel:
         self._cfg = cfg
         self._compile(cfg)
         p = self.packed
-        n_batches = p.M_pad // self.batch_docs
+        n_batches = self.M_rows // self.batch_docs
         # per-batch corpus scale M / (real docs in batch): pad rows carry
         # zero statistics, so scaling by the padded ratio M_pad/batch_docs
         # would give a pad-heavy trailing batch full rho weight with
         # near-zero stats (avoidable gradient variance when M_pad >> M);
-        # all-padding batches are dropped from the schedule entirely
+        # all-padding batches are dropped from the schedule entirely.
+        # Under multi-controller, global batch b = every process's local
+        # batch b, so the real-doc counts sum across processes and the
+        # shuffle (same seed everywhere) keeps all processes in lockstep.
         real_docs = np.array([
-            float(p.doc_mask[b * self.batch_docs:(b + 1) * self.batch_docs]
+            float(p.doc_mask[self._gsl(slice(b * self.batch_docs,
+                                             (b + 1) * self.batch_docs))]
                   .sum()) for b in range(n_batches)])
+        if self._nproc > 1:
+            from jax.experimental import multihost_utils
+            real_docs = multihost_utils.process_allgather(
+                real_docs).sum(axis=0)
         live = np.nonzero(real_docs > 0)[0]
 
         if self._svi_stats is None:
@@ -627,6 +783,7 @@ class _StreamingModel:
                 sl = slice(b * self.batch_docs, (b + 1) * self.batch_docs)
                 updated, batch_stats = self._run_batch(
                     sl, self._zero_stats())
+                batch_stats = self._reduce_stats(batch_stats)
                 self._store(sl, *updated)
                 # first step takes the batch statistic whole (ρ=1) when
                 # the running stats start from zeros — blending a
@@ -650,28 +807,62 @@ class _StreamingModel:
         return self
 
 
-def load(path: str, packed, strict_corpus: bool = True):
-    """Rebuild a streaming model (StreamingLDA/StreamingCTPF) from a
-    checkpoint + the same dense PackedCorpus, ready to continue
-    training where it left off."""
+def _stream_cls(name):
+    return {c.__name__: c
+            for c in (StreamingLDA, StreamingCTM, StreamingFLDA,
+                      StreamingFCTM, StreamingCTPF, StreamingHMTM)}[name]
+
+
+def _check_stream_meta(meta, packed, strict_corpus):
     from .checkpoint import packed_fingerprint
 
+    if meta["format"] != _CKPT_FORMAT:
+        raise ValueError(
+            f"unsupported streaming checkpoint format {meta['format']}")
+    if strict_corpus and packed_fingerprint(packed) != meta["corpus"]:
+        raise ValueError(
+            "checkpoint corpus fingerprint does not match the given "
+            "packed corpus.")
+
+
+def load(path: str, packed, strict_corpus: bool = True):
+    """Rebuild a streaming model from a checkpoint + the same dense
+    PackedCorpus, ready to continue training where it left off.
+
+    Accepts both formats at ANY current process count: the single-file
+    ``.npz`` and the multi-controller directory (one contiguous doc-row
+    shard per writing process + manifest-last) — each loading process
+    scatters the overlap of every shard's global row range into its own
+    range, so an N-process streaming run resumes on one process and
+    vice versa (the portability bar checkpoint.py already meets for the
+    in-memory models)."""
+    if os.path.isdir(path):
+        if not os.path.exists(os.path.join(path, "manifest.json")):
+            raise ValueError(
+                f"incomplete streaming checkpoint (no manifest): {path}")
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(path, "proc*.npz")))
+        with np.load(files[0]) as z0:
+            meta = json.loads(bytes(z0["__meta__"]).decode())
+            _check_stream_meta(meta, packed, strict_corpus)
+            model = _stream_cls(meta["cls"])(
+                packed, meta["K"], batch_docs=meta["batch_docs"],
+                chunk_docs=meta["chunk_docs"], dtype=meta["dtype"],
+                seed=meta["seed"])
+            model._restore_common(z0, meta)
+        for f in files:
+            with np.load(f) as z:
+                m = json.loads(bytes(z["__meta__"]).decode())
+                model._restore_doc_shard(z, m["row_map"])
+        return model
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
-        if meta["format"] != _CKPT_FORMAT:
-            raise ValueError(
-                f"unsupported streaming checkpoint format {meta['format']}")
-        if strict_corpus and packed_fingerprint(packed) != meta["corpus"]:
-            raise ValueError(
-                "checkpoint corpus fingerprint does not match the given "
-                "packed corpus.")
-        cls = {c.__name__: c
-               for c in (StreamingLDA, StreamingCTM, StreamingFLDA,
-                         StreamingFCTM, StreamingCTPF,
-                         StreamingHMTM)}[meta["cls"]]
-        model = cls(packed, meta["K"], batch_docs=meta["batch_docs"],
-                    chunk_docs=meta["chunk_docs"], dtype=meta["dtype"],
-                    seed=meta["seed"])
+        _check_stream_meta(meta, packed, strict_corpus)
+        model = _stream_cls(meta["cls"])(
+            packed, meta["K"], batch_docs=meta["batch_docs"],
+            chunk_docs=meta["chunk_docs"], dtype=meta["dtype"],
+            seed=meta["seed"])
         model._restore(z, meta)
     return model
 
@@ -713,7 +904,7 @@ class StreamingLDA(_StreamingModel):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
                           mesh, data_axis, state_dir=state_dir)
         npdt = np.dtype(dtype)
-        M_pad = packed.M_pad
+        M_pad = self.M_rows   # this process's doc rows
 
         # device-resident globals (reference LDA.jl:24-47)
         key = jax.random.PRNGKey(seed)
@@ -767,7 +958,8 @@ class StreamingLDA(_StreamingModel):
             acc = batch_elbo(beta, beta_old, self.alpha,
                              *self._data_slices(sl),
                              *self._doc_slices(sl), acc)
-        return elbo_value(np.stack([np.asarray(acc[0]), np.asarray(acc[1])]))
+        return self._reduce_elbo(float(np.asarray(acc[0])),
+                                 float(np.asarray(acc[1])))
 
     def _svi_init_stats(self):
         # running statistics seeded by one pass worth of the beta prior
@@ -887,7 +1079,7 @@ class StreamingCTPF(_StreamingModel):
         self.U = packed.U
         self.U_seg = max(packed.U, 1)
         npdt = np.dtype(dtype)
-        M_pad = packed.M_pad
+        M_pad = self.M_rows   # this process's doc rows
 
         # constructor state (reference CTPF.jl:81-103, = models/ctpf.init)
         key = jax.random.PRNGKey(seed)
@@ -931,11 +1123,12 @@ class StreamingCTPF(_StreamingModel):
 
     def _data_slices(self, sl):
         p = self.packed
-        return (jnp.asarray(p.terms[sl]),
-                jnp.asarray(p.counts[sl].astype(self.dtype)),
-                jnp.asarray(p.readers[sl]),
-                jnp.asarray(p.ratings[sl].astype(self.dtype)),
-                jnp.asarray(p.doc_mask[sl].astype(self.dtype)))
+        g = self._gsl(sl)
+        return (jnp.asarray(p.terms[g]),
+                jnp.asarray(p.counts[g].astype(self.dtype)),
+                jnp.asarray(p.readers[g]),
+                jnp.asarray(p.ratings[g].astype(self.dtype)),
+                jnp.asarray(p.doc_mask[g].astype(self.dtype)))
 
     def _run_batch(self, sl, stats):
         at, ht, gs, zs = stats
@@ -973,10 +1166,14 @@ class StreamingCTPF(_StreamingModel):
     def _sweep_elbo(self):
         total = 0.0
         for i, sl in enumerate(self._batches()):
-            fn = self._elbo_first if i == 0 else self._elbo_rest
+            # data-independent alef/he terms enter ONCE globally: via
+            # process 0's first batch (the cross-process reduction sums
+            # per-process partials)
+            fn = (self._elbo_first if i == 0 and self._pid == 0
+                  else self._elbo_rest)
             total += elbo_value(fn(self._batch_state(sl),
                                    *self._data_slices(sl)))
-        return total
+        return self._reduce_elbo(total, 0.0)
 
     def _finalize(self):
         # Ebeta = alef ./ bet (CTPF.jl:378)
@@ -1068,7 +1265,7 @@ class StreamingCTM(_StreamingModel):
                           mesh, data_axis, state_dir=state_dir,
                           use_pallas=use_pallas)
         npdt = np.dtype(dtype)
-        M_pad = packed.M_pad
+        M_pad = self.M_rows   # this process's doc rows
         # constructor state (reference CTM.jl:27-52, = models/ctm.init)
         key = jax.random.PRNGKey(seed)
         self.beta = jax.random.dirichlet(
@@ -1206,7 +1403,7 @@ class StreamingFLDA(_StreamingModel):
                           mesh, data_axis, state_dir=state_dir,
                           use_pallas=use_pallas)
         npdt = np.dtype(dtype)
-        M_pad, L = packed.M_pad, packed.L
+        M_pad, L = self.M_rows, packed.L   # per-process rows
         # constructor state (reference fLDA.jl:30-58, = models/flda.init)
         k_beta, k_kappa = jax.random.split(jax.random.PRNGKey(seed))
         self.beta = jax.random.dirichlet(
@@ -1343,7 +1540,7 @@ class StreamingFCTM(_StreamingModel):
         self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
                           mesh, data_axis, state_dir=state_dir)
         npdt = np.dtype(dtype)
-        M_pad, L = packed.M_pad, packed.L
+        M_pad, L = self.M_rows, packed.L   # per-process rows
         # constructor state (reference fCTM.jl:33-64, = models/fctm.init)
         k_beta, k_kappa = jax.random.split(jax.random.PRNGKey(seed))
         self.beta = jax.random.dirichlet(
@@ -1518,7 +1715,7 @@ class StreamingHMTM(_StreamingModel):
         from .models import hmtm as hmtm_mod
         hmtm_mod.check_order_preserving(packed)
         npdt = np.dtype(dtype)
-        M_pad = packed.M_pad
+        M_pad = self.M_rows   # this process's doc rows
         # constructor state (HMTM.jl:26-32, = models/hmtm.init)
         key = jax.random.PRNGKey(seed)
         self.beta = jax.random.dirichlet(

@@ -94,6 +94,17 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--n-devices", type=int, default=None,
                    help="limit the mesh to this many devices")
 
+    # ── multi-controller launch (parallel/multihost) ──
+    d = p.add_argument_group("distributed (multi-controller)")
+    d.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port; "
+                        "launch the SAME command on every process.  With "
+                        "--streaming/--online each process streams its own "
+                        "contiguous document shard (stats reduce across "
+                        "processes per sweep)")
+    d.add_argument("--num-processes", type=int, default=None)
+    d.add_argument("--process-id", type=int, default=None)
+
     # ── streaming / online (host-resident corpus; every model but dtm) ──
     s = p.add_argument_group("streaming")
     s.add_argument("--streaming", action="store_true",
@@ -153,6 +164,12 @@ def _build_corpus(args):
 
 def run(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+
+    if args.coordinator or args.num_processes or args.process_id is not None:
+        from .parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
 
     from . import api
     from .corpus import Corpus, fixcorp
@@ -272,8 +289,12 @@ def _run_streaming(args, corp, runtime, mesh=None) -> dict:
     cls = {"lda": StreamingLDA, "flda": StreamingFLDA,
            "ctm": StreamingCTM, "fctm": StreamingFCTM,
            "ctpf": StreamingCTPF, "hmtm": StreamingHMTM}[args.model]
+    import jax
+
     is_ctpf = args.model == "ctpf"
     n_dev = 1 if mesh is None else mesh.shape[runtime.data_axis]
+    # batch_docs is GLOBAL: it must also split across OS processes
+    n_dev *= jax.process_count()
     if isinstance(corp, Corpus):
         # round the padded doc count to a multiple of n_dev as well, so a
         # batch satisfying (batch | M_pad, n_dev | batch) always exists
