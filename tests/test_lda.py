@@ -113,3 +113,27 @@ def test_train_argument_validation(tiny_corpus):
         model.train(checkelbo=0)
     with pytest.raises(ValueError):
         tm.LDA(tiny_corpus, 0)
+
+
+def test_reference_tol_semantics_reachable_f64():
+    """The reference's default early stop (tol=1.0, LDA.jl:161,
+    checkelbo=1) must fire GENUINELY on the f64 path: monotone decaying
+    ∆elbo, no negative deltas, termination before the iteration cap —
+    reachable only with the compensated (hi, lo) bound accumulation
+    (utils/numerics.py) once the corpus bound dwarfs the f32 ulp.
+    The full-scale demonstrations live in RESULTS.md (f64 at
+    M=8192/V=8192/K=50 stops at iter 439; f32 at NSF scale stops at the
+    training-arithmetic noise floor instead)."""
+    import topicmodelsvb_jl_tpu as tm
+
+    corp = tm.synth_corpus(768, 384, K=10, seed=7, mean_tokens=50,
+                           mean_terms=35)
+    rt = RuntimeConfig(chunk_docs=64, dtype="float64", pad_multiple=8)
+    m = tm.LDA(corp, 10, runtime=rt, seed=7)
+    m.train(iter=400, tol=1.0, checkelbo=1, printelbo=False)
+    ds = [r.delta_elbo for r in m.trainer.trace if r.delta_elbo is not None]
+    assert len(m.trainer.trace) < 400, "must terminate via the early stop"
+    assert ds[-1] < 1.0
+    assert all(d >= 0 for d in ds), "trace must be monotone"
+    # decay (not noise-crossing): the last delta is also the smallest
+    assert ds[-1] == min(ds)
