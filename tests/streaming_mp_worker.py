@@ -53,8 +53,16 @@ else:
     corp = tm.synth_corpus(M=64, V=40, K=3, seed=5)
     packed = pack_corpus(corp, pad_multiple=8, docs_multiple=16,
                          dtype=np.float64)
+    mesh = None
+    if mode == "lda_mesh":
+        # per-process LOCAL mesh: streaming x in-process DP composed
+        # with the cross-process reduction
+        from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(local=True, axis_names=("data",))
+        assert mesh.devices.size == 2, mesh.devices
     s = StreamingLDA(packed, 3, batch_docs=32, chunk_docs=8,
-                     dtype="float64", seed=3)
+                     dtype="float64", seed=3, mesh=mesh)
     if mode == "lda_online":
         s.train_online(epochs=2, tau0=4.0, kappa=0.7, checkelbo=1,
                        printelbo=False, shuffle_seed=11)

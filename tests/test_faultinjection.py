@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: real OS processes
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _WORKER = os.path.join(_HERE, "faultinject_worker.py")
 _MP_WORKER = os.path.join(_HERE, "faultinject_mp_worker.py")

@@ -15,6 +15,10 @@ import sys
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: real OS processes
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _WORKER = os.path.join(_HERE, "streaming_mp_worker.py")
 
@@ -25,10 +29,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_pair(mode, ckpt_dir=None):
+def _run_pair(mode, ckpt_dir=None, local_devices=1):
     nproc, port = 2, _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    if local_devices > 1:
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count="
+                            f"{local_devices}").strip()
     procs = [subprocess.Popen(
         [sys.executable, _WORKER, str(i), str(nproc), str(port), mode]
         + ([ckpt_dir] if ckpt_dir else []),
@@ -100,6 +108,18 @@ def test_two_process_streaming_lda_matches_single(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded.beta),
                                np.asarray(single.beta), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(loaded.gamma), g, rtol=1e-10)
+
+
+def test_two_process_streaming_lda_local_mesh_matches_single():
+    """Streaming x in-process DP x cross-process reduction: each of the
+    2 processes sweeps its shard over a LOCAL 2-device mesh; trajectory
+    must still equal the plain single-process run."""
+    outs = _run_pair("lda_mesh", local_devices=2)
+    single, _ = _single_lda()
+    np.testing.assert_allclose([t[1] for t in outs[0]["trace"]],
+                               [e for _, e, _ in single.trace], rtol=1e-10)
+    np.testing.assert_allclose(outs[0]["glob"], np.asarray(single.beta),
+                               rtol=1e-10)
 
 
 def test_two_process_streaming_lda_online_matches_single():

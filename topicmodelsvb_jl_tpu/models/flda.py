@@ -28,7 +28,7 @@ from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, alog, asoftmax, bernoulli_entropy, categorical_entropy,
     digamma, dirichlet_entropy, finite, kbn_add, kbn_merge, kbn_pack,
-    kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
+    kbn_psum, kbn_zero, kbn_zeros, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -210,7 +210,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                 bti, kti = stat[:, :K], stat[:, K]
             esi = jnp.sum(el2 * dm[:, None], axis=0)
             tci = jnp.sum(ta2 * c)
-            return (bt + bti, kt + kti, es + esi, tc + tci), \
+            return (bt + bti, kt + kti, kbn_add(es, esi), tc + tci), \
                 (g2, el2, elo2, ta2, tao2)
 
         def scan_body_xla(carry, xs):
@@ -221,7 +221,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                 t, c, dm, g, el, elo, ta, tao, viter, vtol, V,
                 seq_axis=seq_axis,
             )
-            return (bt + bti, kt + kti, es + esi, tc + tci), (g2, el2, elo2, ta2, tao2)
+            return (bt + bti, kt + kti, kbn_add(es, esi), tc + tci), (g2, el2, elo2, ta2, tao2)
 
         def sweep(t_a, c_a, dm_a, g_a, el_a, elo_a, ta_a, tao_a, carry):
             n_rows = t_a.shape[0]
@@ -240,8 +240,10 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             unsh = lambda a: a.reshape((n_rows,) + a.shape[2:])
             return carry, tuple(unsh(y) for y in ys)
 
+        # Elogtheta_sum rides a compensated (hi, lo) carry — same
+        # alpha-channel noise fix as models/lda.py make_step
         carry = (jnp.zeros((V, K), dt), jnp.zeros((V,), dt),
-                 jnp.zeros((K,), dt), jnp.zeros((), dt))
+                 kbn_zeros((K,), dt), jnp.zeros((), dt))
         if seg_starts is None:
             carry, (gamma, El, El_old, tau, tau_old) = sweep(
                 terms, counts, doc_mask, state.gamma, state.Elogtheta,
@@ -273,7 +275,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         # is doc-level and identical on every seq shard (data axes only)
         axes_tok = axes + (seq_axis,) if seq_axis is not None else axes
         if axes:
-            El_sum = jax.lax.psum(El_sum, axes)
+            El_sum = kbn_psum(El_sum, axes)
         if axes_tok:
             tau_counts = jax.lax.psum(tau_counts, axes_tok)
 
@@ -291,7 +293,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                 kappa_temp = jax.lax.psum(kappa_temp, axes_tok)
             beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
             kappa_new = kappa_temp / jnp.sum(kappa_temp)     # fLDA.jl:152-156
-        alpha_new = dirichlet_newton(state.alpha, El_sum, M_total, niter, ntol)
+        alpha_new = dirichlet_newton(state.alpha, El_sum[0], M_total,
+                                     niter, ntol, Elogtheta_sum_lo=El_sum[1])
         eta_new = tau_counts / C_total                        # fLDA.jl:122-124
 
         return FLDAState(

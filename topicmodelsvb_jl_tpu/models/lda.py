@@ -37,7 +37,7 @@ from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, alog, asoftmax, categorical_entropy, digamma,
     dirichlet_entropy, finite, kbn_add, kbn_merge, kbn_pack,
-    kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
+    kbn_psum, kbn_zero, kbn_zeros, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -221,7 +221,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                 bt = count_scatter(
                     w[..., :K].reshape(-1, K), t.reshape(-1), V)
                 es = jnp.sum(el2 * dm[:, None], axis=0)
-                return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
+                return (beta_temp + bt, kbn_add(El_sum, es)), (g2, el2, elo2)
 
         def scan_body_xla(carry, xs):
             beta_temp, El_sum = carry
@@ -230,7 +230,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                 logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V,
                 seq_axis=seq_axis,
             )
-            return (beta_temp + bt, El_sum + es), (g2, el2, elo2)
+            return (beta_temp + bt, kbn_add(El_sum, es)), (g2, el2, elo2)
 
         def sweep(t_arr, c_arr, dm_arr, g_arr, el_arr, elo_arr, carry):
             n_rows = t_arr.shape[0]
@@ -253,7 +253,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             unsh = lambda a: a.reshape((n_rows,) + a.shape[2:])
             return carry, unsh(gamma), unsh(El), unsh(El_old)
 
-        carry0 = (jnp.zeros((V, K), dtype), jnp.zeros((K,), dtype))
+        # Elogtheta_sum rides a compensated (hi, lo) carry: its chunk-
+        # sequential f32 accumulation (relative ~5e-6 at |El_sum|~6e5)
+        # was measured as the DOMINANT training-noise channel — the
+        # Newton amplifies it by ~alpha^2 and the bound re-multiplies by
+        # El_sum, a ±1e4 ELBO wobble at NSF scale; frozen-alpha A/B cut
+        # the wobble 2.7x (RESULTS.md "tol=1.0 semantics", round 4).
+        carry0 = (jnp.zeros((V, K), dtype), kbn_zeros((K,), dtype))
         if seg_starts is None:
             (beta_temp, El_sum), gamma, El, El_old = sweep(
                 terms, counts, doc_mask,
@@ -288,7 +294,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         else:
             stat_axes_bt = stat_axes
         if stat_axes:
-            El_sum = jax.lax.psum(El_sum, stat_axes)
+            El_sum = kbn_psum(El_sum, stat_axes)
 
         # update_beta! reset (LDA.jl:121-125)
         if vocab_axis is not None:
@@ -301,8 +307,11 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             if stat_axes_bt:
                 beta_temp = jax.lax.psum(beta_temp, stat_axes_bt)
             beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
-        # update_alpha! (LDA.jl:97-118), replicated on device
-        alpha_new = dirichlet_newton(state.alpha, El_sum, M_total, niter, ntol)
+        # update_alpha! (LDA.jl:97-118), replicated on device; the lo
+        # half of the compensated El_sum enters the Newton's mean-form
+        # gradient at full precision (ops/newton.py)
+        alpha_new = dirichlet_newton(state.alpha, El_sum[0], M_total,
+                                     niter, ntol, Elogtheta_sum_lo=El_sum[1])
 
         return LDAState(
             alpha=alpha_new, beta=beta_new, beta_old=state.beta,

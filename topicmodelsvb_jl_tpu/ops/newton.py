@@ -116,12 +116,28 @@ def dirichlet_newton(
     M: jax.Array,
     niter: int,
     ntol: float,
+    Elogtheta_sum_lo: jax.Array = None,
 ) -> jax.Array:
-    """Interior-point Newton for the Dirichlet parameter (LDA.jl:97-118)."""
+    """Interior-point Newton for the Dirichlet parameter (LDA.jl:97-118).
+
+    The gradient is evaluated in MEAN form — ``M·(nu/(M·alpha) + ψ(Σa)
+    − ψ(a_k) + Elogtheta_sum/M)`` — so the near-cancellation at the
+    optimum (ψ-difference vs the Elogtheta mean) resolves at the f32
+    ulp of O(1) quantities instead of O(M·|Elogtheta|): at corpus scale
+    the M-scaled form's absolute rounding (~ulp(6e5) ≈ 0.06) turns into
+    an alpha* jitter of relative ~α²·ulp that the bound re-amplifies by
+    Elogtheta_sum — a measured 1e3-1e4 per-iteration ELBO wobble
+    (RESULTS.md "tol=1.0 semantics", round 4).  ``Elogtheta_sum_lo``
+    optionally carries the compensation half of a Kahan-accumulated sum
+    (models/lda.py's step carry) into the mean at full precision.
+    """
     K = alpha.shape[0]
     dtype = alpha.dtype
     M = jnp.asarray(M, dtype)
     nu0 = jnp.asarray(float(K), dtype)
+    el_mean = Elogtheta_sum / M
+    if Elogtheta_sum_lo is not None:
+        el_mean = el_mean + Elogtheta_sum_lo / M
 
     def cond(carry):
         i, _, _, done, _ = carry
@@ -130,7 +146,8 @@ def dirichlet_newton(
     def body(carry):
         i, alpha, nu, done, prev_norm = carry
         a0 = jnp.sum(alpha)
-        grad = nu / alpha + M * (digamma(a0) - digamma(alpha)) + Elogtheta_sum
+        grad = M * (nu / (M * alpha) + digamma(a0) - digamma(alpha)
+                    + el_mean)
         h_inv = -1.0 / (M * trigamma(alpha) + nu / alpha**2)
         denom = 1.0 / (M * trigamma(a0)) + jnp.sum(h_inv)
         p = (grad - jnp.dot(grad, h_inv) / denom) * h_inv

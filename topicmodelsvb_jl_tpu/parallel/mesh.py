@@ -31,9 +31,15 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
+    local: bool = False,
 ) -> Mesh:
-    """Build a mesh over the available devices (default: all on ``data``)."""
-    devices = jax.devices()
+    """Build a mesh over the available devices (default: all on ``data``).
+
+    ``local=True`` restricts to THIS process's addressable devices —
+    what multi-controller streaming wants (each process sweeps its own
+    corpus shard on its own devices; parallel/multihost reduces across
+    processes at sweep grain)."""
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)

@@ -287,6 +287,13 @@ def kbn_zero(dtype) -> tuple:
     return (z, z)
 
 
+def kbn_zeros(shape, dtype) -> tuple:
+    """Fresh tensor-shaped (hi, lo) compensated accumulator (kbn_add /
+    kbn_psum operate elementwise on any shape)."""
+    z = jnp.zeros(shape, dtype)
+    return (z, z)
+
+
 def kbn_add(acc: tuple, x: jax.Array) -> tuple:
     """Neumaier two-sum: add scalar ``x`` into the (hi, lo) pair."""
     hi, lo = acc
@@ -306,17 +313,18 @@ def kbn_pack(acc: tuple) -> jax.Array:
 
 
 def kbn_psum(acc: tuple, axes) -> tuple:
-    """Compensated cross-shard reduction of an (hi, lo) pair.
+    """Compensated cross-shard reduction of an (hi, lo) pair (scalar or
+    any tensor shape, reduced elementwise).
 
     A plain ``psum(hi)`` rounds at ulp(total) per shard; instead the hi
     parts are all_gathered and folded sequentially with two-sum (mesh
-    sizes are tiny, so the [n] gather+fold is free).  The lo parts are
-    far below ulp(total) and psum exactly enough.
+    sizes are tiny, so the [n, ...] gather+fold is free).  The lo parts
+    are far below ulp(total) and psum exactly enough.
     """
     if not axes:
         return acc
     hi, lo = acc
-    hs = jax.lax.all_gather(hi, axes).reshape(-1)
+    hs = jax.lax.all_gather(hi, axes).reshape((-1,) + hi.shape)
     lo_t = jax.lax.psum(lo, axes)
 
     def body(i, c):
