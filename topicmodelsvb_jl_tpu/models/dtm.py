@@ -43,7 +43,7 @@ from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, aexp, alog, asoftmax, categorical_entropy, digamma,
     dirichlet_entropy, finite, kbn_add, kbn_merge, kbn_pack,
-    kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
+    kbn_psum, kbn_zero, kbn_zeros, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -287,13 +287,16 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
             g2, el2, lz2, Ai, wzi, elsi, ndi = _estep_chunk(
                 mbeta_flat, state.alpha, rowsum_ovfl, maxl,
                 sid, t, c, dm, g, el, lz, viter, vtol, V)
-            return (A + Ai, wz + wzi, els + elsi, nd + ndi), (g2, el2, lz2)
+            return (A + Ai, wz + wzi, kbn_add(els, elsi),
+                    nd + ndi), (g2, el2, lz2)
 
         sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
         (A, wz, els, nd), (gamma, El, lzeta) = jax.lax.scan(
             scan_body,
             (jnp.zeros((T * V, K), dt), jnp.zeros((T, K), dt),
-             jnp.zeros((T, K), dt), jnp.zeros((T,), dt)),
+             # per-slice Elogtheta sums ride a compensated carry — the
+             # alpha-channel fix of models/lda.py, per time slice
+             kbn_zeros((T, K), dt), jnp.zeros((T,), dt)),
             (sh(slice_id), sh(terms), sh(counts), sh(doc_mask),
              sh(state.gamma), sh(state.Elogtheta), sh(state.lzeta)),
         )
@@ -303,7 +306,7 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
         axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name or ())
         if axes:
             wz = jax.lax.psum(wz, axes)
-            els = jax.lax.psum(els, axes)
+            els = kbn_psum(els, axes)
             nd = jax.lax.psum(nd, axes)
         if vocab_axis is not None:
             # keep only this shard's vocab rows of the A statistic
@@ -319,9 +322,10 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
 
         # per-slice alpha Newton (updateAlpha!, DTM.jl:176-197)
         alpha_new = jax.vmap(
-            lambda a, e, n: dirichlet_newton(a, e, jnp.maximum(n, 1.0),
-                                             niter, ntol)
-        )(state.alpha, els, nd)
+            lambda a, e, lo, n: dirichlet_newton(a, e, jnp.maximum(n, 1.0),
+                                                 niter, ntol,
+                                                 Elogtheta_sum_lo=lo)
+        )(state.alpha, els[0], els[1], nd)
 
         # betahat nonlinear CG with Polak–Ribière + back-tracking
         # (updateBetahat!, DTM.jl:244-304); gradient via jax.grad

@@ -72,7 +72,7 @@ from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, aexp, alog, digamma, dirichlet_entropy, kbn_add, kbn_pack,
-    kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
+    kbn_psum, kbn_zero, kbn_zeros, l2norm, lgamma, masked_fixpoint,
 )
 
 
@@ -275,7 +275,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             tau2, gamma2, bt, ps, ts = _estep_chunk(
                 betaT_eps, state.eta, state.alpha, t, tmask, dm,
                 tau, gamma, viter, vtol, V)
-            return (beta_temp + bt, pi_sum + ps, th_sum + ts), (tau2, gamma2)
+            return (beta_temp + bt, kbn_add(pi_sum, ps),
+                    kbn_add(th_sum, ts)), (tau2, gamma2)
 
         def sweep(t_arr, c_arr, dm_arr, tau_arr, g_arr, carry):
             n_rows = t_arr.shape[0]
@@ -288,8 +289,11 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             unsh = lambda a: a.reshape((n_rows,) + a.shape[2:])
             return carry, unsh(tau), unsh(gamma)
 
-        carry0 = (jnp.zeros((V, K), dtype), jnp.zeros((K,), dtype),
-                  jnp.zeros((K, K), dtype))
+        # pi/theta stat sums ride compensated (hi, lo) carries — the
+        # alpha-channel noise fix of models/lda.py, applied to BOTH of
+        # HMTM's Dirichlet Newtons (eta and alpha's K columns)
+        carry0 = (jnp.zeros((V, K), dtype), kbn_zeros((K,), dtype),
+                  kbn_zeros((K, K), dtype))
         if seg_starts is None:
             (beta_temp, pi_sum, th_sum), tau, gamma = sweep(
                 terms, counts, doc_mask, state.tau, state.gamma, carry0)
@@ -313,8 +317,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         if isinstance(stat_axes, str):
             stat_axes = (stat_axes,)
         if stat_axes:
-            pi_sum = jax.lax.psum(pi_sum, stat_axes)
-            th_sum = jax.lax.psum(th_sum, stat_axes)
+            pi_sum = kbn_psum(pi_sum, stat_axes)
+            th_sum = kbn_psum(th_sum, stat_axes)
 
         # updateBeta! (HMTM.jl:149-158)
         if vocab_axis is not None:
@@ -330,11 +334,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
         # updateEta!/updateAlpha! (HMTM.jl:103-147) — same interior-point
         # Newton as LDA's alpha; alpha's K columns solve independently
-        eta_new = dirichlet_newton(state.eta, pi_sum, M_total, niter, ntol)
+        eta_new = dirichlet_newton(state.eta, pi_sum[0], M_total,
+                                   niter, ntol, Elogtheta_sum_lo=pi_sum[1])
         alpha_new = jax.vmap(
-            lambda a_col, s_col: dirichlet_newton(
-                a_col, s_col, M_total, niter, ntol),
-            in_axes=1, out_axes=1)(state.alpha, th_sum)
+            lambda a_col, s_col, lo_col: dirichlet_newton(
+                a_col, s_col, M_total, niter, ntol,
+                Elogtheta_sum_lo=lo_col),
+            in_axes=1, out_axes=1)(state.alpha, th_sum[0], th_sum[1])
 
         return HMTMState(eta=eta_new, alpha=alpha_new, beta=beta_new,
                          tau=tau, gamma=gamma, elbo=state.elbo)

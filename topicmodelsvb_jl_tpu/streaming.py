@@ -141,7 +141,14 @@ def make_batch_sweep(V: int, K: int, viter: int, vtol: float,
 
 @jax.jit
 def _mstep(beta_temp, El_sum, alpha, M_total, niter, ntol):
-    """update_beta! + update_alpha! (LDA.jl:97-125)."""
+    """update_beta! + update_alpha! (LDA.jl:97-125).
+
+    El_sum is plain-accumulated here (unlike models/lda.py's
+    compensated carry): the streaming stat pytrees ride the generic
+    leafwise-add sweep and the SVI blend, and their noise budget is
+    dominated by minibatch stochasticity, not f32 summation — the
+    Newton still gets the cancellation-friendly mean-form gradient
+    (ops/newton.py) for free."""
     beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
     alpha_new = dirichlet_newton(alpha, El_sum, M_total, niter, ntol)
     return beta_new, alpha_new
