@@ -113,6 +113,17 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> HMTMState:
     )
 
 
+import os as _os
+
+# Token-axis scan unroll factor (default 1 = plain scan).  MEASURED
+# NEGATIVE RESULT (round 4, v5e, NSF K=25 chunk=1024): unroll=1 0.474,
+# 4 0.597, 8 0.889, 16 1.322 s/iter — monotonically worse, and the
+# chunk-size sweep (256..4096 flat per-doc) already rules out
+# loop-dispatch latency; the scan is bandwidth/compute-bound, so
+# unrolling only bloats the loop body.  Kept env-tunable for re-runs.
+_SCAN_UNROLL = int(_os.environ.get("HMTM_SCAN_UNROLL", "1"))
+
+
 def _tilde(tau: jax.Array, gamma: jax.Array, exp=jnp.exp):
     """Expected-log chain parameters, exponentiated for linear-space FB.
 
@@ -153,7 +164,8 @@ def _forward(p0, A, Bv, tmask, log=jnp.log):
         return (a_n, logZ + log(c_eff)), (a_n, c_eff)
 
     xs = (jnp.moveaxis(Bv[:, 1:], 1, 0), tmask[:, 1:].T)
-    (_, logZ), (a_rest, c_rest) = jax.lax.scan(step, (a0, logZ0), xs)
+    (_, logZ), (a_rest, c_rest) = jax.lax.scan(step, (a0, logZ0), xs,
+                                               unroll=_SCAN_UNROLL)
     a = jnp.concatenate([a0[None], a_rest], axis=0)           # [L, B, K]
     c = jnp.concatenate([jnp.where(tmask[:, 0] > 0, c0[:, 0], 1.0)[None],
                          c_rest], axis=0)                     # [L, B]
@@ -172,6 +184,13 @@ def _backward_stats(a, c, A, Bv, tmask, with_r: bool):
     be_last = jnp.ones((B_, K), dtype)
     xi0 = jnp.zeros((B_, K, K), dtype)
 
+    # xi stays an in-carry accumulator.  MEASURED NEGATIVE RESULT
+    # (round 4, v5e, NSF K=25): deferring it — xi_sum = A ∘
+    # einsum("nbi,nbl->bil", g, a) after the scan, shrinking the carry
+    # to [B,K] — is algebraically identical but 17% SLOWER end-to-end
+    # (0.486 vs 0.416 s/iter): the stacked masked-g [L,B,K] output
+    # (50 MB physically tiled per chunk) spills to HBM on every
+    # fixpoint pass, while the [B,K,K] carry RMW stays in VMEM.
     def step(carry, xs):
         be_n, xi_sum = carry
         a_prev, a_n, B_n, c_n, m_n = xs
@@ -188,7 +207,7 @@ def _backward_stats(a, c, A, Bv, tmask, with_r: bool):
     xs = (a[:-1], a[1:], jnp.moveaxis(Bv[:, 1:], 1, 0),
           c[1:], tmask[:, 1:].T)
     (be0, xi_sum), r_rest = jax.lax.scan(step, (be_last, xi0), xs,
-                                         reverse=True)
+                                         reverse=True, unroll=_SCAN_UNROLL)
     r0 = a[0] * be0 * tmask[:, 0][:, None]
     if not with_r:
         return r0, xi_sum, None
