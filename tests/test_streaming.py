@@ -284,10 +284,37 @@ def test_streaming_lda_checkpoint_resume(tmp_path):
                                rtol=1e-12)
     np.testing.assert_allclose([t[1] for t in r.trace],
                                [t[1] for t in ref.trace], rtol=1e-12)
+    # the resumed run CONTINUES k (4,5,6) — trace rows stay unique and
+    # ckpt_iterNNNNNN names can never reuse a pre-resume number
+    assert [t[0] for t in r.trace] == [t[0] for t in ref.trace]
+    assert r.trained_iters == ref.trained_iters == total
     # fingerprint guard
     other = _packed(M=96, seed=12345)
     with pytest.raises(ValueError):
         st.load(path, other)
+
+
+def test_streaming_dir_checkpoint_shard_validation(tmp_path):
+    """A directory checkpoint whose proc*.npz set disagrees with the
+    manifest's nproc must be rejected loudly — a missing shard would
+    silently leave its rows at init values, an extra (stale) shard
+    would scatter a dead run's rows over fresh data."""
+    import json
+
+    from topicmodelsvb_jl_tpu import streaming as st
+
+    packed = _packed(M=96, seed=8)
+    d = tmp_path / "dir.ckpt"
+    d.mkdir()
+    (d / "manifest.json").write_text(
+        json.dumps(dict(format=2, nproc=2, cls="StreamingLDA")))
+    (d / "proc0.npz").write_bytes(b"")           # proc1.npz missing
+    with pytest.raises(ValueError, match="shard mismatch"):
+        st.load(str(d), packed)
+    (d / "proc1.npz").write_bytes(b"")
+    (d / "proc2.npz").write_bytes(b"")           # stale extra shard
+    with pytest.raises(ValueError, match="shard mismatch"):
+        st.load(str(d), packed)
 
 
 def test_streaming_ctpf_checkpoint_resume(tmp_path):

@@ -395,10 +395,20 @@ class TopicModel:
             self.state = self.trainer.train(
                 self.state, cfg, corpus_all_empty=all_empty,
                 start_iter=self.trained_iters)
-        finally:
+        except BaseException:
+            # drain the writer but keep the TRAINING failure primary: a
+            # deferred checkpoint-write error must not mask an in-flight
+            # XLA/step exception (it stays reachable via __context__)
             if self._ckpt_writer is not None:
-                # drain the in-flight async checkpoint before returning
-                self._ckpt_writer.wait()
+                try:
+                    self._ckpt_writer.wait()
+                except Exception:
+                    pass
+            raise
+        if self._ckpt_writer is not None:
+            # drain the in-flight async checkpoint before returning; a
+            # deferred write error surfaces here, on a clean run
+            self._ckpt_writer.wait()
         if self.trainer.trace:
             self.trained_iters = self.trainer.trace[-1].k
         self._finalize()

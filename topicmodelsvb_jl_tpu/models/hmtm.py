@@ -121,7 +121,7 @@ import os as _os
 # chunk-size sweep (256..4096 flat per-doc) already rules out
 # loop-dispatch latency; the scan is bandwidth/compute-bound, so
 # unrolling only bloats the loop body.  Kept env-tunable for re-runs.
-_SCAN_UNROLL = int(_os.environ.get("HMTM_SCAN_UNROLL", "1"))
+_SCAN_UNROLL = max(1, int(_os.environ.get("HMTM_SCAN_UNROLL", "1") or 1))
 
 
 def _tilde(tau: jax.Array, gamma: jax.Array, exp=jnp.exp):

@@ -288,7 +288,7 @@ class _StreamingModel:
 
     _doc_state: tuple = ()
     _globals: tuple = ()
-    _counters: tuple = ("elbo", "_svi_t", "_epochs_done")
+    _counters: tuple = ("elbo", "_svi_t", "_epochs_done", "trained_iters")
     vocab_axis: Optional[str] = None   # TP composition (StreamingLDA)
 
     def _init_common(self, packed, K, batch_docs, chunk_docs, dtype, seed,
@@ -374,6 +374,7 @@ class _StreamingModel:
         self.trace: list = []
         self._svi_t = 0          # SVI step counter (train_online)
         self._epochs_done = 0    # completed online epochs (rng replay)
+        self.trained_iters = 0   # completed batch-CAVI iterations (k)
         self._svi_stats = None   # running online statistics pytree
 
     def _host_full(self, name, shape, fill, dtype):
@@ -433,7 +434,7 @@ class _StreamingModel:
         """Cross-process f64 combination of per-process compensated
         (hi, lo) bound pairs."""
         if self._nproc == 1:
-            return float(np.float64(hi) + np.float64(lo))
+            return elbo_value((hi, lo))
         from jax.experimental import multihost_utils
 
         pairs = multihost_utils.process_allgather(
@@ -552,6 +553,19 @@ class _StreamingModel:
                     json.dumps(meta).encode(), np.uint8), **arrays)
             multihost_utils.sync_global_devices(f"tmvb_stream_ckpt:{path}")
             if self._pid == 0:
+                # saving into a directory a LARGER process count once
+                # used: drop the stale proc{p>=nproc}.npz shards so a
+                # later load() can't scatter rows from a dead run (no
+                # live process writes those names, so deleting after
+                # the barrier races nothing)
+                import glob as _glob
+                for f in _glob.glob(os.path.join(path, "proc*.npz")):
+                    try:
+                        p_id = int(os.path.basename(f)[4:-4])
+                    except ValueError:
+                        p_id = -1
+                    if not (0 <= p_id < self._nproc):
+                        os.remove(f)
                 manifest = dict(format=_CKPT_FORMAT, nproc=self._nproc,
                                 cls=type(self).__name__)
                 tmpm = os.path.join(path, "manifest.json.tmp")
@@ -706,9 +720,15 @@ class _StreamingModel:
         if cfg.checkelbo <= cfg.iter and not self.trace:
             self.elbo = self._sweep_elbo()
 
-        for k in range(1, cfg.iter + 1):
+        # k continues past a resume (trained_iters rides _counters), so
+        # trace rows stay unique and ckpt_iterNNNNNN names never reuse a
+        # pre-resume number — the same monotone global counter the api
+        # models keep (api.py trained_iters / checkpoint 'iteration')
+        k0 = self.trained_iters
+        for k in range(k0 + 1, k0 + cfg.iter + 1):
             stats = self._reduce_stats(self._streamed_sweep(self._zero_stats()))
             self._global_update(stats)
+            self.trained_iters = k
             delta = self._check(k, cfg)
             self._auto_ckpt(k, checkpoint_every, checkpoint_dir)
             if delta is not None and delta < cfg.tol:
@@ -844,12 +864,27 @@ def load(path: str, packed, strict_corpus: bool = True):
     vice versa (the portability bar checkpoint.py already meets for the
     in-memory models)."""
     if os.path.isdir(path):
-        if not os.path.exists(os.path.join(path, "manifest.json")):
+        mpath = os.path.join(path, "manifest.json")
+        if not os.path.exists(mpath):
             raise ValueError(
                 f"incomplete streaming checkpoint (no manifest): {path}")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        # the shard set must be EXACTLY proc0..proc{nproc-1} per the
+        # manifest: a missing shard would silently leave its rows at
+        # constructor-init values, an extra (stale) one would scatter a
+        # dead run's rows over fresh data
+        expect = [os.path.join(path, f"proc{p}.npz")
+                  for p in range(int(manifest["nproc"]))]
         import glob as _glob
 
-        files = sorted(_glob.glob(os.path.join(path, "proc*.npz")))
+        found = sorted(_glob.glob(os.path.join(path, "proc*.npz")))
+        if found != sorted(expect):
+            raise ValueError(
+                f"streaming checkpoint shard mismatch in {path}: manifest "
+                f"says nproc={manifest['nproc']} but found "
+                f"{[os.path.basename(f) for f in found]}")
+        files = expect
         with np.load(files[0]) as z0:
             meta = json.loads(bytes(z0["__meta__"]).decode())
             _check_stream_meta(meta, packed, strict_corpus)

@@ -216,8 +216,17 @@ def run(argv=None) -> dict:
     if args.no_pallas:
         rt_kw["use_pallas"] = False
     runtime = RuntimeConfig(**rt_kw)
+    # Multi-controller streaming needs a LOCAL mesh: each process sweeps
+    # its own corpus shard on its own devices (streaming._init_common
+    # rejects meshes holding other processes' devices).  jax.devices()
+    # lists process 0's devices first, so a global mesh here would pass
+    # the check on process 0 and deadlock it against peers that raised.
+    import jax
+    local_mesh = ((args.streaming or args.online)
+                  and jax.process_count() > 1)
     mesh = (make_mesh(n_devices=args.n_devices,
-                      axis_names=(runtime.data_axis,))
+                      axis_names=(runtime.data_axis,),
+                      local=local_mesh)
             if args.n_devices else None)
 
     if args.state_dir and not (args.streaming or args.online):
