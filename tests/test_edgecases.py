@@ -140,3 +140,69 @@ def test_single_very_long_doc():
     assert g.sum() > 2000 and np.all(g > 0)
     td = m.topicdist(1)
     assert np.isclose(float(np.sum(td)), 1.0)
+
+
+def _small_corp(seed=0, V=12, M=10):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(M):
+        terms = list(rng.choice(np.arange(1, V + 1), size=6, replace=False))
+        counts = [int(c) for c in rng.integers(1, 5, size=6)]
+        docs.append(tm.Document(terms=terms, counts=counts))
+    return tm.Corpus(docs=docs, vocab={j: f"w{j}" for j in range(1, V + 1)})
+
+
+def test_lda_survives_huge_alpha():
+    """The reference's todo.txt:22 admits large alpha overflows its
+    update_Elogtheta!/update_alpha!; here Elogtheta goes through the
+    asymptotic-series digamma (digamma(x) ~ log x for huge x) and the
+    mean-form Newton, so an absurd prior must train finitely and the
+    Newton must contract it back toward the data."""
+    corp = _small_corp(seed=3)
+    m = LDA(corp, 3, runtime=_rt(), mesh=_mesh())
+    m.state = m.state._replace(
+        alpha=np.full(3, 1e12, dtype=np.float64))
+    m.train(iter=5, checkelbo=1, printelbo=False)
+    assert np.isfinite(m.elbo)
+    assert np.all(np.isfinite(m.alpha)) and np.all(m.alpha > 0)
+    assert np.all(np.isfinite(m.Elogtheta))
+    assert np.all(np.isfinite(m.beta)) and np.all(np.isfinite(m.gamma))
+
+
+def test_ctm_survives_large_mu():
+    """The reference's todo.txt:8/11 admit large mu overflows its
+    update_lambda! (Inf gradient → NaN poisons EVERY parameter); here
+    the Newtons' exp boundary is clamped (ops/newton._exp_safe), so mu
+    pushed past f64 exp-overflow keeps every Gaussian-channel parameter
+    finite, and a topic the prior kills outright (zero phi mass for
+    every document) renormalises to the uniform row (_beta_rows) instead
+    of the 0/0 = NaN that would poison every OTHER topic's phi via
+    log(beta) on the next sweep."""
+    corp = _small_corp(seed=4)
+    m = CTM(corp, 3, runtime=_rt(), mesh=_mesh())
+    # exp(mu) would overflow f64 near 710; ±800 is past that
+    m.state = m.state._replace(
+        mu=np.array([800.0, -800.0, 0.0], dtype=np.float64))
+    m.train(iter=5, checkelbo=1, printelbo=False, niter=30)
+    s = m.state
+    for name in ("mu", "sigma", "invsigma", "lam", "vsq", "logzeta"):
+        assert np.all(np.isfinite(np.asarray(getattr(s, name)))), name
+    beta = np.asarray(m.beta)
+    assert np.all(np.isfinite(beta))
+    np.testing.assert_allclose(beta.sum(axis=1), 1.0, rtol=1e-9)
+    assert np.isfinite(m.elbo)
+
+
+def test_ctm_invsigma_corruption_rejected():
+    """check_model requires invsigma finite — the gap the reference's
+    own todo.txt:7 admits its check_model leaves open."""
+    from topicmodelsvb_jl_tpu.api import TopicModelError
+    from topicmodelsvb_jl_tpu.validate import check_model
+
+    corp = _small_corp(seed=5)
+    m = CTM(corp, 3, runtime=_rt(), mesh=_mesh())
+    bad = np.asarray(m.state.invsigma).copy()
+    bad[0, 0] = np.inf
+    m.state = m.state._replace(invsigma=bad)
+    with pytest.raises(TopicModelError):
+        check_model(m)

@@ -62,6 +62,19 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> CTMState:
     )
 
 
+def _beta_rows(bt, row_sum):
+    """Normalise beta rows, mapping a DEAD topic (zero statistic mass —
+    reachable only in degenerate regimes, e.g. a Gaussian prior pushed
+    past exp-underflow for every document; softmax phi is strictly
+    positive in any sane state, so the guard never binds there) to the
+    uniform row instead of 0/0 = NaN, which would poison every OTHER
+    topic's phi via log(beta) on the next sweep (ref: the reference's
+    own large-mu overflow, todo.txt:8/11, has no analogue guard)."""
+    V = bt.shape[1]
+    return jnp.where(row_sum > 0, bt / row_sum,
+                     jnp.asarray(1.0, bt.dtype) / V)
+
+
 def _phi(logbeta_d, lam, softmax=jax.nn.softmax):
     """phi ∝ exp(log beta[:,terms] + lambda), over K (CTM.jl:175-178)."""
     return softmax(logbeta_d + lam[:, None, :], axis=-1)
@@ -264,11 +277,12 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             from ..parallel.shard import tp_normalize_rows
 
             bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes_tok)
-            beta_new = bt_local.T / row_sum[:, None]
+            beta_new = _beta_rows(bt_local.T, row_sum[:, None])
         else:
             if axes_tok:
                 beta_temp = jax.lax.psum(beta_temp, axes_tok)
-            beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+            bt = beta_temp.T
+            beta_new = _beta_rows(bt, jnp.sum(bt, axis=1, keepdims=True))
         # update_sigma! with previous mu (CTM.jl:108-111; order CTM.jl:206-208):
         # Σ_d (λ−μ)(λ−μ)ᵀ = Σλλᵀ − μΣλᵀ − Σλ μᵀ + M μμᵀ
         mu_old = state.mu

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
+from .ctm import _beta_rows
 from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
@@ -221,13 +222,14 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             bt_local, row_sum = tp_normalize_rows(beta_temp, vocab_axis, axes_tok)
             kt_local, k_sum = tp_normalize_rows(
                 kappa_temp[:, None], vocab_axis, axes_tok)
-            beta_new = bt_local.T / row_sum[:, None]
+            beta_new = _beta_rows(bt_local.T, row_sum[:, None])
             kappa_new = kt_local[:, 0] / k_sum[0]
         else:
             if axes_tok:
                 beta_temp = jax.lax.psum(beta_temp, axes_tok)
                 kappa_temp = jax.lax.psum(kappa_temp, axes_tok)
-            beta_new = beta_temp.T / jnp.sum(beta_temp.T, axis=1, keepdims=True)
+            bt = beta_temp.T
+            beta_new = _beta_rows(bt, jnp.sum(bt, axis=1, keepdims=True))
             kappa_new = kappa_temp / jnp.sum(kappa_temp)    # fCTM.jl:146-150
         mu_old = state.mu
         centered = (

@@ -25,6 +25,22 @@ import jax.numpy as jnp
 from ..utils.numerics import EPSILON, digamma, finite, l2norm, trigamma
 
 
+def _exp_safe(x: jax.Array) -> jax.Array:
+    """Overflow-guarded exp at the CTM Newtons' exp boundary.
+
+    The reference's update_lambda! overflows for large mu (its own
+    todo.txt:8/11): a Newton step that jumps lambda toward a huge mu
+    leaves exp(lambda + v²/2 − logzeta) unanchored (logzeta is stale
+    within the inner loop) and the gradient goes Inf→NaN.  Clamping the
+    exponent below the dtype's overflow point (with headroom for the
+    C-scaling) is the reference's finite() hygiene (utils.jl) applied
+    BEFORE the Inf exists: identical in any sane regime (the clamp only
+    binds past e^60 / e^600), huge-but-finite above it, so the Hessian
+    stays SPD-finite and the Newton contracts lambda back."""
+    hi = jnp.asarray(60.0 if x.dtype == jnp.float32 else 600.0, x.dtype)
+    return jnp.exp(jnp.minimum(x, hi))
+
+
 def _backtrack_rho(x: jax.Array, p: jax.Array, strict: bool) -> jax.Array:
     """Largest ρ = 2^-m with x − ρ·p > 0 (strict) or ≥ 0, elementwise.
 
@@ -229,7 +245,7 @@ def ctm_lambda_newton(
 
     def body(carry):
         i, lam, act, prev_norm = carry
-        expo = jnp.exp(lam + 0.5 * vsq - logzeta[:, None]) * C[:, None]  # [B, K]
+        expo = _exp_safe(lam + 0.5 * vsq - logzeta[:, None]) * C[:, None]  # [B, K]
         grad = (mu - lam) @ invsigma + phi_counts - expo
         # neg hessian: invsigma + diag(expo) (SPD — utils.jl:56-58);
         # solved matrix-free: the matvec is one [B,K]@[K,K] MXU matmul
@@ -273,7 +289,7 @@ def ctm_vsq_newton(
 
     def body(carry):
         i, vsq, act, prev_norm = carry
-        e = C[:, None] * jnp.exp(lam + 0.5 * vsq - logzeta[:, None])
+        e = C[:, None] * _exp_safe(lam + 0.5 * vsq - logzeta[:, None])
         grad = -0.5 * (invsigma_diag[None, :] + e - 1.0 / vsq)
         invhess = -1.0 / (0.25 * e + 0.5 / vsq**2)
         p = invhess * grad

@@ -87,6 +87,9 @@ def state_violations(model) -> list:
     elif isinstance(model, (CTM, fCTM)):        # modelutils.jl:108-178
         c.finite("mu", s.mu)
         c.finite("sigma", s.sigma)
+        # the reference's own todo.txt:7 admits check_model never
+        # requires sigma/invsigma finite; close that gap here
+        c.finite("invsigma", s.invsigma)
         c.stochastic("beta", s.beta, axis=1)
         c.finite("lambda", s.lam)
         c.positive("vsq", s.vsq)
