@@ -58,3 +58,23 @@ def test_fctm_shard_equivalence(tiny_corpus):
     np.testing.assert_allclose(m1.beta, m8.beta, rtol=1e-8)
     np.testing.assert_allclose(m1.kappa, m8.kappa, rtol=1e-8)
     np.testing.assert_allclose(m1.elbo, m8.elbo, rtol=1e-8)
+
+
+def test_fctm_identify_gauge_fix(tiny_corpus):
+    """identify=True (CTM's projection normalisation, reference
+    todo.txt:25) must keep mu sum-zero, sigma's 1-direction variance
+    pinned at 1/K·1ᵀσ1 = 1, and the run valid/finite."""
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+    from topicmodelsvb_jl_tpu.validate import check_model
+
+    mesh = make_mesh(n_devices=1)
+    rt = RuntimeConfig(chunk_docs=8, dtype="float64", pad_multiple=8)
+    m = fCTM(tiny_corpus, 3, runtime=rt, mesh=mesh, seed=3, identify=True)
+    m.train(iter=10, checkelbo=2, niter=30, printelbo=False, tol=0.0)
+    assert np.isfinite(m.elbo)
+    mu = np.asarray(m.state.mu)
+    assert abs(mu.sum()) < 1e-10
+    sig = np.asarray(m.state.sigma)
+    one = np.ones(3) / np.sqrt(3.0)
+    np.testing.assert_allclose(one @ sig @ one, 1.0, rtol=1e-10)
+    check_model(m)

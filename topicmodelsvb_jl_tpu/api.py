@@ -644,11 +644,27 @@ class HMTM(TopicModel):
 
 
 class CTM(TopicModel):
-    """Correlated topic model (reference src/CTM.jl, src/gpuCTM.jl)."""
+    """Correlated topic model (reference src/CTM.jl, src/gpuCTM.jl).
+
+    ``identify=True`` opts into the projection normalisation the
+    reference's todo.txt:25 / issue #14 propose for the long-run
+    topic-dimension degeneracy (the logistic-normal's K−1 dof let one
+    coordinate gauge-fix itself to a deterministic level, collapsing a
+    sigma eigenvalue ~1/iter); see models/ctm.py make_step.  Default
+    OFF — the exact reference semantics."""
 
     _bucketed = True
     _per_doc_fields = ("lam", "lam_old", "vsq", "logzeta")
     _preferred_chunk = 2048
+
+    def __init__(self, corp, K, runtime=None, mesh=None, seed: int = 0,
+                 identify: bool = False):
+        self.identify = bool(identify)
+        super().__init__(corp, K, runtime=runtime, mesh=mesh, seed=seed)
+
+    def _ctor_kwargs(self):
+        # ride the checkpoint so a resumed run keeps the same gauge
+        return {"identify": True} if self.identify else {}
 
     def __repr__(self):
         return f"Correlated topic model with {self.K} topics."
@@ -673,6 +689,7 @@ class CTM(TopicModel):
             ntol=cfg.ntol, chunk_docs=self.chunk_docs,
             axis_name=self.runtime.data_axis,
             use_pallas=None if self.runtime.use_pallas else False,
+            identify=self.identify,
         )
         elbo_local = ctm_mod.make_elbo(
             p, self.K, chunk_docs=self.chunk_docs,
@@ -728,11 +745,22 @@ class CTM(TopicModel):
 
 
 class fCTM(TopicModel):
-    """Filtered correlated topic model (reference src/fCTM.jl)."""
+    """Filtered correlated topic model (reference src/fCTM.jl).
+
+    ``identify=True`` gauge-fixes the Gaussian channel like CTM's
+    (see CTM's docstring; reference todo.txt:25 / issue #14)."""
 
     _bucketed = True
     _per_doc_fields = ("lam", "lam_old", "vsq", "logzeta", "tau", "tau_old")
     _preferred_chunk = 2048
+
+    def __init__(self, corp, K, runtime=None, mesh=None, seed: int = 0,
+                 identify: bool = False):
+        self.identify = bool(identify)
+        super().__init__(corp, K, runtime=runtime, mesh=mesh, seed=seed)
+
+    def _ctor_kwargs(self):
+        return {"identify": True} if self.identify else {}
 
     def __repr__(self):
         return f"Filtered correlated topic model with {self.K} topics."
@@ -753,6 +781,7 @@ class fCTM(TopicModel):
             p, self.K, viter=cfg.viter, vtol=cfg.vtol, niter=cfg.niter,
             ntol=cfg.ntol, chunk_docs=self.chunk_docs,
             axis_name=self.runtime.data_axis,
+            identify=self.identify,
         )
         elbo_local = fctm_mod.make_elbo(
             p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis

@@ -139,7 +139,8 @@ def _estep_chunk(logbetaT, mu, invsigma, terms, counts, doc_mask,
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
-              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
+              identify: bool = False):
     """One CAVI sweep.  ``vocab_axis`` shards beta *storage* over that
     mesh axis exactly like LDA's TP mode (models/lda.py): all_gather in,
     reduce_scatter + replicated row-sum psum out; include the vocab axis
@@ -151,7 +152,21 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     (kernels/ctm_estep.py); ``None`` means auto, which resolves to OFF:
     the kernel measured 5.5× SLOWER than the XLA body at NSF scale
     (see its module docstring for the analysis); it remains available
-    explicitly for experimentation."""
+    explicitly for experimentation.
+
+    ``identify=True`` applies the projection normalisation the
+    reference's todo.txt:25 / issue #14 propose but never implemented:
+    the logistic-normal has K−1 degrees of freedom (softmax only sees
+    λ_i − λ_j), so plain CAVI gauge-fixes ITSELF — one coordinate's λ
+    contracts to a deterministic reference level (measured here: its
+    σ eigenvalue decays ~1/iter without bound, σ's condition number
+    1.6e4 → 5.7e5 over 100→1000 iterations on a planted K=4 corpus)
+    until invσ is numerically singular.  The projection pins the gauge
+    explicitly each M-step: μ ← Pμ and σ ← PσP + 11ᵀ/K with
+    P = I − 11ᵀ/K (unit variance, mean zero along the unidentified
+    1-direction), which bounds uᵀσu ≥ (uᵀ1)²/K so σ can never go
+    singular through the gauge channel.  Default OFF: the unprojected
+    update is the reference's exact semantics (oracle parity)."""
     V = packed.V
     seg_starts = seg_loc_starts(packed)
     if use_pallas is None:
@@ -293,10 +308,17 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         )
         sigma = (jnp.diag(vsq_sum) + centered) / M_total
         sigma = 0.5 * (sigma + sigma.T)
-        invsigma = jnp.linalg.inv(sigma)
-        invsigma = 0.5 * (invsigma + invsigma.T)
         # update_mu! (CTM.jl:102-104)
         mu_new = lam_sum / M_total
+        if identify:
+            dt = sigma.dtype
+            ones_K = jnp.full((K, K), 1.0 / K, dt)      # 11ᵀ/K
+            Pg = jnp.eye(K, dtype=dt) - ones_K          # sum-zero projector
+            sigma = Pg @ sigma @ Pg + ones_K
+            sigma = 0.5 * (sigma + sigma.T)
+            mu_new = mu_new - jnp.mean(mu_new)
+        invsigma = jnp.linalg.inv(sigma)
+        invsigma = 0.5 * (invsigma + invsigma.T)
 
         return CTMState(
             mu=mu_new, sigma=sigma, invsigma=invsigma,

@@ -138,10 +138,13 @@ def _estep_chunk(logbetaT, kappa_full, eta, mu, invsigma, terms, counts,
 
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
-              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
+              identify: bool = False):
     """``vocab_axis`` shards beta [K, V] and kappa [V] storage (TP);
     ``seq_axis`` shards the token axis + tau (SP analogue, dense packing
-    only)."""
+    only).  ``identify=True`` gauge-fixes the Gaussian channel exactly
+    like CTM's (models/ctm.py make_step docstring; reference
+    todo.txt:25 / issue #14)."""
     V = packed.V
     seg_starts = seg_loc_starts(packed)
     if seq_axis is not None:
@@ -239,9 +242,16 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         )
         sigma = (jnp.diag(vsq_sum) + centered) / M_total   # fCTM.jl:140-143
         sigma = 0.5 * (sigma + sigma.T)
+        mu_new = lam_sum / M_total                          # fCTM.jl:134-136
+        if identify:
+            dt = sigma.dtype
+            ones_K = jnp.full((K, K), 1.0 / K, dt)
+            Pg = jnp.eye(K, dtype=dt) - ones_K
+            sigma = Pg @ sigma @ Pg + ones_K
+            sigma = 0.5 * (sigma + sigma.T)
+            mu_new = mu_new - jnp.mean(mu_new)
         invsigma = jnp.linalg.inv(sigma)
         invsigma = 0.5 * (invsigma + invsigma.T)
-        mu_new = lam_sum / M_total                          # fCTM.jl:134-136
         # update_eta! deliberately NOT run (fCTM.jl:267)
 
         return FCTMState(

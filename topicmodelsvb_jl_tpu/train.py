@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkelbo", default="1",
                    help="positive integer cadence or 'inf'")
     t.add_argument("--quiet", action="store_true", help="printelbo=false")
+    t.add_argument("--identify", action="store_true",
+                   help="ctm/fctm: gauge-fix the logistic-normal "
+                        "(projection normalisation of reference "
+                        "todo.txt:25 / issue #14)")
     t.add_argument("--delta", type=float, default=1.0,
                    help="DTM time-slice width")
 
@@ -251,6 +255,11 @@ def run(argv=None) -> dict:
                    seed=0 if args.seed is None else args.seed)
     if args.model == "dtm":
         ctor_kw["delta"] = args.delta
+    if args.identify:
+        if args.model not in ("ctm", "fctm"):
+            raise SystemExit("--identify only applies to ctm/fctm "
+                             "(the logistic-normal gauge fix)")
+        ctor_kw["identify"] = True
     model = cls(corp, args.k, **ctor_kw)
 
     checkelbo = float("inf") if str(args.checkelbo).lower() in ("inf", "none") \
