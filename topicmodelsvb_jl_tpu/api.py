@@ -739,6 +739,10 @@ class CTM(TopicModel):
         return np.asarray(self.state.logzeta)[self._doc_rows()]
 
     def _topicdist_rows(self, rows: np.ndarray) -> np.ndarray:
+        # E[exp x_i]/Σ E[exp x_j] under the mean-field Gaussian — a
+        # (very good) moment approximation to E[exp x_i / Σ exp x_j],
+        # exactly the reference's (modelutils.jl:957-960; its own
+        # todo.txt:24 documents the approximation)
         x = np.asarray(self.state.lam)[rows] + 0.5 * np.asarray(self.state.vsq)[rows]
         e = np.exp(x - x.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
