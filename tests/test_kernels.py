@@ -148,56 +148,6 @@ def test_ctpf_estep_kernel_matches_xla():
             rtol=2e-2, atol=1e-5, err_msg=f"{f} diverged")
 
 
-@pytest.mark.parametrize("K", [7, 16])
-def test_ctm_estep_kernel_matches_xla(K):
-    """The fused fixpoint kernel (both Newtons + CG in-kernel) must track
-    the XLA body (models/ctm.py + ops/newton.py) to f32 tolerance."""
-    from topicmodelsvb_jl_tpu.models import ctm as ctm_mod
-
-    packed = _small_packed()
-    state = ctm_mod.init(jax.random.PRNGKey(2), packed, K, jnp.float32)
-    data = (
-        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
-        jnp.asarray(packed.doc_mask),
-        jnp.asarray(float(packed.M), jnp.float32),
-    )
-    kw = dict(viter=4, vtol=1.0 / K**2, niter=30, ntol=1.0 / K**2,
-              chunk_docs=16, axis_name=None)
-    step_x = jax.jit(ctm_mod.make_step(packed, K, use_pallas=False, **kw))
-    step_p = jax.jit(ctm_mod.make_step(packed, K, use_pallas=True,
-                                       pallas_interpret=True, **kw))
-    sx, sp = state, state
-    for _ in range(3):
-        sx = step_x(sx, *data)
-        sp = step_p(sp, *data)
-    for f in ("beta", "mu", "sigma", "lam", "vsq", "logzeta"):
-        np.testing.assert_allclose(
-            np.asarray(getattr(sx, f)), np.asarray(getattr(sp, f)),
-            rtol=5e-3, atol=1e-4, err_msg=f"{f} diverged")
-
-
-def test_ctm_estep_kernel_padded_docs_frozen():
-    from topicmodelsvb_jl_tpu.models import ctm as ctm_mod
-
-    K = 8
-    packed = _small_packed()
-    state = ctm_mod.init(jax.random.PRNGKey(2), packed, K, jnp.float32)
-    data = (
-        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
-        jnp.asarray(packed.doc_mask),
-        jnp.asarray(float(packed.M), jnp.float32),
-    )
-    step_p = jax.jit(ctm_mod.make_step(
-        packed, K, viter=3, vtol=1e-6, niter=20, ntol=1e-4,
-        chunk_docs=16, axis_name=None, use_pallas=True,
-        pallas_interpret=True))
-    s = step_p(state, *data)
-    np.testing.assert_array_equal(np.asarray(s.lam)[-3:],
-                                  np.asarray(state.lam)[-3:])
-    np.testing.assert_array_equal(np.asarray(s.vsq)[-3:],
-                                  np.asarray(state.vsq)[-3:])
-
-
 def test_alog_bits_matches_log():
     """The bitcast-based in-kernel log must be sub-ULP-accurate for the
     positive normals the ELBO kernel feeds it."""
@@ -262,27 +212,3 @@ def test_ctm_elbo_kernel_matches_xla(K):
     assert abs(a - b) / abs(a) < 1e-5, (a, b)
 
 
-def test_flda_elbo_kernel_matches_xla():
-    """The fused fLDA ELBO kernel (in-kernel softmax over tau·logβ + Elo,
-    lse-identity entropy, κ pad lane) must agree with the XLA pass."""
-    from topicmodelsvb_jl_tpu.models import flda as flda_mod
-
-    K = 7
-    packed = _small_packed()
-    state = flda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
-    data = (
-        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
-        jnp.asarray(packed.doc_mask), jnp.asarray(float(packed.M), jnp.float32),
-        jnp.asarray(float(packed.counts.sum()), jnp.float32),
-    )
-    step = jax.jit(flda_mod.make_step(
-        packed, K, viter=4, vtol=1.0 / K**2, niter=20, ntol=1.0 / K**2,
-        chunk_docs=16, axis_name=None, use_pallas=False))
-    for _ in range(2):
-        state = step(state, *data)
-    ex = jax.jit(flda_mod.make_elbo(packed, K, chunk_docs=16, use_pallas=False))
-    ep = jax.jit(flda_mod.make_elbo(packed, K, chunk_docs=16, use_pallas=True,
-                                    pallas_interpret=True))
-    a = elbo_value(ex(state, *data[:3]))
-    b = elbo_value(ep(state, *data[:3]))
-    assert abs(a - b) / abs(a) < 1e-5, (a, b)

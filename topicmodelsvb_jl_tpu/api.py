@@ -520,6 +520,7 @@ class LDA(TopicModel):
             ntol=cfg.ntol, chunk_docs=self.chunk_docs,
             axis_name=self.runtime.data_axis,
             use_pallas=None if self.runtime.use_pallas else False,
+            elogtheta_f64=self.runtime.elogtheta_f64,
         )
         elbo_local = lda_mod.make_elbo(
             p, self.K, chunk_docs=self.chunk_docs,
@@ -874,6 +875,7 @@ class fLDA(TopicModel):
             ntol=cfg.ntol, chunk_docs=self.chunk_docs,
             axis_name=self.runtime.data_axis,
             use_pallas=None if self.runtime.use_pallas else False,
+            elogtheta_f64=self.runtime.elogtheta_f64,
         )
         elbo_local = flda_mod.make_elbo(
             p, self.K, chunk_docs=self.chunk_docs, axis_name=self.runtime.data_axis

@@ -28,7 +28,7 @@ from ..ops.newton import ctm_lambda_newton, ctm_vsq_newton
 from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, aexp, alog, asoftmax, categorical_entropy, kbn_add,
+    EPSILON, aexp, alog, asoftmax, categorical_entropy, dirichlet_ones, kbn_add,
     kbn_merge, kbn_pack, kbn_psum, kbn_zero, l2norm, logsumexp,
     masked_fixpoint, mvnormal_diag_entropy,
 )
@@ -50,7 +50,7 @@ class CTMState(NamedTuple):
 def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> CTMState:
     """Constructor state (reference CTM.jl:27-52)."""
     M_pad, V = packed.M_pad, packed.V
-    beta = jax.random.dirichlet(key, jnp.ones((V,), jnp.float32), shape=(K,)).astype(dtype)
+    beta = dirichlet_ones(key, V, (K,)).astype(dtype)
     eye = jnp.eye(K, dtype=dtype)
     return CTMState(
         mu=jnp.zeros((K,), dtype), sigma=eye, invsigma=eye,
@@ -148,11 +148,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     every document's token axis (SP analogue); incompatible with
     bucketed packing, like models/lda.py.
 
-    ``use_pallas`` selects the fused Pallas fixpoint kernel
-    (kernels/ctm_estep.py); ``None`` means auto, which resolves to OFF:
-    the kernel measured 5.5× SLOWER than the XLA body at NSF scale
-    (see its module docstring for the analysis); it remains available
-    explicitly for experimentation.
+    ``use_pallas``/``pallas_interpret`` are accepted for signature
+    uniformity with the other families and ignored: the fused CTM
+    fixpoint kernel measured 5.5× SLOWER than the XLA body at NSF
+    scale and was retired after its sunset date (full analysis
+    preserved in ROADMAP.md "fused CTM fixpoint kernel").  The XLA
+    body (batched ``lax.while_loop`` Newtons + PCG solve) is the
+    production path.
 
     ``identify=True`` applies the projection normalisation the
     reference's todo.txt:25 / issue #14 propose but never implemented:
@@ -167,15 +169,11 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     1-direction), which bounds uᵀσu ≥ (uᵀ1)²/K so σ can never go
     singular through the gauge channel.  Default OFF: the unprojected
     update is the reference's exact semantics (oracle parity)."""
+    del use_pallas, pallas_interpret  # retired experimental path (ROADMAP.md)
     V = packed.V
     seg_starts = seg_loc_starts(packed)
-    if use_pallas is None:
-        use_pallas = False   # measured slower (kernels/ctm_estep.py)
     if seq_axis is not None:
-        use_pallas = False
         assert seg_starts is None, "token-axis sharding requires dense packing"
-    from .lda import _round_up_128
-    Kp = _round_up_128(K)
 
     def step(state: CTMState, terms, counts, doc_mask, M_total):
         dt = state.beta.dtype
@@ -196,59 +194,11 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             )
             return (bt + bti, vs + vsi, ls + lsi, lo + loi), (la2, lao2, v2, lz2)
 
-        if use_pallas:
-            from ..kernels.ctm_estep import ctm_estep
-
-            # pad-topic lanes −1e30 so in-kernel softmaxes ignore them
-            logbetaT_p = jnp.pad(logbetaT, ((0, 0), (0, Kp - K)),
-                                 constant_values=-1e30)
-            mu_p = jnp.pad(state.mu, (0, Kp - K))
-            isd_p = jnp.pad(jnp.diagonal(state.invsigma), (0, Kp - K),
-                            constant_values=1.0)
-            # identity on the pad block keeps x@invsigma exact on real
-            # lanes and gradients 0 on pad lanes
-            inv_p = jnp.pad(state.invsigma, ((0, Kp - K), (0, Kp - K)))
-            if Kp > K:
-                padeye = jnp.concatenate(
-                    [jnp.zeros((K,), dt), jnp.ones((Kp - K,), dt)])
-                inv_p = inv_p + jnp.diag(padeye)
-            padk = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)))
-            padk1 = lambda a: jnp.pad(a, ((0, 0), (0, Kp - K)),
-                                      constant_values=1.0)
-
-            def scan_body_pallas(carry, xs):
-                bt, vs, ls, lo = carry
-                t, c, dm, la, lao, v, lz = xs
-                # zero-count slots masked to 0 on ALL lanes (uniform
-                # softmax there; every use is count-weighted — exact)
-                lb = jnp.where(c[..., None] > 0, logbetaT_p[t], 0.0)
-                la2, lao2, v2, lz2, w = ctm_estep(
-                    lb, c, dm, mu_p, inv_p, isd_p,
-                    padk(la), padk(lao), padk1(v), lz,
-                    viter=viter, vtol=vtol, niter=niter, ntol=ntol,
-                    n_topics=K, interpret=pallas_interpret,
-                )
-                la2, lao2, v2 = la2[:, :K], lao2[:, :K], v2[:, :K]
-                lz2 = lz2[:, 0]
-                bti = count_scatter(w[..., :K].reshape(-1, K),
-                                    t.reshape(-1), V)
-                dmc = dm[:, None]
-                vsi = jnp.sum(v2 * dmc, axis=0)
-                lsi = jnp.sum(la2 * dmc, axis=0)
-                loi = jnp.einsum("bi,bj->ij", la2 * dmc, la2)
-                return (bt + bti, vs + vsi, ls + lsi, lo + loi), \
-                    (la2, lao2, v2, lz2)
-
         def sweep(t_arr, c_arr, dm_arr, la_a, lao_a, v_a, lz_a, carry):
             n_rows = t_arr.shape[0]
             B = min(chunk_docs, n_rows)
             n_chunks = n_rows // B
-            from ..kernels.lda_estep import fits_vmem
-
-            body = (scan_body_pallas
-                    if use_pallas and B % 8 == 0
-                    and fits_vmem(t_arr.shape[1], Kp)
-                    else scan_body_xla)
+            body = scan_body_xla
             sh = lambda a: a.reshape((n_chunks, B) + a.shape[1:])
             carry, ys = jax.lax.scan(
                 body, carry,

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    aexp, alog, asoftmax, digamma, gamma_entropy, kbn_add, kbn_merge,
+    aexp, alog, asoftmax, digamma, dirichlet_ones, gamma_entropy, kbn_add, kbn_merge,
     kbn_pack, kbn_psum, kbn_zero, l2norm, lgamma, masked_fixpoint,
 )
 
@@ -69,7 +69,7 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> CTPFState:
     M_pad, V = packed.M_pad, packed.V
     U_seg = max(packed.U, 1)
     alef = jnp.exp(
-        jax.random.dirichlet(key, jnp.ones((V,), jnp.float32), shape=(K,)) - 0.5
+        dirichlet_ones(key, V, (K,)) - 0.5
     ).astype(dtype)
     ones_k = jnp.ones((K,), dtype)
     return CTPFState(

@@ -23,7 +23,7 @@ from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, aexp, alog, asoftmax, bernoulli_entropy, categorical_entropy,
-    kbn_add, kbn_merge, kbn_pack, kbn_psum, kbn_zero, l2norm,
+    dirichlet_ones, kbn_add, kbn_merge, kbn_pack, kbn_psum, kbn_zero, l2norm,
     logsumexp, masked_fixpoint, mvnormal_diag_entropy,
 )
 
@@ -50,8 +50,8 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FCTMState:
     """Constructor state (reference fCTM.jl:33-64)."""
     M_pad, V, L = packed.M_pad, packed.V, packed.L
     k_beta, k_kappa = jax.random.split(key)
-    beta = jax.random.dirichlet(k_beta, jnp.ones((V,), jnp.float32), shape=(K,)).astype(dtype)
-    kappa = jax.random.dirichlet(k_kappa, jnp.ones((V,), jnp.float32)).astype(dtype)
+    beta = dirichlet_ones(k_beta, V, (K,)).astype(dtype)
+    kappa = dirichlet_ones(k_kappa, V).astype(dtype)
     eye = jnp.eye(K, dtype=dtype)
     eta = jnp.asarray(0.5, dtype)
     tau = jnp.full((M_pad, L), eta, dtype)

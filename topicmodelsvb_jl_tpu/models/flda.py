@@ -27,7 +27,7 @@ from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
     EPSILON, alog, asoftmax, bernoulli_entropy, categorical_entropy,
-    digamma, dirichlet_entropy, finite, kbn_add, kbn_merge, kbn_pack,
+    digamma, dirichlet_entropy, dirichlet_ones, finite, kbn_add, kbn_merge, kbn_pack,
     kbn_psum, kbn_zero, kbn_zeros, l2norm, lgamma, masked_fixpoint,
 )
 
@@ -51,8 +51,8 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> FLDAState:
     """Constructor state (reference fLDA.jl:30-58)."""
     M_pad, V, L = packed.M_pad, packed.V, packed.L
     k_beta, k_kappa = jax.random.split(key)
-    beta = jax.random.dirichlet(k_beta, jnp.ones((V,), jnp.float32), shape=(K,)).astype(dtype)
-    kappa = jax.random.dirichlet(k_kappa, jnp.ones((V,), jnp.float32)).astype(dtype)
+    beta = dirichlet_ones(k_beta, V, (K,)).astype(dtype)
+    kappa = dirichlet_ones(k_kappa, V).astype(dtype)
     eta = jnp.asarray(0.5, dtype)
     # ψ(K) = −γ + H_{K−1} ⇒ el0 = −H_{K−1} (host-side, no device fetch)
     el0 = -sum(1.0 / i for i in range(1, K))
@@ -73,7 +73,7 @@ def _phi(logbeta_d, tau, El, softmax=jax.nn.softmax):
 
 def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
                  gamma, El, El_old, tau, tau_old, viter, vtol, V,
-                 seq_axis=None):
+                 seq_axis=None, elogtheta_f64: bool = False):
     """With ``seq_axis`` each document's token axis is sharded over that
     mesh axis (SP analogue, SURVEY §5.7b): tau/phi rows live shard-local
     and every per-doc token reduction becomes a psum over the shards."""
@@ -101,8 +101,15 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
         if seq_axis is not None:
             pc = jax.lax.psum(pc, seq_axis)
         gamma_new = alpha[None, :] + pc + eps
-        # update_Elogtheta! (fLDA.jl:181-184)
-        El_new = digamma(gamma_new) - digamma(jnp.sum(gamma_new, -1, keepdims=True))
+        # update_Elogtheta! (fLDA.jl:181-184); f64 digamma channel on
+        # the [B, K] tile when requested (see models/lda.py)
+        if elogtheta_f64:
+            g64 = gamma_new.astype(jnp.float64)
+            El_new = (digamma(g64)
+                      - digamma(jnp.sum(g64, -1, keepdims=True))
+                      ).astype(gamma.dtype)
+        else:
+            El_new = digamma(gamma_new) - digamma(jnp.sum(gamma_new, -1, keepdims=True))
         upd = active[:, None]
         gamma2 = jnp.where(upd, gamma_new, gamma)
         tau_old2 = jnp.where(upd, tau, tau_old)
@@ -136,7 +143,8 @@ def _estep_chunk(logbetaT, kappa_full, eta, alpha, terms, counts, doc_mask,
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
-              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
+              elogtheta_f64: bool = False):
     """``vocab_axis`` shards beta [K, V] and kappa [V] storage (TP, like
     models/lda.py): all_gather in, reduce_scatter + psum'd sums out.
     ``seq_axis`` shards every document's token axis (and the tau state)
@@ -148,6 +156,11 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         # the kernel pads the topic axis to 128 lanes; below K=64 the
         # padding waste outweighs the fused fixpoint's IO win
         use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
+    if elogtheta_f64:
+        use_pallas = False   # the kernel's in-kernel digamma series is f32
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "elogtheta_f64 requires jax_enable_x64 (see models/lda.py)")
     if seq_axis is not None:
         use_pallas = False
         assert seg_starts is None, "token-axis sharding requires dense packing"
@@ -219,7 +232,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             g2, el2, elo2, ta2, tao2, bti, kti, esi, tci = _estep_chunk(
                 logbetaT, kappa_full_v, state.eta, state.alpha,
                 t, c, dm, g, el, elo, ta, tao, viter, vtol, V,
-                seq_axis=seq_axis,
+                seq_axis=seq_axis, elogtheta_f64=elogtheta_f64,
             )
             return (bt + bti, kt + kti, kbn_add(es, esi), tc + tci), (g2, el2, elo2, ta2, tao2)
 
@@ -312,20 +325,15 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
     """ELBO with the reference's *_old recompute semantics (fLDA.jl:109-118).
 
-    ``use_pallas`` routes the token-level terms through the fused kernel
-    (kernels/flda_elbo.py); doc-level terms (Elogptheta, Elogpc, the
-    Dirichlet/Bernoulli entropies) stay in XLA."""
+    ``use_pallas``/``pallas_interpret`` are accepted for signature
+    uniformity and ignored: the fused fLDA ELBO kernel measured exact
+    PARITY with this XLA pass (both are transcendental-bound through
+    the tau exponent) and was retired after its sunset date (analysis
+    preserved in ROADMAP.md)."""
+    del use_pallas, pallas_interpret  # retired experimental path (ROADMAP.md)
     V = packed.V
 
-    Kp = ((K + 127) // 128) * 128
     seg_starts = seg_loc_starts(packed)
-    if use_pallas is None:
-        # measured PARITY with the XLA pass (kernels/flda_elbo.py
-        # docstring) — the tau exponent makes both transcendental-bound,
-        # so the kernel stays an explicitly-requested experimental path
-        use_pallas = False
-    if seq_axis is not None or K == Kp:
-        use_pallas = False
     if seq_axis is not None:
         assert seg_starts is None, "token-axis sharding requires dense packing"
 
@@ -351,35 +359,6 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         # (logbeta_old, logbeta, logkappa) pay their per-row cost once
         log_tabT = jnp.concatenate(
             [logbeta_oldT, logbetaT, logkappa[:, None]], axis=1)
-
-        if use_pallas:
-            from ..kernels.flda_elbo import flda_elbo_tok
-
-            # lane layout: [logβo (κ in pad lane K) | logβc], width 2Kp
-            padt = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
-            lbo_p = padt(logbeta_oldT).at[:, K].set(logkappa)
-            tabT = jnp.concatenate([lbo_p, padt(logbetaT)], axis=1)
-            padel = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)),
-                                      constant_values=-1e30)
-            padk = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
-
-            def scan_body_pallas(acc, xs):
-                acc_doc, acc_tok = acc
-                t, c, dm, g, el, elo, ta, tao = xs
-                tok = flda_elbo_tok(tabT[t], c, ta, tao, dm,
-                                    padk(el), padel(elo), kappa_lane=K,
-                                    interpret=pallas_interpret)
-                C_d = jnp.sum(c, -1)
-                tau_c = jnp.sum(ta * c, -1)
-                e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
-                sc = tau_c * alog(eta + eps) \
-                    + (C_d - tau_c) * alog(1.0 - eta + eps)
-                e_pc = jnp.logaddexp(sc, log_eps)
-                e_qtheta = dirichlet_entropy(g)
-                e_qc = jnp.sum(bernoulli_entropy(ta) * c, axis=-1)
-                acc_doc = kbn_add(acc_doc, jnp.sum(
-                    dm * (e_ptheta + e_pc + e_qtheta + e_qc)))
-                return (acc_doc, kbn_add(acc_tok, tok)), None
 
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
@@ -424,13 +403,7 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             n_rows = t_a.shape[0]
             B = min(chunk_docs, n_rows)
             n_chunks = n_rows // B
-            from ..kernels.flda_elbo import fits_vmem as elbo_fits
-
-            body = (scan_body_pallas
-                    if use_pallas and B % 8 == 0
-                    and dt == jnp.float32
-                    and elbo_fits(t_a.shape[1], Kp)
-                    else scan_body)
+            body = scan_body
             sh = lambda x: x.reshape((n_chunks, B) + x.shape[1:])
             acc, _ = jax.lax.scan(
                 body, acc,

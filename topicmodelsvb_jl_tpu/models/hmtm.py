@@ -71,7 +71,7 @@ from ..ops.newton import dirichlet_newton
 from ..ops.packing import seg_loc_starts
 from ..ops.segment import count_scatter
 from ..utils.numerics import (
-    EPSILON, aexp, alog, digamma, dirichlet_entropy, kbn_add, kbn_pack,
+    EPSILON, aexp, alog, digamma, dirichlet_entropy, dirichlet_ones, kbn_add, kbn_pack,
     kbn_psum, kbn_zero, kbn_zeros, l2norm, lgamma, masked_fixpoint,
 )
 
@@ -102,7 +102,7 @@ def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> HMTMState:
     """Constructor state (reference HMTM.jl:26-32)."""
     check_order_preserving(packed)
     M_pad, V = packed.M_pad, packed.V
-    beta = jax.random.dirichlet(key, jnp.ones((V,), dtype=jnp.float32), shape=(K,))
+    beta = dirichlet_ones(key, V, (K,))
     return HMTMState(
         eta=jnp.ones((K,), dtype),
         alpha=jnp.ones((K, K), dtype),

@@ -33,10 +33,10 @@ import numpy as np
 
 from ..ops.newton import dirichlet_newton
 from ..ops.packing import seg_loc_starts
-from ..ops.segment import count_scatter
+from ..ops.segment import count_scatter, count_scatter_into
 from ..utils.numerics import (
     EPSILON, alog, asoftmax, categorical_entropy, digamma,
-    dirichlet_entropy, finite, kbn_add, kbn_merge, kbn_pack,
+    dirichlet_entropy, dirichlet_ones, finite, kbn_add, kbn_merge, kbn_pack,
     kbn_psum, kbn_zero, kbn_zeros, l2norm, lgamma, masked_fixpoint,
 )
 
@@ -54,7 +54,7 @@ class LDAState(NamedTuple):
 def init(key: jax.Array, packed, K: int, dtype=jnp.float32) -> LDAState:
     """Constructor state (reference LDA.jl:24-47)."""
     M_pad, V = packed.M_pad, packed.V
-    beta = jax.random.dirichlet(key, jnp.ones((V,), dtype=jnp.float32), shape=(K,))
+    beta = dirichlet_ones(key, V, (K,))
     beta = beta.astype(dtype)
     # Elogtheta init: −γ_euler − ψ(K) (LDA.jl:38)
     # ψ(K) = −γ + H_{K−1} for integer K ⇒ el0 = −γ − ψ(K) = −H_{K−1};
@@ -103,6 +103,8 @@ def _estep_chunk(
     vtol: float,
     V: int,
     seq_axis=None,
+    beta_acc=None,
+    elogtheta_f64: bool = False,
 ):
     """Fused per-chunk E-step: viter fixpoint + sufficient statistics.
 
@@ -128,8 +130,17 @@ def _estep_chunk(
         if seq_axis is not None:
             pc = jax.lax.psum(pc, seq_axis)
         gamma_new = alpha[None, :] + pc + eps
-        # update_Elogtheta! (LDA.jl:136-139)
-        El_new = digamma(gamma_new) - digamma(jnp.sum(gamma_new, -1, keepdims=True))
+        # update_Elogtheta! (LDA.jl:136-139).  With elogtheta_f64 the
+        # digamma channel runs in f64 on the tiny [B, K] tile and casts
+        # back — the last attributed f32 training-noise lever
+        # (RESULTS.md "tol=1.0 semantics", round 5)
+        if elogtheta_f64:
+            g64 = gamma_new.astype(jnp.float64)
+            El_new = (digamma(g64)
+                      - digamma(jnp.sum(g64, -1, keepdims=True))
+                      ).astype(gamma.dtype)
+        else:
+            El_new = digamma(gamma_new) - digamma(jnp.sum(gamma_new, -1, keepdims=True))
         upd = active[:, None]
         gamma2 = jnp.where(upd, gamma_new, gamma)
         El_old2 = jnp.where(upd, El, El_old)
@@ -145,7 +156,14 @@ def _estep_chunk(
     # phi held when the doc's fixpoint stopped (same identity as LDA.jl:87).
     p = _phi(logbeta_d, El_old)
     w = p * counts[..., None]                      # [B, L, K]; padding has count 0
-    beta_temp = count_scatter(w.reshape(-1, w.shape[-1]), terms.reshape(-1), V)
+    if beta_acc is None:
+        beta_temp = count_scatter(w.reshape(-1, w.shape[-1]), terms.reshape(-1), V)
+    else:
+        # scatter straight onto the scan carry (aliased in place by XLA)
+        # instead of materialising a fresh [V, K] per chunk — the large-V
+        # step cost lever (ops/segment.py:count_scatter_into)
+        beta_temp = count_scatter_into(beta_acc, w.reshape(-1, w.shape[-1]),
+                                       terms.reshape(-1))
     El_sum = jnp.sum(El * doc_mask[:, None], axis=0)
     return gamma, El, El_old, beta_temp, El_sum
 
@@ -153,7 +171,8 @@ def _estep_chunk(
 def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
-              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None):
+              vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
+              elogtheta_f64: bool = False):
     """Build the jittable outer-iteration step (one full CAVI sweep).
 
     Local docs are scanned in chunks of ``chunk_docs``; beta_temp /
@@ -183,6 +202,13 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         # the kernel pads the topic axis to 128 lanes; below K=64 the
         # padding waste outweighs the fused fixpoint's IO win
         use_pallas = jax.default_backend() not in ("cpu",) and K >= 64
+    if elogtheta_f64:
+        use_pallas = False   # the kernel's in-kernel digamma series is f32
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "elogtheta_f64 requires jax_enable_x64 (set JAX_ENABLE_X64=1 "
+                "or jax.config.update('jax_enable_x64', True)); without it "
+                "the f64 promotion would silently stay f32.")
     if seq_axis is not None:
         use_pallas = False
         assert seg_starts is None, "token-axis sharding requires dense packing"
@@ -218,19 +244,20 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
                     interpret=pallas_interpret,
                 )
                 g2, el2, elo2 = g2[:, :K], el2[:, :K], elo2[:, :K]
-                bt = count_scatter(
-                    w[..., :K].reshape(-1, K), t.reshape(-1), V)
+                beta_temp = count_scatter_into(
+                    beta_temp, w[..., :K].reshape(-1, K), t.reshape(-1))
                 es = jnp.sum(el2 * dm[:, None], axis=0)
-                return (beta_temp + bt, kbn_add(El_sum, es)), (g2, el2, elo2)
+                return (beta_temp, kbn_add(El_sum, es)), (g2, el2, elo2)
 
         def scan_body_xla(carry, xs):
             beta_temp, El_sum = carry
             t, c, dm, g, el, elo = xs
             g2, el2, elo2, bt, es = _estep_chunk(
                 logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V,
-                seq_axis=seq_axis,
+                seq_axis=seq_axis, beta_acc=beta_temp,
+                elogtheta_f64=elogtheta_f64,
             )
-            return (beta_temp + bt, kbn_add(El_sum, es)), (g2, el2, elo2)
+            return (bt, kbn_add(El_sum, es)), (g2, el2, elo2)
 
         def sweep(t_arr, c_arr, dm_arr, g_arr, el_arr, elo_arr, carry):
             n_rows = t_arr.shape[0]

@@ -27,3 +27,21 @@ def count_scatter(weights: jax.Array, ids: jax.Array, num_segments: int) -> jax.
         weights, ids, num_segments=num_segments,
         indices_are_sorted=False, unique_indices=False,
     )
+
+
+def count_scatter_into(acc: jax.Array, weights: jax.Array,
+                       ids: jax.Array) -> jax.Array:
+    """Scatter-add ``weights`` rows into ``acc`` by ``ids`` — in place.
+
+    Same reduction as ``acc + count_scatter(w, ids, V)`` but lowered as
+    ONE scatter-add onto the scan carry, which XLA aliases in place:
+    the zero-init of a fresh [V, K] segment target and the full [V, K]
+    read+write of the elementwise add disappear.  Per outer iteration
+    that removes O(n_chunks · V · K) HBM traffic — at V=2e6, K=100,
+    32 chunks that is ~77 GB/iter of pure accumulator traffic, the
+    dominant large-V step cost (measured: see RESULTS.md "Large-V").
+    Determinism is unchanged: ``segment_sum`` is itself implemented as
+    this same sorted one-update-at-a-time scatter-add.
+    """
+    return acc.at[ids].add(weights, indices_are_sorted=False,
+                           unique_indices=False)

@@ -59,7 +59,7 @@ from .models import fctm as fctm_mod
 from .models import flda as flda_mod
 from .utils.config import TrainConfig
 from .utils.numerics import (
-    EPSILON, categorical_entropy, digamma, dirichlet_entropy, elbo_value,
+    EPSILON, categorical_entropy, digamma, dirichlet_entropy, dirichlet_ones, elbo_value,
     finite, kbn_add, kbn_psum, kbn_zero, lgamma,
 )
 
@@ -950,9 +950,7 @@ class StreamingLDA(_StreamingModel):
 
         # device-resident globals (reference LDA.jl:24-47)
         key = jax.random.PRNGKey(seed)
-        beta = jax.random.dirichlet(
-            key, jnp.ones((self.V,), jnp.float32), shape=(self.K,))
-        self.beta = beta.astype(self.dtype)
+        self.beta = dirichlet_ones(key, self.V, (self.K,)).astype(self.dtype)
         self.beta_old = self.beta
         self.alpha = jnp.ones((self.K,), self.dtype)
         # host-resident per-doc state (the O(M·K) memory)
@@ -1125,9 +1123,8 @@ class StreamingCTPF(_StreamingModel):
 
         # constructor state (reference CTPF.jl:81-103, = models/ctpf.init)
         key = jax.random.PRNGKey(seed)
-        alef = jnp.exp(jax.random.dirichlet(
-            key, jnp.ones((self.V,), jnp.float32), shape=(self.K,)) - 0.5
-        ).astype(self.dtype)
+        alef = jnp.exp(dirichlet_ones(key, self.V, (self.K,)) - 0.5
+                       ).astype(self.dtype)
         ones_k = jnp.ones((self.K,), self.dtype)
         self.alef, self.alef_old = alef, alef
         self.bet, self.bet_old = ones_k, ones_k
@@ -1310,9 +1307,7 @@ class StreamingCTM(_StreamingModel):
         M_pad = self.M_rows   # this process's doc rows
         # constructor state (reference CTM.jl:27-52, = models/ctm.init)
         key = jax.random.PRNGKey(seed)
-        self.beta = jax.random.dirichlet(
-            key, jnp.ones((self.V,), jnp.float32),
-            shape=(self.K,)).astype(self.dtype)
+        self.beta = dirichlet_ones(key, self.V, (self.K,)).astype(self.dtype)
         self.beta_old = self.beta
         eye = jnp.eye(self.K, dtype=self.dtype)
         self.mu = jnp.zeros((self.K,), self.dtype)
@@ -1448,12 +1443,9 @@ class StreamingFLDA(_StreamingModel):
         M_pad, L = self.M_rows, packed.L   # per-process rows
         # constructor state (reference fLDA.jl:30-58, = models/flda.init)
         k_beta, k_kappa = jax.random.split(jax.random.PRNGKey(seed))
-        self.beta = jax.random.dirichlet(
-            k_beta, jnp.ones((self.V,), jnp.float32),
-            shape=(self.K,)).astype(self.dtype)
+        self.beta = dirichlet_ones(k_beta, self.V, (self.K,)).astype(self.dtype)
         self.beta_old = self.beta
-        self.kappa = jax.random.dirichlet(
-            k_kappa, jnp.ones((self.V,), jnp.float32)).astype(self.dtype)
+        self.kappa = dirichlet_ones(k_kappa, self.V).astype(self.dtype)
         self.kappa_old = self.kappa
         self.eta = jnp.asarray(0.5, self.dtype)
         self.alpha = jnp.ones((self.K,), self.dtype)
@@ -1585,12 +1577,9 @@ class StreamingFCTM(_StreamingModel):
         M_pad, L = self.M_rows, packed.L   # per-process rows
         # constructor state (reference fCTM.jl:33-64, = models/fctm.init)
         k_beta, k_kappa = jax.random.split(jax.random.PRNGKey(seed))
-        self.beta = jax.random.dirichlet(
-            k_beta, jnp.ones((self.V,), jnp.float32),
-            shape=(self.K,)).astype(self.dtype)
+        self.beta = dirichlet_ones(k_beta, self.V, (self.K,)).astype(self.dtype)
         self.beta_old = self.beta
-        self.kappa = jax.random.dirichlet(
-            k_kappa, jnp.ones((self.V,), jnp.float32)).astype(self.dtype)
+        self.kappa = dirichlet_ones(k_kappa, self.V).astype(self.dtype)
         self.kappa_old = self.kappa
         self.eta = jnp.asarray(0.5, self.dtype)
         eye = jnp.eye(self.K, dtype=self.dtype)
@@ -1760,9 +1749,7 @@ class StreamingHMTM(_StreamingModel):
         M_pad = self.M_rows   # this process's doc rows
         # constructor state (HMTM.jl:26-32, = models/hmtm.init)
         key = jax.random.PRNGKey(seed)
-        self.beta = jax.random.dirichlet(
-            key, jnp.ones((self.V,), jnp.float32),
-            shape=(self.K,)).astype(self.dtype)
+        self.beta = dirichlet_ones(key, self.V, (self.K,)).astype(self.dtype)
         self.eta = jnp.ones((self.K,), self.dtype)
         self.alpha = jnp.ones((self.K, self.K), self.dtype)
         self.tau = self._host_full("tau", (M_pad, self.K), 1.0, npdt)

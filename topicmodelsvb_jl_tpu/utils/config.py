@@ -70,6 +70,14 @@ class RuntimeConfig:
     # fused Pallas E-step: True = auto (TPU backend and K >= 64),
     # False = force the pure-XLA body everywhere
     use_pallas: bool = True
+    # evaluate the per-doc gamma → Elogtheta digamma channel in f64 with
+    # f32 cast-back (the token-level [B, L, K] math stays f32).  The
+    # round-4 tol=1.0 accounting attributed the residual f32 training-
+    # arithmetic noise floor to exactly this channel; the [B, K] tiles
+    # are tiny, so the promotion costs ~nothing.  Requires
+    # jax_enable_x64 (checked at model build); forces the XLA E-step
+    # body (the Pallas kernel's in-kernel digamma series is f32).
+    elogtheta_f64: bool = False
     metrics_path: Optional[str] = None  # JSONL per-iteration metrics sink
     profile_dir: Optional[str] = None   # jax.profiler capture directory
     profile_steps: int = 3              # steady steps to capture

@@ -233,6 +233,22 @@ def l2norm(x: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.sqrt(jnp.sum(x * x, axis=axis))
 
 
+def dirichlet_ones(key: jax.Array, n: int, shape: tuple = (),
+                   dtype=jnp.float32) -> jax.Array:
+    """Dirichlet(1,…,1) rows of width ``n``: normalised iid Exp(1) draws.
+
+    Identical in law to ``jax.random.dirichlet(key, jnp.ones(n), shape)``
+    (a flat Dirichlet is normalised iid Gamma(1,1) = Exp(1) variables),
+    but one uniform per entry instead of the Marsaglia–Tsang gamma
+    rejection sampler, whose per-entry while_loop temporaries make the
+    constructor itself fail to compile at large V (measured on the v5e:
+    K=100, V=2e6 — init dies in the compiler before any step runs).
+    Used by every model constructor (reference init: LDA.jl:33 et al.).
+    """
+    e = jax.random.exponential(key, tuple(shape) + (n,), dtype)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def masked_fixpoint(body, carry: tuple, viter: int) -> tuple:
     """Early-exiting twin of ``lax.fori_loop(0, viter, body, carry)`` for
     per-lane-masked fixpoints whose carry ENDS with an ``active`` bool mask.
