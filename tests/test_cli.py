@@ -101,6 +101,31 @@ def test_cli_streaming_ctpf_with_checkpoint(tmp_path):
     assert o["mode"] == "online" and np.isfinite(o["final_elbo"])
 
 
+def test_cli_streaming_dtm_trains_and_checkpoints(tmp_path):
+    ckpt_dir = str(tmp_path / "ck")
+    s = run([
+        "--model", "dtm", "--corpus", "synth", "--synth-m", "64",
+        "--synth-v", "40", "--synth-slices", "3", "--k", "3",
+        "--iter", "3", "--checkelbo", "1", "--dtype", "float64",
+        "--chunk-docs", "16", "--pad-multiple", "8", "--streaming",
+        "--batch-docs", "32", "--cgiter", "5", "--delta", "1.0",
+        "--checkpoint-every", "2", "--checkpoint-dir", ckpt_dir, "--quiet",
+    ])
+    assert s["mode"] == "streaming" and np.isfinite(s["final_elbo"])
+    import os
+    files = [f for f in os.listdir(ckpt_dir) if f.startswith("ckpt_iter")]
+    assert files, "streaming dtm auto-checkpoints missing"
+    o = run([
+        "--model", "dtm", "--corpus", "synth", "--synth-m", "64",
+        "--synth-v", "40", "--synth-slices", "3", "--k", "3",
+        "--iter", "2", "--checkelbo", "1", "--dtype", "float64",
+        "--chunk-docs", "16", "--pad-multiple", "8", "--online",
+        "--batch-docs", "32", "--cgiter", "5", "--delta", "1.0",
+        "--tau0", "4", "--quiet",
+    ])
+    assert o["mode"] == "online" and np.isfinite(o["final_elbo"])
+
+
 def test_bench_assert_gate_logic(monkeypatch, capsys):
     """bench.py --assert exits nonzero when any metric misses its floor
     and passes silently when all clear (gate logic only — the real

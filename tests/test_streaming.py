@@ -397,6 +397,19 @@ def _inmemory_generic(name, packed, K, iters, viter=4):
             packed, K, viter=viter, vtol=vtol, niter=50, ntol=vtol,
             chunk_docs=16, axis_name=None))
         data = base + (M_total,)
+    elif name == "dtm":
+        from topicmodelsvb_jl_tpu.models import dtm as mod
+        T = 3
+        sid = jnp.asarray(_dtm_slices(packed, T))
+        step = jax.jit(mod.make_step(
+            packed, K, T, viter=viter, vtol=vtol, niter=50, ntol=vtol,
+            cgiter=5, cgtol=1.0 / T**2, chunk_docs=16, axis_name=None))
+        elbo = jax.jit(mod.make_elbo(packed, K, T, chunk_docs=16))
+        state = mod.init(key, packed, K, T, jnp.float64)
+        data = (sid,) + base
+        for _ in range(iters):
+            state = step(state, *data)
+        return state, elbo_value(elbo(state, *data))
     else:
         from topicmodelsvb_jl_tpu.models import fctm as mod
         step = jax.jit(mod.make_step(
@@ -408,6 +421,20 @@ def _inmemory_generic(name, packed, K, iters, viter=4):
     for _ in range(iters):
         state = step(state, *data)
     return state, elbo_value(elbo(state, *base))
+
+
+def _dtm_slices(packed, T=3):
+    """Deterministic synthetic slice assignment for the DTM cases."""
+    sid = (np.arange(packed.M_pad) % T).astype(np.int32)
+    return sid
+
+
+def _stream_extra(name, packed):
+    """Extra ctor/train kwargs for families whose signatures differ."""
+    if name == "dtm":
+        return (dict(T=3, slice_id=_dtm_slices(packed, 3)),
+                dict(cgiter=5))
+    return {}, {}
 
 
 _STREAM_CASES = {
@@ -423,6 +450,9 @@ _STREAM_CASES = {
     "hmtm": ("StreamingHMTM",
              ("eta", "alpha", "beta"),
              ("tau", "gamma")),
+    "dtm": ("StreamingDTM",
+            ("alpha", "betahat", "mbeta"),
+            ("gamma", "Elogtheta", "lzeta")),
 }
 
 
@@ -440,10 +470,11 @@ def test_streaming_generic_matches_inmemory(name):
     ref, ref_elbo = _inmemory_generic(name, packed, K, iters, viter=viter)
 
     cls_name, globals_, docs_ = _STREAM_CASES[name]
+    ctor_x, train_x = _stream_extra(name, packed)
     s = getattr(st, cls_name)(packed, K, batch_docs=32, chunk_docs=16,
-                              dtype=jnp.float64, seed=3)
+                              dtype=jnp.float64, seed=3, **ctor_x)
     s.train(iter=iters, checkelbo=float("inf"), viter=viter,
-            niter=50, printelbo=False)
+            niter=50, printelbo=False, **train_x)
 
     for g in globals_:
         np.testing.assert_allclose(np.asarray(getattr(s, g)),
@@ -465,14 +496,18 @@ def test_streaming_generic_batch_partition_invariance(name):
     if name == "hmtm":   # HMTM requires an order-preserving corpus
         packed = unit_counts(packed)
     cls = getattr(st, _STREAM_CASES[name][0])
+    ctor_x, train_x = _stream_extra(name, packed)
+    gname = _STREAM_CASES[name][1][-1]
     runs = []
     for batch in (64, 16):
         s = cls(packed, K, batch_docs=batch, chunk_docs=16,
-                dtype=jnp.float64, seed=3)
-        s.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+                dtype=jnp.float64, seed=3, **ctor_x)
+        s.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False,
+                **train_x)
         runs.append(s)
-    np.testing.assert_allclose(np.asarray(runs[0].beta),
-                               np.asarray(runs[1].beta), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(getattr(runs[0], gname)),
+                               np.asarray(getattr(runs[1], gname)),
+                               rtol=1e-12)
     np.testing.assert_allclose([t[1] for t in runs[0].trace],
                                [t[1] for t in runs[1].trace], rtol=1e-12)
 
@@ -490,30 +525,39 @@ def test_streaming_generic_checkpoint_and_online(name):
     if name == "hmtm":   # HMTM requires an order-preserving corpus
         packed = unit_counts(packed)
     cls = getattr(st, _STREAM_CASES[name][0])
+    ctor_x, train_x = _stream_extra(name, packed)
+    # the word-distribution global whose restore certifies the resume
+    gname = _STREAM_CASES[name][1][-1]
 
     ref = cls(packed, K, batch_docs=32, chunk_docs=16,
-              dtype=jnp.float64, seed=3)
-    ref.train(iter=4, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+              dtype=jnp.float64, seed=3, **ctor_x)
+    ref.train(iter=4, checkelbo=1, tol=0.0, viter=4, printelbo=False,
+              **train_x)
 
     s = cls(packed, K, batch_docs=32, chunk_docs=16,
-            dtype=jnp.float64, seed=3)
-    s.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False)
+            dtype=jnp.float64, seed=3, **ctor_x)
+    s.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False,
+            **train_x)
     with tempfile.TemporaryDirectory() as td:
         path = td + "/stream.ckpt"
         s.save(path)
         r = st.load(path, packed)
-    r.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False)
-    np.testing.assert_allclose(np.asarray(r.beta), np.asarray(ref.beta),
-                               rtol=1e-12)
+    r.train(iter=2, checkelbo=1, tol=0.0, viter=4, printelbo=False,
+            **train_x)
+    np.testing.assert_allclose(np.asarray(getattr(r, gname)),
+                               np.asarray(getattr(ref, gname)), rtol=1e-12)
     np.testing.assert_allclose([t[1] for t in r.trace],
                                [t[1] for t in ref.trace], rtol=1e-10)
 
     o = cls(packed, K, batch_docs=16, chunk_docs=16,
-            dtype=jnp.float64, seed=3)
-    o.train_online(epochs=2, tau0=4.0, checkelbo=1, printelbo=False)
+            dtype=jnp.float64, seed=3, **ctor_x)
+    o.train_online(epochs=2, tau0=4.0, checkelbo=1, printelbo=False,
+                   **train_x)
     elbos = [t[1] for t in o.trace]
     assert np.isfinite(elbos).all() and elbos[-1] >= elbos[0] - 1e-6
-    assert o.topics is not None and o.topics.shape == (K, packed.V)
+    expect_shape = ((3, K, packed.V) if name == "dtm"
+                    else (K, packed.V))
+    assert o.topics is not None and o.topics.shape == expect_shape
 
 
 def test_streaming_to_model_bridge():

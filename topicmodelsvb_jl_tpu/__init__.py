@@ -32,8 +32,8 @@ from .evaluate import (
 )
 from .ops.packing import load_packed, save_packed
 from .streaming import (
-    StreamingCTM, StreamingCTPF, StreamingFCTM, StreamingFLDA, StreamingHMTM,
-    StreamingLDA,
+    StreamingCTM, StreamingCTPF, StreamingDTM, StreamingFCTM, StreamingFLDA,
+    StreamingHMTM, StreamingLDA, slices_from_stamps,
 )
 from .streaming import load as load_streaming_checkpoint
 from .checkpoint import load as load_checkpoint
@@ -50,7 +50,8 @@ __all__ = [
     "LDA", "fLDA", "CTM", "fCTM", "CTPF", "DTM", "HMTM", "TopicModel",
     "predict", "gendoc", "gencorp", "save_checkpoint", "load_checkpoint",
     "StreamingLDA", "StreamingFLDA", "StreamingCTM", "StreamingFCTM",
-    "StreamingCTPF", "StreamingHMTM", "load_streaming_checkpoint",
+    "StreamingCTPF", "StreamingHMTM", "StreamingDTM", "slices_from_stamps",
+    "load_streaming_checkpoint",
     "perplexity", "topic_coherence", "holdout_readers",
     "heldout_reader_rank", "ranked_users", "recall_at_k",
     "check_model",

@@ -233,6 +233,99 @@ def cg_objective(betahat, v_filt, vbeta, A, wz):
     return lin - expterm + pbeta
 
 
+def make_global_update(niter: int, ntol: float, cgiter: int, cgtol: float,
+                       vocab_axis: Optional[str] = None):
+    """The DTM M-step as a standalone function of the accumulated
+    sufficient statistics: per-slice alpha Newtons (updateAlpha!,
+    DTM.jl:176-197) + the betahat nonlinear Polak–Ribière CG
+    (updateBetahat!, DTM.jl:244-304) with the gradient taken by
+    ``jax.grad`` through the smoother scans.
+
+    Shared verbatim by the in-memory step (:func:`make_step`) and
+    :class:`~..streaming.StreamingDTM`, so the streamed trajectory is
+    the in-memory maths by construction.
+
+    Returns ``update(alpha, betahat, v_filt, vbeta, A, wz, els_hi,
+    els_lo, nd) -> (alpha_new, betahat_new, mbeta_new)``.
+    """
+
+    def update(alpha, betahat, v_filt, vbeta, A, wz, els_hi, els_lo, nd):
+        dt = betahat.dtype
+        # per-slice alpha Newton (updateAlpha!, DTM.jl:176-197)
+        alpha_new = jax.vmap(
+            lambda a, e, lo, n: dirichlet_newton(a, e, jnp.maximum(n, 1.0),
+                                                 niter, ntol,
+                                                 Elogtheta_sum_lo=lo)
+        )(alpha, els_hi, els_lo, nd)
+
+        # betahat nonlinear CG with Polak–Ribière + back-tracking
+        # (updateBetahat!, DTM.jl:244-304); gradient via jax.grad
+        obj_local = lambda bh: cg_objective(bh, v_filt, vbeta, A, wz)
+        # global scalar reductions over the storage axis live OUTSIDE the
+        # differentiated function (see cg_objective docstring)
+        if vocab_axis is not None:
+            gsum = lambda x: jax.lax.psum(x, vocab_axis)
+        else:
+            gsum = lambda x: x
+        obj = lambda bh: gsum(obj_local(bh))
+        vg_local = jax.value_and_grad(obj_local)
+        vg_fn = lambda bh: (lambda fv_g: (gsum(fv_g[0]), fv_g[1]))(vg_local(bh))
+
+        def cg_body(carry, _):
+            bh, p_dir, g_old, rho, f0, done = carry
+            f0_new, g = vg_fn(bh)
+            f0 = jnp.where(jnp.isfinite(f0), f0, f0_new)  # first iteration
+            denom = gsum(jnp.sum(g_old * g_old))
+            pr = jnp.clip(gsum(jnp.sum(g * (g - g_old)))
+                          / jnp.maximum(denom, 1e-30), 0.0, 1.0)
+            p_dir = g + pr * p_dir            # ascent direction
+            slope = gsum(jnp.sum(g * p_dir))
+            # a momentum-dominated direction can stop ascending; restart
+            # from steepest ascent (standard NCG safeguard)
+            bad_dir = slope <= 0.0
+            p_dir = jnp.where(bad_dir, g, p_dir)
+            slope = jnp.where(bad_dir, gsum(jnp.sum(g * g)), slope)
+
+            def ls_body(carry2):
+                r, _, it = carry2
+                return r * 0.5, obj(bh + r * 0.5 * p_dir), it + 1
+
+            def ls_cond(carry2):
+                r, f, it = carry2
+                return (f <= f0 + 1e-4 * r * slope) & (it < 10)
+
+            r0 = rho
+            f_try = obj(bh + r0 * p_dir)
+            r_fin, f_fin, it = jax.lax.while_loop(
+                ls_cond, ls_body, (r0, f_try, jnp.asarray(0)))
+            # reject the step when back-tracking exhausted without the
+            # sufficient-increase condition (keeps CAVI monotone)
+            ok = f_fin > f0 + 1e-4 * r_fin * slope
+            step_r = jnp.where(ok & ~done, r_fin, 0.0)
+            bh_new = bh + step_r * p_dir
+            f_acc = jnp.where(ok & ~done, f_fin, f0)
+            # cgtol convergence: stop once an ACCEPTED step improves the
+            # objective by less than cgtol; a rejected step alone doesn't
+            # end CG — the next iteration retries from a smaller rho with
+            # a fresh gradient (mirroring the reference's persistent rho,
+            # DTM.jl:291-301)
+            done_new = done | (ok & (f_acc - f0 < cgtol))
+            return (bh_new, p_dir, g, jnp.minimum(r_fin * 2.0, 1.0),
+                    f_acc, done_new), None
+
+        g0 = jnp.ones_like(betahat)
+        (betahat_new, _, _, _, _, _), _ = jax.lax.scan(
+            cg_body,
+            (betahat, jnp.zeros_like(betahat), g0,
+             jnp.asarray(1.0, dt), jnp.asarray(jnp.inf, dt),
+             jnp.asarray(False)),
+            None, length=cgiter)
+        mbeta_new = mean_smoother(betahat_new, v_filt)
+        return alpha_new, betahat_new, mbeta_new
+
+    return update
+
+
 def make_step(packed, K: int, T: int, viter: int, vtol: float,
               niter: int, ntol: float, cgiter: int, cgtol: float,
               chunk_docs: int, axis_name=None,
@@ -320,77 +413,13 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
         elif axes:
             A = jax.lax.psum(A, axes)
 
-        # per-slice alpha Newton (updateAlpha!, DTM.jl:176-197)
-        alpha_new = jax.vmap(
-            lambda a, e, lo, n: dirichlet_newton(a, e, jnp.maximum(n, 1.0),
-                                                 niter, ntol,
-                                                 Elogtheta_sum_lo=lo)
-        )(state.alpha, els[0], els[1], nd)
-
-        # betahat nonlinear CG with Polak–Ribière + back-tracking
-        # (updateBetahat!, DTM.jl:244-304); gradient via jax.grad
-        obj_local = lambda bh: cg_objective(bh, state.v_filt, state.vbeta,
-                                            A, wz)
-        # global scalar reductions over the storage axis live OUTSIDE the
-        # differentiated function (see cg_objective docstring)
-        if vocab_axis is not None:
-            gsum = lambda x: jax.lax.psum(x, vocab_axis)
-        else:
-            gsum = lambda x: x
-        obj = lambda bh: gsum(obj_local(bh))
-        vg_local = jax.value_and_grad(obj_local)
-        vg_fn = lambda bh: (lambda fv_g: (gsum(fv_g[0]), fv_g[1]))(vg_local(bh))
-
-        def cg_body(carry, _):
-            bh, p_dir, g_old, rho, f0, done = carry
-            f0_new, g = vg_fn(bh)
-            f0 = jnp.where(jnp.isfinite(f0), f0, f0_new)  # first iteration
-            denom = gsum(jnp.sum(g_old * g_old))
-            pr = jnp.clip(gsum(jnp.sum(g * (g - g_old)))
-                          / jnp.maximum(denom, 1e-30), 0.0, 1.0)
-            p_dir = g + pr * p_dir            # ascent direction
-            slope = gsum(jnp.sum(g * p_dir))
-            # a momentum-dominated direction can stop ascending; restart
-            # from steepest ascent (standard NCG safeguard)
-            bad_dir = slope <= 0.0
-            p_dir = jnp.where(bad_dir, g, p_dir)
-            slope = jnp.where(bad_dir, gsum(jnp.sum(g * g)), slope)
-
-            def ls_body(carry2):
-                r, _, it = carry2
-                return r * 0.5, obj(bh + r * 0.5 * p_dir), it + 1
-
-            def ls_cond(carry2):
-                r, f, it = carry2
-                return (f <= f0 + 1e-4 * r * slope) & (it < 10)
-
-            r0 = rho
-            f_try = obj(bh + r0 * p_dir)
-            r_fin, f_fin, it = jax.lax.while_loop(
-                ls_cond, ls_body, (r0, f_try, jnp.asarray(0)))
-            # reject the step when back-tracking exhausted without the
-            # sufficient-increase condition (keeps CAVI monotone)
-            ok = f_fin > f0 + 1e-4 * r_fin * slope
-            step_r = jnp.where(ok & ~done, r_fin, 0.0)
-            bh_new = bh + step_r * p_dir
-            f_acc = jnp.where(ok & ~done, f_fin, f0)
-            # cgtol convergence: stop once an ACCEPTED step improves the
-            # objective by less than cgtol; a rejected step alone doesn't
-            # end CG — the next iteration retries from a smaller rho with
-            # a fresh gradient (mirroring the reference's persistent rho,
-            # DTM.jl:291-301)
-            done_new = done | (ok & (f_acc - f0 < cgtol))
-            return (bh_new, p_dir, g, jnp.minimum(r_fin * 2.0, 1.0),
-                    f_acc, done_new), None
-
-        g0 = jnp.ones_like(state.betahat)
-        (betahat_new, _, _, _, _, _), _ = jax.lax.scan(
-            cg_body,
-            (state.betahat, jnp.zeros_like(state.betahat), g0,
-             jnp.asarray(1.0, dt), jnp.asarray(jnp.inf, dt),
-             jnp.asarray(False)),
-            None, length=cgiter)
-        mbeta_new = mean_smoother(betahat_new, state.v_filt)
+        # M-step: the shared alpha-Newton + betahat-CG update (also the
+        # streaming path's global update — identical maths by sharing)
+        upd = make_global_update(niter, ntol, cgiter, cgtol,
+                                 vocab_axis=vocab_axis)
+        alpha_new, betahat_new, mbeta_new = upd(
+            state.alpha, state.betahat, state.v_filt, state.vbeta,
+            A, wz, els[0], els[1], nd)
 
         return DTMState(
             alpha=alpha_new, betahat=betahat_new, mbeta=mbeta_new,
@@ -401,9 +430,37 @@ def make_step(packed, K: int, T: int, viter: int, vtol: float,
     return step
 
 
+def slice_elbo_terms(state: DTMState) -> jax.Array:
+    """The document-independent slice-level bound terms
+    Elogpbeta − Elogqbeta (DTM.jl:119-126, 145-148) — split out so the
+    streaming path can add them ONCE per sweep while evaluating the
+    doc/token terms per batch.  t=1 anchors on the smoothed time-0
+    posterior mbeta0/vbeta0 (updateMbeta!/updateVbeta!,
+    DTM.jl:222-223, 241)."""
+    T, K, V = state.mbeta.shape
+    q0 = SIGMASQ / (V0 + SIGMASQ)
+    mbeta0 = q0 * M0 + (1.0 - q0) * state.mbeta[:1]
+    vbeta0 = V0 + (V0 / (V0 + SIGMASQ)) ** 2 * (
+        state.vbeta[:1] - V0 - SIGMASQ)
+    prev_m = jnp.concatenate([mbeta0, state.mbeta[:-1]], 0)
+    prev_v = jnp.concatenate([vbeta0, state.vbeta[:-1]], 0)
+    e_pb = (-0.5 * T * K * V * jnp.log(2 * jnp.pi * SIGMASQ)
+            - (0.5 / SIGMASQ) * jnp.sum(
+                (state.mbeta - prev_m) ** 2 + state.vbeta + prev_v))
+    # +entropy of N(mbeta, vbeta) per coordinate
+    e_qb = 0.5 * jnp.sum(alog(2 * jnp.pi * jnp.e * state.vbeta))
+    return e_pb + e_qb
+
+
 def make_elbo(packed, K: int, T: int, chunk_docs: int,
-              axis_name: Optional[str] = None):
-    """Full ELBO (updateELBO!, DTM.jl:161-174)."""
+              axis_name: Optional[str] = None,
+              include_slice_terms: bool = True):
+    """Full ELBO (updateELBO!, DTM.jl:161-174).
+
+    ``include_slice_terms=False`` drops the document-independent
+    Elogpbeta − Elogqbeta terms (:func:`slice_elbo_terms`); the
+    streaming bound evaluates batches with ``False`` and adds the slice
+    terms once."""
     V = packed.V
 
     def elbo(state: DTMState, slice_id, terms, counts, doc_mask):
@@ -449,24 +506,12 @@ def make_elbo(packed, K: int, T: int, chunk_docs: int,
             (sh(slice_id), sh(terms), sh(counts), sh(doc_mask),
              sh(state.gamma), sh(state.Elogtheta), sh(state.lzeta)))
 
-        # slice-level Elogpbeta − Elogqbeta (DTM.jl:119-126, 145-148);
-        # t=1 anchors on the smoothed time-0 posterior mbeta0/vbeta0
-        # (updateMbeta!/updateVbeta!, DTM.jl:222-223, 241)
-        q0 = SIGMASQ / (V0 + SIGMASQ)
-        mbeta0 = q0 * M0 + (1.0 - q0) * state.mbeta[:1]
-        vbeta0 = V0 + (V0 / (V0 + SIGMASQ)) ** 2 * (
-            state.vbeta[:1] - V0 - SIGMASQ)
-        prev_m = jnp.concatenate([mbeta0, state.mbeta[:-1]], 0)
-        prev_v = jnp.concatenate([vbeta0, state.vbeta[:-1]], 0)
-        e_pb = (-0.5 * T * K * V * jnp.log(2 * jnp.pi * SIGMASQ)
-                - (0.5 / SIGMASQ) * jnp.sum(
-                    (state.mbeta - prev_m) ** 2 + state.vbeta + prev_v))
-        # +entropy of N(mbeta, vbeta) per coordinate
-        e_qb = 0.5 * jnp.sum(alog(2 * jnp.pi * jnp.e * state.vbeta))
         axes = (axis_name,) if isinstance(axis_name, str) else (
             axis_name if axis_name is not None else ())
         total = kbn_psum(total, axes)
-        return kbn_pack(kbn_add(total, e_pb + e_qb))
+        if include_slice_terms:
+            total = kbn_add(total, slice_elbo_terms(state))
+        return kbn_pack(total)
 
     return elbo
 

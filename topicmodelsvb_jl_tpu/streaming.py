@@ -28,12 +28,12 @@ fetch is deferred one batch for the same reason.
 
 The batch pipeline itself (:class:`_StreamingModel`) is model-generic —
 a subclass supplies the jitted batch sweep, the stat pytree, the global
-update, and the batch ELBO.  Every static model streams:
+update, and the batch ELBO.  Every model family streams:
 :class:`StreamingLDA`, :class:`StreamingFLDA`, :class:`StreamingCTM`,
-:class:`StreamingFCTM`, :class:`StreamingCTPF` and
-:class:`StreamingHMTM` (VERDICT r2 #2; DTM is the one exception — its
-scaling axis is the [T, K, V] smoother state, not the per-doc arrays,
-see models/dtm.py).
+:class:`StreamingFCTM`, :class:`StreamingCTPF`, :class:`StreamingHMTM`
+and :class:`StreamingDTM` (VERDICT r2 #2, r4 #3 — DTM's [T, K, V]
+smoother state stays device-resident as the global block while its
+O(M·K) per-doc state streams like every other family's).
 Both support checkpoint/resume (:meth:`_StreamingModel.save` /
 :func:`load`) including an auto-checkpoint cadence inside ``train`` /
 ``train_online``, so a SIGKILLed streaming run resumes and reproduces
@@ -509,6 +509,14 @@ class _StreamingModel:
             print(f"{k} ∆elbo: {round(delta, 3)}")
         return delta
 
+    # extra constructor kwargs a subclass needs at load() time
+    # (StreamingDTM: T + the slice assignment)
+    def _ctor_meta(self) -> dict:
+        return {}
+
+    def _ctor_host_arrays(self) -> dict:
+        return {}
+
     # ── checkpoint/resume (VERDICT r2 #3) ──
     def save(self, path: str) -> None:
         """Single-file npz checkpoint of the full streaming run state:
@@ -527,9 +535,12 @@ class _StreamingModel:
             counters={n: getattr(self, n) for n in self._counters},
             trained=self.topics is not None,
         )
+        meta["ctor"] = self._ctor_meta()
         arrays = {f"doc_{n}": getattr(self, n) for n in self._doc_state}
         arrays.update({f"glob_{n}": np.asarray(getattr(self, n))
                        for n in self._globals})
+        arrays.update({f"ctor_{k}": np.asarray(v)
+                       for k, v in self._ctor_host_arrays().items()})
         if self._svi_stats is not None:
             for i, leaf in enumerate(jax.tree_util.tree_leaves(
                     self._svi_stats)):
@@ -837,7 +848,16 @@ class _StreamingModel:
 def _stream_cls(name):
     return {c.__name__: c
             for c in (StreamingLDA, StreamingCTM, StreamingFLDA,
-                      StreamingFCTM, StreamingCTPF, StreamingHMTM)}[name]
+                      StreamingFCTM, StreamingCTPF, StreamingHMTM,
+                      StreamingDTM)}[name]
+
+
+def _ctor_extra(z, meta) -> dict:
+    """Subclass-specific constructor kwargs persisted by save()
+    (scalars in meta['ctor'], arrays as ctor_* entries)."""
+    extra = dict(meta.get("ctor", {}))
+    extra.update({k[5:]: z[k] for k in z.files if k.startswith("ctor_")})
+    return extra
 
 
 def _check_stream_meta(meta, packed, strict_corpus):
@@ -891,7 +911,7 @@ def load(path: str, packed, strict_corpus: bool = True):
             model = _stream_cls(meta["cls"])(
                 packed, meta["K"], batch_docs=meta["batch_docs"],
                 chunk_docs=meta["chunk_docs"], dtype=meta["dtype"],
-                seed=meta["seed"])
+                seed=meta["seed"], **_ctor_extra(z0, meta))
             model._restore_common(z0, meta)
         for f in files:
             with np.load(f) as z:
@@ -904,7 +924,7 @@ def load(path: str, packed, strict_corpus: bool = True):
         model = _stream_cls(meta["cls"])(
             packed, meta["K"], batch_docs=meta["batch_docs"],
             chunk_docs=meta["chunk_docs"], dtype=meta["dtype"],
-            seed=meta["seed"])
+            seed=meta["seed"], **_ctor_extra(z, meta))
         model._restore(z, meta)
     return model
 
@@ -1837,3 +1857,229 @@ class StreamingHMTM(_StreamingModel):
                           printelbo=printelbo).resolved(self.K)
         return self._train_online_loop(cfg, tau0, kappa, shuffle_seed,
                                        checkpoint_every, checkpoint_dir)
+
+
+# ─────────────────────────── StreamingDTM ───────────────────────────
+
+class StreamingDTM(_StreamingModel):
+    """DTM trained with host-resident corpus + per-doc state
+    (VERDICT r4 #3: the last family without a beyond-memory path).
+
+    The [T, K, V] smoother state (alpha/betahat/mbeta/vbeta/v_filt)
+    stays device-resident — it is the model's *global* parameter block,
+    independent of corpus size — while the O(M·K) per-document state
+    (gamma/Elogtheta/lzeta) lives in host RAM or ``state_dir`` memmaps
+    and streams through the device in batches, exactly like the other
+    six families.  The M-step (per-slice alpha Newtons + the betahat
+    Polak–Ribière CG) is the SAME function the in-memory step runs
+    (models/dtm.py:make_global_update), so the streamed trajectory is
+    the in-memory maths by construction.
+
+    ``slice_id`` is the per-packed-row time-slice assignment
+    ([M_pad] int32, 0-based; rows beyond M are ignored — use
+    :func:`slices_from_stamps` to build it the reference's way,
+    v0.6/src/DTM.jl:58-63).
+    """
+
+    _doc_state = ("gamma", "Elogtheta", "lzeta")
+    _globals = ("alpha", "betahat", "mbeta", "vbeta", "v_filt")
+
+    def __init__(self, packed, K: int, T: int, slice_id,
+                 batch_docs: int = 8192, chunk_docs: int = 1024,
+                 dtype=jnp.float32, seed: int = 0, mesh=None,
+                 data_axis: str = "data",
+                 state_dir: Optional[str] = None):
+        self._init_common(packed, K, batch_docs, chunk_docs, dtype, seed,
+                          mesh, data_axis, state_dir=state_dir)
+        self.T = int(T)
+        slice_id = np.asarray(slice_id, np.int32)
+        if slice_id.shape != (packed.M_pad,):
+            raise ValueError(
+                f"slice_id must be [M_pad]={packed.M_pad} int32 "
+                f"(got {slice_id.shape})")
+        if slice_id.min() < 0 or slice_id[: packed.M].max() >= self.T:
+            raise ValueError("slice_id entries must lie in [0, T).")
+        self.slice_full = slice_id
+        npdt = np.dtype(dtype)
+        M_pad = self.M_rows   # this process's doc rows
+
+        # device-resident globals (= models/dtm.init's global block)
+        from .models import dtm as dtm_mod
+
+        key = jax.random.PRNGKey(seed)
+        self.betahat = jax.random.normal(key, (self.T, self.K, self.V),
+                                         self.dtype)
+        self.alpha = jnp.ones((self.T, self.K), self.dtype)
+        self.v_filt, self.vbeta = dtm_mod.variance_smoother(
+            self.T, self.K, self.V, self.dtype)
+        self.mbeta = dtm_mod.mean_smoother(self.betahat, self.v_filt)
+        # host-resident per-doc state; gamma=1 ⇒ Elogtheta = −H_{K−1}
+        el0 = -sum(1.0 / i for i in range(1, self.K))
+        self.gamma = self._host_full("gamma", (M_pad, self.K), 1.0, npdt)
+        self.Elogtheta = self._host_full(
+            "Elogtheta", (M_pad, self.K), el0, npdt)
+        self.lzeta = self._host_full("lzeta", (M_pad,), 1.0, npdt)
+        self._sweep = None
+        self._elbo_fn = None
+        self._gupd = None
+
+    def _ctor_meta(self) -> dict:
+        return {"T": self.T}
+
+    def _ctor_host_arrays(self) -> dict:
+        return {"slice_id": self.slice_full}
+
+    def _data_slices(self, sl) -> tuple:
+        p = self.packed
+        g = self._gsl(sl)
+        return (jnp.asarray(self.slice_full[g]),
+                jnp.asarray(p.terms[g]),
+                jnp.asarray(p.counts[g].astype(self.dtype)),
+                jnp.asarray(p.doc_mask[g].astype(self.dtype)))
+
+    def _compile(self, cfg):
+        from .models import dtm as dtm_mod
+
+        T, V = self.T, self.V
+        viter, vtol = cfg.viter, cfg.vtol
+
+        def prep(globs):
+            alpha, mbeta, vbeta = globs
+            # per-sweep overflow-safe Σ_v exp(mbeta + vbeta/2) pieces
+            # (DTM.jl:225-228) — identical to models/dtm.make_step
+            x = mbeta + 0.5 * vbeta
+            maxl = jnp.max(x, axis=(1, 2))
+            rowsum_ovfl = jnp.sum(jnp.exp(x - maxl[:, None, None]), axis=2)
+            mbeta_flat = jnp.transpose(mbeta, (0, 2, 1)).reshape(T * V, -1)
+            return mbeta_flat, alpha, rowsum_ovfl, maxl
+
+        def chunk_call(prepped, d, s):
+            mbeta_flat, alpha, rowsum_ovfl, maxl = prepped
+            sid, t, c, dm = d
+            g, el, lz = s
+            g2, el2, lz2, A, wz, els, nd = dtm_mod._estep_chunk(
+                mbeta_flat, alpha, rowsum_ovfl, maxl,
+                sid, t, c, dm, g, el, lz, viter, vtol, V)
+            return (g2, el2, lz2), (A, wz, els, nd)
+
+        self._sweep = make_generic_batch_sweep(
+            prep, chunk_call, self.chunk_docs, mesh=self.mesh,
+            data_axis=self.data_axis)
+        ax = self.data_axis if self.mesh is not None else None
+        # batch bound = doc/token terms only; the slice-level
+        # Elogpbeta − Elogqbeta terms are added once per sweep
+        self._elbo_fn = self._wrap_batch_elbo(
+            dtm_mod.make_elbo(self.packed, self.K, self.T,
+                              chunk_docs=self.chunk_docs, axis_name=ax,
+                              include_slice_terms=False),
+            dtm_mod.partition_spec(self.data_axis), n_data=4)
+        self._gupd = jax.jit(dtm_mod.make_global_update(
+            cfg.niter, cfg.ntol, self._cgiter, self._cgtol))
+        self._slice_terms = jax.jit(
+            lambda st: dtm_mod.slice_elbo_terms(st))
+
+    def _zero_stats(self):
+        return (jnp.zeros((self.T * self.V, self.K), self.dtype),
+                jnp.zeros((self.T, self.K), self.dtype),
+                jnp.zeros((self.T, self.K), self.dtype),
+                jnp.zeros((self.T,), self.dtype))
+
+    def _run_batch(self, sl, stats):
+        return self._sweep((self.alpha, self.mbeta, self.vbeta),
+                           self._data_slices(sl), self._doc_slices(sl),
+                           stats)
+
+    def _global_update(self, stats):
+        A, wz, els, nd = stats
+        self.alpha, self.betahat, self.mbeta = self._gupd(
+            self.alpha, self.betahat, self.v_filt, self.vbeta,
+            A, wz, els, jnp.zeros_like(els), nd)
+
+    def _batch_state(self, sl):
+        from .models import dtm as dtm_mod
+
+        g, el, lz = self._doc_slices(sl)
+        return dtm_mod.DTMState(
+            alpha=self.alpha, betahat=self.betahat, mbeta=self.mbeta,
+            vbeta=self.vbeta, v_filt=self.v_filt,
+            gamma=g, Elogtheta=el, lzeta=lz,
+            elbo=jnp.zeros((2,), self.dtype))
+
+    def _sweep_elbo(self):
+        acc = 0.0
+        for sl in self._batches():
+            acc += elbo_value(self._elbo_fn(self._batch_state(sl),
+                                            *self._data_slices(sl)))
+        total = self._reduce_elbo(acc, 0.0)
+        # slice-level terms: replicated across processes, added ONCE
+        return total + float(np.asarray(self._slice_terms(
+            self._batch_state(slice(0, self.batch_docs)))))
+
+    def _finalize(self):
+        from .models import dtm as dtm_mod
+
+        self.topics = dtm_mod.topics_ranking_by_slice(
+            np.asarray(self.mbeta))
+
+    def to_model(self, runtime=None):
+        raise ValueError(
+            "StreamingDTM.to_model is unsupported: the api.DTM "
+            "constructor derives its time slices from Corpus stamps "
+            "(api.py:DTM), which a PackedCorpus does not carry.  Use "
+            "save()/load() for persistence; showtopics-style output is "
+            "available via .topics (per-slice rankings).")
+
+    def train(self, iter: int = 150, tol: float = 1.0, niter: int = 1000,
+              ntol: Optional[float] = None, viter: int = 10,
+              vtol: Optional[float] = None, cgiter: int = 20,
+              cgtol: Optional[float] = None, checkelbo: float = 1,
+              printelbo: bool = True, checkpoint_every: int = 0,
+              checkpoint_dir: Optional[str] = None):
+        if cgiter <= 0:
+            raise ValueError("iteration parameters must be positive integers.")
+        self._cgiter = int(cgiter)
+        self._cgtol = float(cgtol) if cgtol is not None else 1.0 / self.T**2
+        cfg = TrainConfig(iter=iter, tol=tol, niter=niter, ntol=ntol,
+                          viter=viter, vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_loop(cfg, checkpoint_every, checkpoint_dir)
+
+    def train_online(self, epochs: int = 1, tau0: float = 64.0,
+                     kappa: float = 0.7, viter: int = 10,
+                     vtol: Optional[float] = None, niter: int = 1000,
+                     ntol: Optional[float] = None, cgiter: int = 20,
+                     cgtol: Optional[float] = None, checkelbo: float = 1,
+                     printelbo: bool = True, shuffle_seed: int = 0,
+                     checkpoint_every: int = 0,
+                     checkpoint_dir: Optional[str] = None):
+        """Online SVI DTM: A/wz/els/nd are all linear per-document
+        sums, so the running-average blend applies exactly as for LDA;
+        the CG M-step then maximises against the blended statistics."""
+        if cgiter <= 0:
+            raise ValueError("iteration parameters must be positive integers.")
+        self._cgiter = int(cgiter)
+        self._cgtol = float(cgtol) if cgtol is not None else 1.0 / self.T**2
+        cfg = TrainConfig(iter=epochs, niter=niter, ntol=ntol, viter=viter,
+                          vtol=vtol, checkelbo=checkelbo,
+                          printelbo=printelbo).resolved(self.K)
+        return self._train_online_loop(cfg, tau0, kappa, shuffle_seed,
+                                       checkpoint_every, checkpoint_dir)
+
+
+def slices_from_stamps(stamps, delta: float, M_pad: Optional[int] = None):
+    """Reference slice assignment (v0.6/src/DTM.jl:58-63): docs with
+    stamp ≤ t0 + t·delta land in slice t.  Returns (T, slice_id[M_pad])
+    for :class:`StreamingDTM` (pad rows get slice 0; their doc_mask is
+    0 so they contribute nothing)."""
+    stamps = np.asarray(stamps, np.float64)
+    if stamps.size == 0 or not np.all(np.isfinite(stamps)):
+        raise ValueError("every document must carry a finite stamp.")
+    t0, tM = float(stamps.min()), float(stamps.max())
+    import math as _math
+    T = max(1, int(_math.ceil((tM - t0) / float(delta))))
+    sid = np.clip(np.ceil((stamps - t0) / float(delta)).astype(np.int64),
+                  1, T) - 1
+    n = M_pad if M_pad is not None else len(stamps)
+    out = np.zeros(n, np.int32)
+    out[: len(stamps)] = sid
+    return T, out

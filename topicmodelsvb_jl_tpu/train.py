@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "todo.txt:25 / issue #14)")
     t.add_argument("--delta", type=float, default=1.0,
                    help="DTM time-slice width")
+    t.add_argument("--cgiter", type=int, default=20,
+                   help="DTM betahat CG iterations per sweep")
 
     # ── RuntimeConfig (TPU knobs) ──
     r = p.add_argument_group("runtime")
@@ -236,11 +238,6 @@ def run(argv=None) -> dict:
     if args.state_dir and not (args.streaming or args.online):
         raise SystemExit("--state-dir only applies with --streaming/--online")
     if args.streaming or args.online:
-        if args.model == "dtm":
-            raise SystemExit(
-                "--streaming/--online support every model except dtm "
-                "(its scaling axis is the [T,K,V] smoother state, "
-                "not the per-doc arrays)")
         if args.metrics or args.profile_dir:
             raise SystemExit(
                 "--metrics/--profile-dir are not supported with "
@@ -301,13 +298,21 @@ def _run_streaming(args, corp, runtime, mesh=None) -> dict:
 
     from .corpus import Corpus
     from .ops.packing import pack_corpus
-    from .streaming import (StreamingCTM, StreamingCTPF, StreamingFCTM,
-                            StreamingFLDA, StreamingHMTM, StreamingLDA)
+    from .streaming import (StreamingCTM, StreamingCTPF, StreamingDTM,
+                            StreamingFCTM, StreamingFLDA, StreamingHMTM,
+                            StreamingLDA, slices_from_stamps)
 
     cls = {"lda": StreamingLDA, "flda": StreamingFLDA,
            "ctm": StreamingCTM, "fctm": StreamingFCTM,
-           "ctpf": StreamingCTPF, "hmtm": StreamingHMTM}[args.model]
+           "ctpf": StreamingCTPF, "hmtm": StreamingHMTM,
+           "dtm": StreamingDTM}[args.model]
     import jax
+
+    if args.model == "dtm" and not isinstance(corp, Corpus):
+        raise SystemExit(
+            "--streaming/--online dtm needs a Corpus with per-document "
+            "stamps (the slice assignment comes from them); packed "
+            "synthetic input carries no stamps.")
 
     is_ctpf = args.model == "ctpf"
     n_dev = 1 if mesh is None else mesh.shape[runtime.data_axis]
@@ -336,18 +341,29 @@ def _run_streaming(args, corp, runtime, mesh=None) -> dict:
     chunk = min(runtime.chunk_docs, per_dev)
     while per_dev % chunk:   # the driver needs chunk | batch/n_dev
         chunk -= 1
+    extra = {}
+    if args.model == "dtm":
+        stamps = [d.stamp for d in corp.docs]
+        if any(s_ is None or not np.isfinite(s_) for s_ in stamps):
+            raise SystemExit("every document must carry a finite stamp "
+                             "(read the corpus with --stamps).")
+        T, slice_id = slices_from_stamps(stamps, args.delta,
+                                         M_pad=packed.M_pad)
+        extra = dict(T=T, slice_id=slice_id)
     s = cls(packed, args.k, batch_docs=batch,
             chunk_docs=chunk,
             dtype=runtime.dtype,
             seed=0 if args.seed is None else args.seed,
             mesh=mesh, data_axis=runtime.data_axis,
-            state_dir=args.state_dir)
+            state_dir=args.state_dir, **extra)
     checkelbo = float("inf") if str(args.checkelbo).lower() in ("inf", "none") \
         else int(args.checkelbo)
     quiet = not (args.quiet or args.json)
     ckpt = dict(checkpoint_every=args.checkpoint_every or 0,
                 checkpoint_dir=args.checkpoint_dir)
     newton = {} if is_ctpf else dict(niter=args.niter, ntol=args.ntol)
+    if args.model == "dtm":
+        newton["cgiter"] = args.cgiter
     if args.online:
         s.train_online(epochs=args.iter, tau0=args.tau0, kappa=args.kappa,
                        viter=args.viter, vtol=args.vtol, **newton,
