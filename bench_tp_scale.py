@@ -1,20 +1,20 @@
-"""TP-at-scale study (VERDICT r3 #3; results in RESULTS.md).
+"""TP-at-scale study (VERDICT r3 #3, r4 #1/#6; results in RESULTS.md).
 
 Two halves:
 
   python bench_tp_scale.py          large-V single-chip LDA on the real
-                                    TPU: step + ELBO cost and live HBM at
-                                    V=250k/1M/2M (K=100) — finds where
-                                    vocab TP becomes mandatory
+                                    TPU: step + ELBO cost (both ELBO
+                                    table modes) and live HBM at
+                                    V=250k/1M/2M/4M (K=100)
   python bench_tp_scale.py --shard  8-virtual-device CPU mesh: vocab TP
                                     at V=250k (per-shard beta storage /8,
                                     trajectory equality) and CTPF user TP
-                                    at U=500k (he storage /8)
+                                    at U=500k (he storage /8 + a short
+                                    trajectory match + lazy-recs check)
 
-Measured round 4 (RESULTS.md "TP at the scale it exists for"):
-V=250k step 128 ms / 1M 315 ms / 2M fails to compile on this toolchain
-(the ceiling is compile-driven, not HBM); vocab shards 100->12.5 MB at
-matching trajectories; CTPF he 32->4 MB per shard at U=500k.
+Round-4 history: V=2M failed to compile — root-caused in round 5 to the
+constructor's gamma rejection sampler (utils/numerics.py:dirichlet_ones)
+and fixed; V up to 4M now trains single-chip (see RESULTS.md "Large-V").
 """
 import os
 import sys
@@ -127,13 +127,68 @@ if "--shard" in sys.argv:
         check_vma=False))
     cst8 = jax.device_put(cst, jax.tree_util.tree_map(
         lambda sp: NamedSharding(umesh, sp), uspec))
-    cs = cstep(cst8, *cdata)
+
+    # single-device reference trajectory (the bar the vocab half meets)
+    cstep1 = jax.jit(ctpf_mod.make_step(cp, K2, viter=4, vtol=1e-3,
+                                        chunk_docs=64, axis_name=None,
+                                        use_pallas=False))
+    celbo1 = jax.jit(ctpf_mod.make_elbo(cp, K2, chunk_docs=64))
+    cref, cs = cst, cst8
+    for _ in range(2):
+        cref = cstep1(cref, *cdata)
+        cs = cstep(cs, *cdata)
+    ce1 = elbo_value(celbo1(cref, *cdata))
+    ce8 = elbo_value(celbo1(
+        jax.tree_util.tree_map(np.asarray, cs), *cdata))
     hshard = cs.he.addressable_shards[0].data
+    rel = lambda a, b: float(np.max(
+        np.abs(np.asarray(a) - np.asarray(b))
+        / (np.abs(np.asarray(b)) + 1e-12)))
     print(json.dumps(dict(
         U=U, K=K2,
         he_full_MB=round(K2 * cs.he.shape[1] * 4 / 1e6, 1),
         he_per_shard_MB=round(np.prod(hshard.shape) * 4 / 1e6, 1),
-        he_shard_shape=list(hshard.shape))), flush=True)
+        he_shard_shape=list(hshard.shape),
+        elbo_single=ce1, elbo_tp8=ce8,
+        rel_elbo_diff=abs(ce8 - ce1) / abs(ce1),
+        he_rel_err=rel(cs.he, cref.he),
+        gimel_rel_err=rel(cs.gimel, cref.gimel))), flush=True)
+
+    # lazy recs at U=500k through the api: the dense [M, U] scores
+    # (512×500k = 1 GB f32) must never materialise — rec rows come from
+    # O((M+U)·K) matvecs (api.py:_score_row_dev); checked against a
+    # NumPy oracle built from the factor state rows only
+    model = tm.CTPF(corp, K2, seed=0,
+                    runtime=tm.RuntimeConfig(chunk_docs=64, pad_multiple=8))
+    model.train(iter=2, tol=0.0, checkelbo=np.inf, printelbo=False)
+    assert model._lazy_scores and model._scores_dev is None \
+        and model._scores_np is None, "dense scores materialised"
+    st = jax.tree_util.tree_map(np.asarray, model.state)
+    rows = model._doc_rows()
+    etheta = st.gimel / st.dalet[None, :] + st.zayin / st.het[None, :]
+    eeta = st.he / st.vav[:, None]
+    ok_u = ok_d = 0
+    for u in (0, 7, U - 1):
+        got = model.urecs[u][:5]
+        s_col = etheta @ eeta[:, u]
+        order = np.argsort(-s_col[rows], kind="stable")
+        excl = set(model.libs[u])
+        want = [int(d) + 1 for d in order if int(d) + 1 not in excl][:5]
+        ok_u += got == want
+    for dd in (0, 3, 11):
+        got = model.drecs[dd][:5]
+        s_row = etheta[rows[dd]] @ eeta
+        order = np.argsort(-s_row[:U], kind="stable")
+        excl = set(model.corp.docs[dd].readers)
+        want = [int(u) + 1 for u in order if int(u) + 1 not in excl][:5]
+        ok_d += got == want
+    assert model._scores_dev is None and model._scores_np is None, \
+        "lazy rec rows materialised the dense scores"
+    print(json.dumps(dict(
+        lazy_recs_U=U, urecs_rows_checked=3, urecs_match=ok_u,
+        drecs_rows_checked=3, drecs_match=ok_d,
+        dense_scores_materialised=False)), flush=True)
+    assert ok_u == 3 and ok_d == 3
     print("tp_shard done")
 
 else:
@@ -185,16 +240,31 @@ else:
             float(s2.beta[0, 0])            # value fetch cannot return early
             times.append((time.perf_counter() - t0) / iters)
         step_s = float(np.median(times))
-        elbo_value(elbo(state, *data[:3]))  # compile
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            ev = elbo_value(elbo(state, *data[:3]))
-            times.append(time.perf_counter() - t0)
-        elbo_s = float(np.median(times))
+        def time_elbo(fn):
+            elbo_value(fn(state, *data[:3]))  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ev = elbo_value(fn(state, *data[:3]))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts)), ev
+
+        elbo_s, ev = time_elbo(elbo)
+        # the other table mode, for the crossover measurement
+        elbo_gd = jax.jit(lda_mod.make_elbo(
+            packed, K, chunk_docs=chunk,
+            gather_direct=not (V >= 2_000_000)))
+        elbo_s_other, _ = time_elbo(elbo_gd)
         beta_mb = 2 * K * V * 4 / 1e6
         table_mb = V * 2 * ((K + 127) // 128 * 128) * 4 / 1e6
-        out = dict(V=V, M=M, step_s=round(step_s, 4), elbo_s=round(elbo_s, 4),
+        gd_default = V >= 2_000_000
+        out = dict(V=V, M=M, step_s=round(step_s, 4),
+                   elbo_s=round(elbo_s, 4),
+                   elbo_s_gather_direct=(round(elbo_s, 4) if gd_default
+                                         else round(elbo_s_other, 4)),
+                   elbo_s_combined_table=(round(elbo_s_other, 4)
+                                          if gd_default
+                                          else round(elbo_s, 4)),
                    elbo=round(ev, 1), beta_pair_MB=round(beta_mb, 1),
                    elbo_table_MB=round(table_mb, 1),
                    hbm_in_use_MB=round(hbm() / 1e6, 1),
@@ -203,7 +273,7 @@ else:
         return out
 
 
-    for V in (250_000, 1_000_000, 2_000_000):
+    for V in (250_000, 1_000_000, 2_000_000, 4_000_000):
         try:
             lda_at_V(V)
         except Exception as e:

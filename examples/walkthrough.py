@@ -32,6 +32,14 @@ import numpy as np
 import topicmodelsvb_jl_tpu as tm
 
 SUBSET = int(os.environ.get("WALKTHROUGH_DOCS", 3000))
+# CI-smoke shrink knobs (tests/test_walkthrough.py): every fixed size
+# scales down so the full story runs end-to-end in ~a minute on CPU
+CITEU_DOCS = int(os.environ.get("WALKTHROUGH_CITEU_DOCS", 2000))
+GEN_DOCS = int(os.environ.get("WALKTHROUGH_GEN_DOCS", 1000))
+STREAM_DOCS = int(os.environ.get("WALKTHROUGH_STREAM_DOCS", 4096))
+STREAM_BATCH = max(64, STREAM_DOCS // 4)
+HMTM_DOCS = int(os.environ.get("WALKTHROUGH_HMTM_DOCS", 200))
+CTPF_K = int(os.environ.get("WALKTHROUGH_CTPF_K", 30))
 
 
 def section(title):
@@ -56,7 +64,7 @@ print("\ndoc 1 topic distribution:", np.round(theta, 3))
 
 # ── 3. generative round-trip (reference README.md:315-350) ──
 section("3. gencorp round-trip: sample a corpus, retrain, recover topics")
-synth = tm.gencorp(lda, M=1000, laplace_smooth=1e-6, seed=1)
+synth = tm.gencorp(lda, M=GEN_DOCS, laplace_smooth=1e-6, seed=1)
 lda2 = tm.LDA(synth, 9, seed=2)
 lda2.train(iter=20, tol=0.0, checkelbo=np.inf, printelbo=False)
 # greedy-match retrained topics to the originals by top-word overlap
@@ -93,14 +101,14 @@ print(f"most correlated topic pair: ({i + 1}, {j + 1}) "
 
 # ── 6. CTPF recommender, warm-started (README.md:512-580, 669-674) ──
 section("6. CTPF: recommendations (warm-started from an LDA)")
-citeu = tm.load_citeu(subset=2000)
+citeu = tm.load_citeu(subset=CITEU_DOCS)
 tm.fixcorp(citeu, trim=True)
 # hide one reader per multi-reader doc for the §8 evaluation
 # (the reference's leave-one-out demo, README.md:512-560)
 citeu, held = tm.holdout_readers(citeu, seed=7)
-base = tm.LDA(citeu, 30, seed=7)
+base = tm.LDA(citeu, CTPF_K, seed=7)
 base.train(iter=15, tol=0.0, checkelbo=np.inf, printelbo=False)
-ctpf = tm.CTPF(citeu, 30, seed=7).warm_start_from(base)
+ctpf = tm.CTPF(citeu, CTPF_K, seed=7).warm_start_from(base)
 ctpf.train(iter=20, tol=0.0, checkelbo=10)
 print("\ntop recommendations for user 1:")
 ctpf.showurecs(users=1, M=5)
@@ -132,9 +140,10 @@ section("9. beyond-memory streaming and one-pass online training")
 from topicmodelsvb_jl_tpu.datasets import synth_packed_nsf_scale
 from topicmodelsvb_jl_tpu.streaming import StreamingLDA
 
-packed = synth_packed_nsf_scale(M=4096, V=2000, mean_terms=40,
-                                chunk_docs=256)
-s = StreamingLDA(packed, 20, batch_docs=1024, chunk_docs=256)
+packed = synth_packed_nsf_scale(M=STREAM_DOCS, V=2000, mean_terms=40,
+                                chunk_docs=min(256, STREAM_BATCH))
+s = StreamingLDA(packed, 20, batch_docs=STREAM_BATCH,
+                 chunk_docs=min(256, STREAM_BATCH))
 s.train_online(epochs=1, tau0=8.0, checkelbo=1, printelbo=False)
 print(f"one online pass over {packed.M} host-resident docs: "
       f"ELBO {s.trace[-1][1]:.0f}")
@@ -147,7 +156,8 @@ import tempfile
 ddir = tempfile.mkdtemp(prefix="tmvb_disk_")
 tm.save_packed(ddir + "/corp", packed)
 disk = tm.load_packed(ddir + "/corp")          # read-only memmaps
-sd = StreamingLDA(disk, 20, batch_docs=1024, chunk_docs=256,
+sd = StreamingLDA(disk, 20, batch_docs=STREAM_BATCH,
+                  chunk_docs=min(256, STREAM_BATCH),
                   state_dir=ddir + "/state")   # writable state memmaps
 sd.train(iter=2, checkelbo=1, printelbo=False)
 print(f"disk-backed stream (corpus+state memmapped): "
@@ -161,7 +171,7 @@ rng = np.random.default_rng(0)
 Kh, Vh = 3, 30
 fam = [list(range(k * 10, (k + 1) * 10)) for k in range(Kh)]
 docs = []
-for _ in range(200):
+for _ in range(HMTM_DOCS):
     z, terms = rng.integers(Kh), []
     for _n in range(60):
         if rng.random() > 0.95:

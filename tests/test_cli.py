@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from topicmodelsvb_jl_tpu.train import run
 
@@ -78,6 +79,7 @@ def test_cli_streaming_ctm_and_flda():
         assert o["mode"] == "streaming" and np.isfinite(o["final_elbo"])
 
 
+@pytest.mark.slow
 def test_cli_streaming_ctpf_with_checkpoint(tmp_path):
     ckpt_dir = str(tmp_path / "ck")
     s = run([
@@ -101,6 +103,7 @@ def test_cli_streaming_ctpf_with_checkpoint(tmp_path):
     assert o["mode"] == "online" and np.isfinite(o["final_elbo"])
 
 
+@pytest.mark.slow
 def test_cli_streaming_dtm_trains_and_checkpoints(tmp_path):
     ckpt_dir = str(tmp_path / "ck")
     s = run([
@@ -195,6 +198,7 @@ def test_pick_stream_batch_matches_bruteforce():
                 assert _pick_stream_batch(M_pad, want, n_dev) == brute
 
 
+@pytest.mark.slow
 def test_cli_packed_dir_streaming_from_disk(tmp_path):
     """--packed-dir + --streaming + --state-dir: the full disk-backed
     path (corpus memmaps in, state memmaps out) through the CLI."""

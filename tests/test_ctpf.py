@@ -85,6 +85,31 @@ def test_ctpf_recommender_outputs(reader_corpus):
             assert d in model.libs[u - 1]
 
 
+def test_ctpf_lazy_scores_match_dense(reader_corpus, monkeypatch):
+    """Past _SCORES_DENSE_MAX the dense [M, U] score matrix is never
+    built (large-U regime, CTPF.jl:60): rec rows come from per-row
+    matvecs (api.py:_score_row_dev) and must equal the dense path's."""
+    dense = _make(reader_corpus, K=3, dtype="float32")
+    dense.train(iter=5, checkelbo=np.inf, printelbo=False)
+    assert not dense._lazy_scores
+
+    monkeypatch.setattr(CTPF, "_SCORES_DENSE_MAX", 0)
+    lazy = _make(reader_corpus, K=3, dtype="float32")
+    lazy.train(iter=5, checkelbo=np.inf, printelbo=False)
+    assert lazy._lazy_scores
+    assert lazy._scores_dev is None and lazy._scores_np is None
+
+    M, V, U = reader_corpus.shape
+    for d in range(M):
+        assert lazy.drecs[d] == dense.drecs[d]
+    for u in range(U):
+        assert lazy.urecs[u] == dense.urecs[u]
+    # per-row reads leave the dense matrix unmaterialised
+    assert lazy._scores_dev is None and lazy._scores_np is None
+    # an explicit .scores ask still yields the full matrix
+    np.testing.assert_allclose(lazy.scores, dense.scores, rtol=1e-6)
+
+
 def _structured_reader_corpus(n_groups=10, docs_per_group=15,
                               users_per_group=20, readers_per_doc=6,
                               V=100, seed=2):

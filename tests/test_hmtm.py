@@ -24,6 +24,7 @@ def _make(corp, K, n_devices=None, dtype="float64", chunk=8, seed=3):
     return tm.HMTM(corp, K, runtime=rt, mesh=mesh, seed=seed)
 
 
+@pytest.mark.slow
 def test_hmtm_matches_oracle(ordered_corpus):
     """Batched forward-backward E-step + Newtons reproduce the per-doc
     float64 oracle trajectory update-by-update."""
@@ -57,6 +58,7 @@ def test_hmtm_elbo_monotone(ordered_corpus):
     assert all(d > -1e-6 for d in deltas[1:])
 
 
+@pytest.mark.slow
 def test_hmtm_shard_equivalence(ordered_corpus):
     m1 = _make(ordered_corpus, K=4, n_devices=1, seed=3)
     m8 = _make(ordered_corpus, K=4, n_devices=8, seed=3)
@@ -152,6 +154,7 @@ def test_hmtm_gendoc_ordered(ordered_corpus):
     assert all(1 <= t <= ordered_corpus.shape[1] for t in doc.terms)
 
 
+@pytest.mark.slow
 def test_hmtm_checkpoint_roundtrip(ordered_corpus, tmp_path):
     model = _make(ordered_corpus, K=3)
     model.train(iter=2, checkelbo=1, printelbo=False)
@@ -212,6 +215,7 @@ def _shuffled(corp, seed=0):
     return tm.Corpus(docs=docs, vocab=dict(corp.vocab))
 
 
+@pytest.mark.slow
 def test_hmtm_beats_lda_on_chains_ties_when_shuffled():
     """The model family's VALUE gate (VERDICT r3 #6): order-aware
     perplexity must beat LDA by a margin on sticky-chain corpora —

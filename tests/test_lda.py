@@ -115,6 +115,7 @@ def test_train_argument_validation(tiny_corpus):
         tm.LDA(tiny_corpus, 0)
 
 
+@pytest.mark.slow
 def test_reference_tol_semantics_reachable_f64():
     """The reference's default early stop (tol=1.0, LDA.jl:161,
     checkelbo=1) must fire GENUINELY on the f64 path: monotone decaying
@@ -137,3 +138,64 @@ def test_reference_tol_semantics_reachable_f64():
     assert all(d >= 0 for d in ds), "trace must be monotone"
     # decay (not noise-crossing): the last delta is also the smallest
     assert ds[-1] == min(ds)
+
+
+def test_elogtheta_f64_channel_tracks_f32(tiny_corpus):
+    """RuntimeConfig.elogtheta_f64 promotes only the per-doc digamma
+    channel; the trajectory must stay within f32 tolerance of the plain
+    path while the states differ (the channel really changed)."""
+    import jax.numpy as jnp
+    from topicmodelsvb_jl_tpu.models import lda as lda_mod
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+
+    K = 3
+    packed = pack_corpus(tiny_corpus, pad_multiple=8, docs_multiple=8)
+    data = (jnp.asarray(packed.terms),
+            jnp.asarray(packed.counts.astype(np.float32)),
+            jnp.asarray(packed.doc_mask.astype(np.float32)),
+            jnp.asarray(float(packed.M), jnp.float32))
+    kw = dict(viter=4, vtol=1.0 / K**2, niter=50, ntol=1.0 / K**2,
+              chunk_docs=8, axis_name=None, use_pallas=False)
+    outs = {}
+    for knob in (False, True):
+        import jax
+        st = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
+        step = jax.jit(lda_mod.make_step(packed, K, elogtheta_f64=knob, **kw))
+        for _ in range(3):
+            st = step(st, *data)
+        outs[knob] = st
+    np.testing.assert_allclose(np.asarray(outs[True].beta),
+                               np.asarray(outs[False].beta),
+                               rtol=2e-4, atol=1e-7)
+    assert not np.array_equal(np.asarray(outs[True].Elogtheta),
+                              np.asarray(outs[False].Elogtheta))
+
+
+def test_elbo_gather_direct_matches_combined_table(tiny_corpus):
+    """The large-V gather-direct ELBO (no [V, 2K] combined table) must
+    agree with the default combined-table pass."""
+    import jax
+    import jax.numpy as jnp
+    from topicmodelsvb_jl_tpu.models import lda as lda_mod
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
+    from topicmodelsvb_jl_tpu.utils.numerics import elbo_value
+
+    K = 3
+    packed = pack_corpus(tiny_corpus, pad_multiple=8, docs_multiple=8,
+                         dtype=np.float64)
+    data = (jnp.asarray(packed.terms),
+            jnp.asarray(packed.counts.astype(np.float64)),
+            jnp.asarray(packed.doc_mask.astype(np.float64)),
+            jnp.asarray(float(packed.M), jnp.float64))
+    st = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    step = jax.jit(lda_mod.make_step(
+        packed, K, viter=4, vtol=1.0 / K**2, niter=50, ntol=1.0 / K**2,
+        chunk_docs=8, axis_name=None, use_pallas=False))
+    for _ in range(2):
+        st = step(st, *data)
+    vals = []
+    for gd in (False, True):
+        e = jax.jit(lda_mod.make_elbo(packed, K, chunk_docs=8,
+                                      gather_direct=gd))
+        vals.append(elbo_value(e(st, *data[:3])))
+    np.testing.assert_allclose(vals[1], vals[0], rtol=1e-12)

@@ -9,6 +9,7 @@ the single-device trajectory up to reduction-order roundoff.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from topicmodelsvb_jl_tpu.utils.numerics import elbo_value
 from jax.sharding import PartitionSpec as P
@@ -155,6 +156,7 @@ def test_ctm_vocab_axis_tp_matches_single_device():
     np.testing.assert_allclose(np.asarray(s.sigma), np.asarray(ref.sigma), rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_ctpf_vocab_and_user_axis_tp_matches_single_device():
     """CTPF with alef sharded over vocab and he sharded over users."""
     import topicmodelsvb_jl_tpu as tm
@@ -301,6 +303,7 @@ def test_fctm_vocab_axis_tp_matches_single_device():
     np.testing.assert_allclose(elbo_value(elbo_fn(s, *data[:3])), ref_e, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_dtm_vocab_axis_tp_matches_single_device():
     """DTM with the [T, K, V] state sharded over a vocab axis: the
     Kalman smoother runs shard-local (elementwise over V); the CG
@@ -575,6 +578,7 @@ def test_lda_3d_dp_tp_sp_mesh_matches_single_device():
                                rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_hmtm_vocab_axis_tp_matches_single_device():
     """HMTM with beta storage sharded over a vocab axis (TP): the
     forward-backward E-step all-gathers beta once per sweep and the

@@ -44,6 +44,7 @@ def test_predict_lda_assigns_planted_topics():
         assert got == ref_topics[z]
 
 
+@pytest.mark.slow
 def test_predict_ctm_and_filtered():
     corp = _planted_corpus(M=60)
     model = tm.CTM(corp, 3, runtime=_rt(), seed=1)
@@ -110,6 +111,7 @@ def test_gendoc_ctm_and_errors():
         tm.gencorp(model, 0)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_continues_elbo_trace(tiny_corpus):
     """Save at iter 3, resume 2 more — ELBO trace must equal a straight
     5-iteration run (SURVEY §5.4)."""
@@ -169,6 +171,7 @@ def test_check_model_catches_corruption():
         m.train(iter=1, printelbo=False)
 
 
+@pytest.mark.slow
 def test_checkpoint_dtm_roundtrip(tmp_path):
     import numpy as np
 
@@ -300,6 +303,7 @@ def test_infer_cached_zero_recompilation():
     assert np.all(np.isfinite(pred_b.topicdist(1)))
 
 
+@pytest.mark.slow
 def test_infer_cache_is_lru_bounded():
     """The serve-path cache of compiled steps must not grow without
     bound across distinct corpus shapes (regression: long-lived serving
@@ -322,6 +326,7 @@ def test_infer_cache_is_lru_bounded():
     assert sigs[0] != sigs[-1]  # oldest entry was evicted
 
 
+@pytest.mark.slow
 def test_infer_cache_retains_no_corpus_arrays():
     """The cached jitted steps must not pin the held-out corpus's packed
     numpy arrays (regression: make_step closures captured packed.segments,
@@ -371,3 +376,36 @@ def test_infer_cache_retains_no_corpus_arrays():
         big = [a.shape for a in walk_arrays(step_fn, set())
                if a.size > 64]   # token-scale arrays; scalars/K-vectors ok
         assert not big, f"cached step pins host arrays of shapes {big}"
+
+
+def test_checkpoint_f16_compression_roundtrip(tiny_corpus, tmp_path):
+    """checkpoint_f16: per-doc leaves snapshot at f16 (half the D2H
+    bytes), restore casts back, training continues finite; globals stay
+    full precision."""
+    import jax.numpy as jnp
+
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu import checkpoint as ckptlib
+
+    m = tm.LDA(tiny_corpus, 3, seed=1,
+               runtime=tm.RuntimeConfig(chunk_docs=8, pad_multiple=8))
+    m.train(iter=3, checkelbo=1, tol=0.0, printelbo=False)
+    path = str(tmp_path / "f16.ckpt")
+    snap = ckptlib.snapshot(m, compress="f16")
+    # the per-doc leaves in the snapshot really are f16 (halved bytes)
+    assert snap[1].gamma.dtype == jnp.float16
+    assert snap[1].beta.dtype == jnp.float32   # globals untouched
+    ckptlib.write_snapshot(path, snap)
+
+    r = ckptlib.load(path, tiny_corpus)
+    assert np.asarray(r.state.gamma).dtype == np.float32  # cast back
+    np.testing.assert_allclose(np.asarray(r.state.beta),
+                               np.asarray(m.state.beta), rtol=0)
+    np.testing.assert_allclose(np.asarray(r.gamma), np.asarray(m.gamma),
+                               rtol=2e-3, atol=1e-3)
+    r.train(iter=2, checkelbo=1, tol=0.0, printelbo=False)
+    assert np.isfinite(r.elbo)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ckptlib.snapshot(m, compress="zstd")

@@ -125,6 +125,7 @@ def test_online_training_elbo_climbs_across_epochs():
 
 
 
+@pytest.mark.slow
 def test_streaming_over_mesh_matches_single_device():
     """Streaming + DP: each batch shards over a 4-device mesh, stats
     psum across devices — trajectory identical to single-device
@@ -206,6 +207,7 @@ def test_streaming_ctpf_matches_inmemory_trajectory():
     np.testing.assert_allclose(s._sweep_elbo(), ref_elbo, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_streaming_ctpf_batch_partition_invariance():
     from topicmodelsvb_jl_tpu.streaming import StreamingCTPF
 
@@ -225,6 +227,7 @@ def test_streaming_ctpf_batch_partition_invariance():
                                    rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_streaming_ctpf_over_mesh_matches_single_device():
     from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
     from topicmodelsvb_jl_tpu.streaming import StreamingCTPF
@@ -243,6 +246,7 @@ def test_streaming_ctpf_over_mesh_matches_single_device():
     np.testing.assert_allclose(s._sweep_elbo(), ref_elbo, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_streaming_ctpf_online_climbs_and_scores():
     from topicmodelsvb_jl_tpu.streaming import StreamingCTPF
 
@@ -317,6 +321,7 @@ def test_streaming_dir_checkpoint_shard_validation(tmp_path):
         st.load(str(d), packed)
 
 
+@pytest.mark.slow
 def test_streaming_ctpf_checkpoint_resume(tmp_path):
     from topicmodelsvb_jl_tpu import streaming as st
 
@@ -457,6 +462,7 @@ _STREAM_CASES = {
 
 
 @pytest.mark.parametrize("name", list(_STREAM_CASES))
+@pytest.mark.slow
 def test_streaming_generic_matches_inmemory(name):
     """CTM/fLDA/fCTM host-streamed training reproduces the in-memory
     trajectory exactly (globals frozen within a sweep), including the
@@ -488,6 +494,7 @@ def test_streaming_generic_matches_inmemory(name):
 
 
 @pytest.mark.parametrize("name", list(_STREAM_CASES))
+@pytest.mark.slow
 def test_streaming_generic_batch_partition_invariance(name):
     from topicmodelsvb_jl_tpu import streaming as st
 
@@ -513,6 +520,7 @@ def test_streaming_generic_batch_partition_invariance(name):
 
 
 @pytest.mark.parametrize("name", list(_STREAM_CASES))
+@pytest.mark.slow
 def test_streaming_generic_checkpoint_and_online(name):
     """Checkpoint/resume continues the exact batch trajectory; one
     online epoch produces a finite climbing bound and topics."""
@@ -560,6 +568,7 @@ def test_streaming_generic_checkpoint_and_online(name):
     assert o.topics is not None and o.topics.shape == expect_shape
 
 
+@pytest.mark.slow
 def test_streaming_to_model_bridge():
     """to_model() materialises the streamed state as the api model:
     identical parameters (through the bucketed row permutation) and the
@@ -606,6 +615,7 @@ def test_streaming_to_model_bridge():
     assert len(recs) > 0
 
 
+@pytest.mark.slow
 def test_streaming_generic_over_mesh_matches_single_device():
     """The generic batch sweep's shard_map path (StreamingCTM here,
     representative of CTM/fLDA/fCTM): stats psum across a 4-device
@@ -632,6 +642,7 @@ def test_streaming_generic_over_mesh_matches_single_device():
                                [t[1] for t in ref.trace], rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_streaming_lda_tp_vocab_axis_matches_single_device():
     """Streaming × TP composition: beta storage shards over a 2-D
     data×vocab mesh while batches stream — trajectory identical to

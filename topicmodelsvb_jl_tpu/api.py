@@ -329,7 +329,8 @@ class TopicModel:
                     # previous write.
                     if self._ckpt_writer is None:
                         self._ckpt_writer = ckptlib.AsyncWriter()
-                    snap = ckptlib.snapshot(self)
+                    snap = ckptlib.snapshot(
+                        self, compress="f16" if rt.checkpoint_f16 else None)
 
                     def _write():
                         _clear(tmp)
@@ -1012,15 +1013,28 @@ class CTPF(TopicModel):
         # reference materialises all M·U ranks eagerly (CTPF.jl:389-400)
         self._scores_dev = None
         self._scores_np = None
+        self._lazy_scores = False
         self._urecs = None
         self._drecs = None
         self._ranked = False
+
+    # past this many M·U elements the dense score matrix is never built
+    # (not even on device): ranked rec rows come from O((M+U)·K) matvecs
+    # against the factor state instead (the large-U regime, CTPF.jl:60)
+    _SCORES_DENSE_MAX = 100_000_000
 
     @property
     def scores(self) -> np.ndarray:
         if self._scores_np is None:
             if self._scores_dev is not None:
                 self._scores_np = np.asarray(self._scores_dev)
+            elif self._lazy_scores:
+                # explicit user ask for the full matrix: build it once,
+                # dense, on device (the lazy mode only keeps the recs
+                # machinery from doing this implicitly)
+                s = ctpf_mod.scores(self.state)
+                rows = jnp.asarray(self._doc_rows())
+                self._scores_np = np.asarray(s[rows][:, : self.U])
             else:
                 self._scores_np = np.zeros((self.M, self.U))
         return self._scores_np
@@ -1029,6 +1043,7 @@ class CTPF(TopicModel):
     def scores(self, v):
         self._scores_np = np.asarray(v)
         self._scores_dev = None
+        self._lazy_scores = False
         # externally assigned scores define the ranking
         self._ranked = bool(np.any(self._scores_np))
         self._urecs = None
@@ -1040,8 +1055,25 @@ class CTPF(TopicModel):
         if self._scores_dev is not None:
             sl = self._scores_dev[i] if kind == "d" else self._scores_dev[:, i]
             return np.asarray(sl)
+        if self._lazy_scores:
+            return self._score_row_dev(kind, i)
         n = self.U if kind == "d" else self.M
         return np.zeros(n)
+
+    def _score_row_dev(self, kind: str, i: int) -> np.ndarray:
+        """One row of Eeta'·(Etheta+Eepsilon) (CTPF.jl:381-386) as an
+        O((M+U)·K) device matvec — the dense [M, U] never exists."""
+        st = self.state
+        rows = self._doc_rows()
+        if kind == "d":   # users scored for document i: [U]
+            r = int(rows[i])
+            v = st.gimel[r] / st.dalet + st.zayin[r] / st.het     # [K]
+            return np.asarray((v @ (st.he / st.vav[:, None]))[: self.U])
+        # documents scored for user i: [M], in doc order
+        eeta_i = st.he[:, i] / st.vav                             # [K]
+        s = (st.gimel / st.dalet[None, :]
+             + st.zayin / st.het[None, :]) @ eeta_i               # [M_pad]
+        return np.asarray(s)[rows]
 
     def _rec_row(self, kind: str, i: int) -> list:
         """Ranked recommendation row (0-based i), computed on demand."""
@@ -1139,10 +1171,17 @@ class CTPF(TopicModel):
         super()._finalize()
         # scores Eeta'·(Etheta+Eepsilon) (CTPF.jl:381-386): one device
         # matmul, kept on device — [M, U] is 100s of MB at CiteULike
-        # scale and the ranked recs only ever read a row at a time
-        s = ctpf_mod.scores(self.state)
-        rows = jnp.asarray(self._doc_rows())
-        self._scores_dev = s[rows][:, : self.U]
+        # scale and the ranked recs only ever read a row at a time.
+        # Past _SCORES_DENSE_MAX elements (the large-U regime) even the
+        # device matrix is skipped: rec rows come from per-row matvecs.
+        if self.M * self.U > self._SCORES_DENSE_MAX:
+            self._scores_dev = None
+            self._lazy_scores = True
+        else:
+            s = ctpf_mod.scores(self.state)
+            rows = jnp.asarray(self._doc_rows())
+            self._scores_dev = s[rows][:, : self.U]
+            self._lazy_scores = False
         self._scores_np = None
         self._ranked = True
         self._urecs = None

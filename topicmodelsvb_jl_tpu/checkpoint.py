@@ -155,17 +155,42 @@ def save(path: str, model) -> None:
     write_snapshot(path, snapshot(model))
 
 
-def snapshot(model) -> tuple:
+def snapshot(model, compress: str = None) -> tuple:
     """Immutable (meta, state, doc_fields, rows) capture of everything
     :func:`write_snapshot` needs, taken on the training thread.  Starts
     the device→host DMA of every leaf (``copy_to_host_async``) so a
     background writer's ``np.asarray`` only waits for completion instead
     of issuing a blocking fetch — the double-buffered half of async
     checkpointing (the state pytree is immutable, so the capture is
-    race-free even while training replaces ``model.state``)."""
+    race-free even while training replaces ``model.state``).
+
+    ``compress="f16"`` casts the per-document leaves — the snapshot's
+    dominant bytes (at NSF K=100: 3×[128804, 100] vs beta's 2×[100,
+    25319]) — to float16 ON DEVICE before the DMA starts, halving the
+    D2H transfer the async writer must hide (the measured bottleneck
+    through a slow host link; RESULTS.md "Async checkpointing").
+    Restore casts back; a resumed run re-converges the per-doc fixpoint
+    from the rounded state, so the trace is no longer bit-reproduced —
+    an opt-in size/fidelity trade (RuntimeConfig.checkpoint_f16).
+
+    Globals are never skipped: every global moves every iteration
+    (beta/beta_old/alpha are all rewritten by each sweep) and beta_old
+    is load-bearing at restore (the ELBO recompute semantics,
+    LDA.jl:83-93), so there is no "unchanged globals" mass to elide.
+    """
     state = model.state
     meta = _model_meta(model)
     doc_fields = set(getattr(model, "_per_doc_fields", ()))
+    if compress == "f16":
+        import jax.numpy as jnp
+
+        meta["compress"] = "f16"
+        repl = {n: getattr(state, n).astype(jnp.float16)
+                for n in doc_fields
+                if isinstance(getattr(state, n), jax.Array)}
+        state = state._replace(**repl)
+    elif compress is not None:
+        raise ValueError(f"unknown checkpoint compression {compress!r}")
     rows = model._doc_rows()
     for leaf in state:
         if isinstance(leaf, jax.Array):

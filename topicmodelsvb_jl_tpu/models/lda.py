@@ -350,7 +350,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
               vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
-              use_pallas: Optional[bool] = None, pallas_interpret: bool = False):
+              use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
+              gather_direct: Optional[bool] = None):
     """Build the jittable full-corpus ELBO (reference LDA.jl:50-93).
 
     phi is recomputed from (beta_old, Elogtheta_old) exactly as
@@ -362,8 +363,22 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     kernel (kernels/lda_elbo.py) — one VMEM-resident pass over the two
     gathered beta tiles instead of ~5 HBM round-trips; ``None`` means
     auto (on when the tile shape fits).  Doc-level terms stay in XLA.
+
+    ``gather_direct`` skips materialising the combined padded [V, 2Kp]
+    term table — the pass's dominant allocation at large V (4 GB at
+    V=4e6, K=100) — and instead gathers the two UNPADDED [V, K] factor
+    tables per chunk, building the kernel's [B, L, 2Kp] tile on the
+    fly.  Measured on the v5e (bench_tp_scale.py, round 5): the
+    combined table WINS wherever it fits (two K-lane gathers cost
+    ~1.3-1.5× one 2Kp-lane gather — gather cost is per row), so auto
+    keeps it until the table alone would crowd HBM (> ~6 GB); past
+    that, gather_direct extends the single-chip vocabulary ceiling at a
+    measured ~20-30% ELBO-pass premium.
     """
     V = packed.V
+    if gather_direct is None:
+        # table bytes = V · 2Kp · 4; switch once it would exceed ~6 GB
+        gather_direct = V * 2 * _round_up_128(K) * 4 > 6e9
     seg_starts = seg_loc_starts(packed)
     if use_pallas is None:
         # no small-K gate here (unlike make_step's K >= 64): the ELBO
@@ -399,13 +414,22 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             boT = beta_old_full.T + eps                       # [V, K]
             dlogT = logbetaT - logbeta_oldT                   # [V, K]
             padt = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
-            tabT = jnp.concatenate([padt(boT), padt(boT * dlogT)], axis=1)
+            if gather_direct:
+                g2T = boT * dlogT                             # [V, K]
+                padb = lambda x: jnp.pad(
+                    x, ((0, 0), (0, 0), (0, Kp - K)))
+                gather_tab = lambda t: jnp.concatenate(
+                    [padb(boT[t]), padb(g2T[t])], axis=-1)
+            else:
+                tabT = jnp.concatenate([padt(boT), padt(boT * dlogT)],
+                                       axis=1)
+                gather_tab = lambda t: tabT[t]
             padk = lambda x: jnp.pad(x, ((0, 0), (0, Kp - K)))
 
             def scan_body_pallas(acc, xs):
                 acc_doc, acc_tok = acc
                 t, c, dm, g, el, elo = xs
-                tok = lda_elbo_tok(tabT[t], c, dm, padk(el), padk(elo),
+                tok = lda_elbo_tok(gather_tab(t), c, dm, padk(el), padk(elo),
                                    interpret=pallas_interpret)
                 e_ptheta = theta_const + jnp.sum((a - 1.0) * el, -1)
                 e_qtheta = dirichlet_entropy(g)
@@ -414,13 +438,19 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
 
         # one combined [V, 2K] table: the gather's per-row cost is paid
         # once at double width instead of twice (measured −30% on the
-        # pass even before the fused kernel)
-        log_tabT = jnp.concatenate([logbeta_oldT, logbetaT], axis=1)
+        # pass even before the fused kernel); at large V the combined
+        # copy is skipped and the two factors gather per chunk
+        if gather_direct:
+            gather_log_tab = lambda t: jnp.concatenate(
+                [logbeta_oldT[t], logbetaT[t]], axis=-1)
+        else:
+            log_tabT = jnp.concatenate([logbeta_oldT, logbetaT], axis=1)
+            gather_log_tab = lambda t: log_tabT[t]
 
         def scan_body(acc, xs):
             acc_doc, acc_tok = acc
             t, c, dm, g, el, elo = xs
-            lt = log_tabT[t]                                     # [B, L, 2K]
+            lt = gather_log_tab(t)                               # [B, L, 2K]
             p = _phi(lt[..., :K], elo, softmax=asoftmax)         # [B, L, K]
             cw = c[..., None]
             # Elogptheta (LDA.jl:50-53)

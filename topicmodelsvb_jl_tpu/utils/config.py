@@ -73,8 +73,11 @@ class RuntimeConfig:
     # evaluate the per-doc gamma → Elogtheta digamma channel in f64 with
     # f32 cast-back (the token-level [B, L, K] math stays f32).  The
     # round-4 tol=1.0 accounting attributed the residual f32 training-
-    # arithmetic noise floor to exactly this channel; the [B, K] tiles
-    # are tiny, so the promotion costs ~nothing.  Requires
+    # arithmetic noise floor to exactly this channel; measured round 5
+    # (RESULTS.md, bench_f64_channel.py): the noise firing at the
+    # tol=1.0 stop shrinks 13× at NSF planted scale (−662 → −50), at
+    # ~3× step cost vs the production Pallas path (TPU f64 digamma is
+    # software-emulated) — an accuracy knob, not a default.  Requires
     # jax_enable_x64 (checked at model build); forces the XLA E-step
     # body (the Pallas kernel's in-kernel digamma series is f32).
     elogtheta_f64: bool = False
@@ -88,3 +91,9 @@ class RuntimeConfig:
     # Files go to checkpoint_dir/ckpt_iter{k}. (SURVEY §5.3 recovery story.)
     checkpoint_every: int = 0
     checkpoint_dir: Optional[str] = None
+    # cast the per-doc state leaves (the snapshot's dominant bytes) to
+    # f16 on device before the async checkpoint's D2H fetch — halves
+    # the transfer the writer must hide on slow host links.  Opt-in:
+    # a resume from an f16 snapshot re-converges rather than
+    # bit-reproducing the trace (checkpoint.snapshot docstring).
+    checkpoint_f16: bool = False
