@@ -78,6 +78,25 @@ elif mode == "hmtm":
                          dtype="float64", seed=3)
     s.train(iter=iters, tol=0.0, checkelbo=1, printelbo=False, **ck)
     glob = np.asarray(s.beta)
+elif mode in ("flda", "fctm"):
+    corp = tm.synth_corpus(M=64, V=40, K=3, seed=5)
+    packed = pack_corpus(corp, pad_multiple=8, docs_multiple=16,
+                         dtype=np.float64)
+    cls = st.StreamingFLDA if mode == "flda" else st.StreamingFCTM
+    s = cls(packed, 3, batch_docs=32, chunk_docs=8,
+            dtype="float64", seed=3)
+    s.train(iter=iters, tol=0.0, checkelbo=1, printelbo=False, **ck)
+    glob = np.asarray(s.beta)
+elif mode == "dtm":
+    corp = tm.synth_corpus(M=64, V=40, K=3, seed=5)
+    packed = pack_corpus(corp, pad_multiple=8, docs_multiple=16,
+                         dtype=np.float64)
+    sid = np.zeros(packed.M_pad, np.int32)
+    sid[packed.M_pad // 2:] = 1
+    s = st.StreamingDTM(packed, 3, T=2, slice_id=sid, batch_docs=32,
+                        chunk_docs=8, dtype="float64", seed=3)
+    s.train(iter=iters, tol=0.0, checkelbo=1, printelbo=False, **ck)
+    glob = np.asarray(s.betahat).reshape(-1)
 elif mode == "lda_disk":
     # multi-controller × literal disk streaming: the corpus comes from a
     # SHARED read-only packed dir (each process memmaps it and touches
