@@ -249,22 +249,26 @@ else:
                 ts.append(time.perf_counter() - t0)
             return float(np.median(ts)), ev
 
-        elbo_s, ev = time_elbo(elbo)
-        # the other table mode, for the crossover measurement
-        elbo_gd = jax.jit(lda_mod.make_elbo(
-            packed, K, chunk_docs=chunk,
-            gather_direct=not (V >= 2_000_000)))
-        elbo_s_other, _ = time_elbo(elbo_gd)
+        elbo_s, ev = time_elbo(elbo)   # auto mode (what users get)
+        # both table modes explicitly, for the crossover measurement;
+        # the combined [V, 2Kp] table may legitimately OOM at the
+        # largest V — that is the regime gather_direct exists for
+        gd_s = time_elbo(jax.jit(lda_mod.make_elbo(
+            packed, K, chunk_docs=chunk, gather_direct=True)))[0]
+        try:
+            ct_s = time_elbo(jax.jit(lda_mod.make_elbo(
+                packed, K, chunk_docs=chunk, gather_direct=False)))[0]
+        except Exception as e:
+            print(f"combined-table ELBO failed at V={V}: "
+                  f"{type(e).__name__}", flush=True)
+            ct_s = None
         beta_mb = 2 * K * V * 4 / 1e6
         table_mb = V * 2 * ((K + 127) // 128 * 128) * 4 / 1e6
-        gd_default = V >= 2_000_000
         out = dict(V=V, M=M, step_s=round(step_s, 4),
                    elbo_s=round(elbo_s, 4),
-                   elbo_s_gather_direct=(round(elbo_s, 4) if gd_default
-                                         else round(elbo_s_other, 4)),
-                   elbo_s_combined_table=(round(elbo_s_other, 4)
-                                          if gd_default
-                                          else round(elbo_s, 4)),
+                   elbo_s_gather_direct=round(gd_s, 4),
+                   elbo_s_combined_table=(None if ct_s is None
+                                          else round(ct_s, 4)),
                    elbo=round(ev, 1), beta_pair_MB=round(beta_mb, 1),
                    elbo_table_MB=round(table_mb, 1),
                    hbm_in_use_MB=round(hbm() / 1e6, 1),

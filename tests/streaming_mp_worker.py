@@ -8,8 +8,8 @@ its own batches through its local device, and the sufficient
 statistics / bound reduce across processes per sweep.
 
 Usage: python streaming_mp_worker.py <proc_id> <nproc> <port> <mode> [k=v ...]
-  mode ∈ {lda, lda_mesh, lda_online, ctpf, ctm, hmtm, lda_disk,
-          lda_ckpt, lda_resume}
+  mode ∈ {lda, lda_mesh, lda_online, ctpf, ctm, hmtm, flda, fctm, dtm,
+          lda_disk, lda_ckpt, lda_resume}
   k=v extras: ckpt=<dir>        auto-checkpoint directory
               every=<n>         auto-checkpoint cadence (default 3)
               iters=<n>         training iterations (default 3)

@@ -24,7 +24,6 @@ def _make(corp, K, n_devices=None, dtype="float64", chunk=8, seed=3):
     return tm.HMTM(corp, K, runtime=rt, mesh=mesh, seed=seed)
 
 
-@pytest.mark.slow
 def test_hmtm_matches_oracle(ordered_corpus):
     """Batched forward-backward E-step + Newtons reproduce the per-doc
     float64 oracle trajectory update-by-update."""

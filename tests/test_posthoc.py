@@ -111,7 +111,6 @@ def test_gendoc_ctm_and_errors():
         tm.gencorp(model, 0)
 
 
-@pytest.mark.slow
 def test_checkpoint_resume_continues_elbo_trace(tiny_corpus):
     """Save at iter 3, resume 2 more — ELBO trace must equal a straight
     5-iteration run (SURVEY §5.4)."""
@@ -409,3 +408,23 @@ def test_checkpoint_f16_compression_roundtrip(tiny_corpus, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ckptlib.snapshot(m, compress="zstd")
+
+    # range guard: a per-doc leaf with entries beyond float16 max
+    # (gamma scales with doc length — a >65k-token doc overflows) must
+    # stay full precision instead of checkpointing inf
+    big = np.asarray(m.state.gamma).copy()
+    big[0, 0] = 1e5
+    m.state = m.state._replace(gamma=jnp.asarray(big))
+    snap2 = ckptlib.snapshot(m, compress="f16")
+    assert snap2[1].gamma.dtype == jnp.float32       # guarded
+    assert snap2[1].Elogtheta.dtype == jnp.float16   # others still cast
+    path2 = str(tmp_path / "f16b.ckpt")
+    ckptlib.write_snapshot(path2, snap2)
+    r2 = ckptlib.load(path2, tiny_corpus)
+    assert np.isfinite(np.asarray(r2.state.gamma)).all()
+
+    # save() forwards compress (the auto-checkpoint path uses snapshot
+    # directly; the public save must honor the knob too)
+    path3 = str(tmp_path / "f16c.ckpt")
+    ckptlib.save(path3, m, compress="f16")
+    assert np.isfinite(ckptlib.load(path3, tiny_corpus).elbo)

@@ -462,7 +462,6 @@ _STREAM_CASES = {
 
 
 @pytest.mark.parametrize("name", list(_STREAM_CASES))
-@pytest.mark.slow
 def test_streaming_generic_matches_inmemory(name):
     """CTM/fLDA/fCTM host-streamed training reproduces the in-memory
     trajectory exactly (globals frozen within a sweep), including the

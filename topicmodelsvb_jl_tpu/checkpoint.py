@@ -139,7 +139,7 @@ def _row_to_doc(model) -> np.ndarray:
     return row2doc
 
 
-def save(path: str, model) -> None:
+def save(path: str, model, compress: str = None) -> None:
     """Save an api.TopicModel's state + metadata.
 
     Per-document state fields are stored in **original document order**
@@ -148,11 +148,16 @@ def save(path: str, model) -> None:
     differ.  Under multi-controller JAX (``jax.process_count() > 1``)
     ``path`` becomes a directory of per-process shard files — call from
     every process (it synchronises internally).
+
+    ``compress="f16"`` halves the per-doc leaves' bytes (see
+    :func:`snapshot`; on the multi-process path the saving is in shard
+    file size / restore bandwidth — the D2H fetch there is synchronous
+    either way).
     """
     if jax.process_count() > 1:
-        _save_multihost(path, model)
+        _save_multihost(path, model, compress=compress)
         return
-    write_snapshot(path, snapshot(model))
+    write_snapshot(path, snapshot(model, compress=compress))
 
 
 def snapshot(model, compress: str = None) -> tuple:
@@ -185,10 +190,22 @@ def snapshot(model, compress: str = None) -> tuple:
         import jax.numpy as jnp
 
         meta["compress"] = "f16"
-        repl = {n: getattr(state, n).astype(jnp.float16)
-                for n in doc_fields
-                if isinstance(getattr(state, n), jax.Array)}
-        state = state._replace(**repl)
+        repl = {}
+        for n in doc_fields:
+            x = getattr(state, n)
+            if not (isinstance(x, jax.Array)
+                    and jnp.issubdtype(x.dtype, jnp.floating)):
+                continue
+            # range guard: a leaf with entries beyond f16 range (e.g.
+            # gamma rows of a >65k-token document — gamma scales with
+            # doc length) stays full precision; casting would write inf
+            # into the checkpoint.  NaN max also fails the compare and
+            # keeps the leaf uncompressed (restore is per-leaf
+            # dtype-agnostic, so a mixed snapshot round-trips fine).
+            if float(jnp.max(jnp.abs(x))) < 65504.0:
+                repl[n] = x.astype(jnp.float16)
+        if repl:
+            state = state._replace(**repl)
     elif compress is not None:
         raise ValueError(f"unknown checkpoint compression {compress!r}")
     rows = model._doc_rows()
@@ -253,7 +270,7 @@ class AsyncWriter:
             raise exc
 
 
-def _save_multihost(path: str, model) -> None:
+def _save_multihost(path: str, model, compress: str = None) -> None:
     """Directory checkpoint: each process writes its addressable shards.
 
     Per-doc leaves are stored as (doc-id, value) pairs — each process
@@ -268,6 +285,8 @@ def _save_multihost(path: str, model) -> None:
     pid, nproc = jax.process_index(), jax.process_count()
     fields = list(model.state._fields)
     doc_fields = set(getattr(model, "_per_doc_fields", ()))
+    if compress not in (None, "f16"):
+        raise ValueError(f"unknown checkpoint compression {compress!r}")
     row2doc = _row_to_doc(model)
     arrays = {}
     for i, name in enumerate(fields):
@@ -279,12 +298,19 @@ def _save_multihost(path: str, model) -> None:
                 keep = ids >= 0
                 ids_parts.append(ids[keep])
                 val_parts.append(block[keep])
+            vals = (np.concatenate(val_parts) if val_parts
+                    else np.zeros((0,) + tuple(x.shape[1:]), x.dtype))
+            if (compress == "f16"
+                    and np.issubdtype(vals.dtype, np.floating)
+                    and vals.size
+                    and np.max(np.abs(vals)) < 65504.0):
+                # same per-leaf range guard as snapshot(): out-of-range
+                # (or NaN-containing) leaves stay full precision
+                vals = vals.astype(np.float16)
             arrays[f"leaf_{i}_ids"] = (
                 np.concatenate(ids_parts) if ids_parts
                 else np.zeros((0,), np.int64))
-            arrays[f"leaf_{i}"] = (
-                np.concatenate(val_parts) if val_parts
-                else np.zeros((0,) + tuple(x.shape[1:]), x.dtype))
+            arrays[f"leaf_{i}"] = vals
         elif pid == 0:
             arrays[f"leaf_{i}"] = _fetch_replicated(x)
     os.makedirs(path, exist_ok=True)

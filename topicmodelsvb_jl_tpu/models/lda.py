@@ -377,8 +377,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     """
     V = packed.V
     if gather_direct is None:
-        # table bytes = V · 2Kp · 4; switch once it would exceed ~6 GB
-        gather_direct = V * 2 * _round_up_128(K) * 4 > 6e9
+        # table bytes = V · 2Kp · itemsize (f64 states build an f64
+        # table); switch once it would exceed ~6 GB
+        itemsize = np.dtype(packed.counts.dtype).itemsize
+        gather_direct = V * 2 * _round_up_128(K) * itemsize > 6e9
     seg_starts = seg_loc_starts(packed)
     if use_pallas is None:
         # no small-K gate here (unlike make_step's K >= 64): the ELBO
