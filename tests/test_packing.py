@@ -138,3 +138,57 @@ def test_pack_corpus_native_fastpath_matches_loop():
     np.testing.assert_array_equal(f32.doc_mask, f64.doc_mask.astype(np.float32))
     assert (f32.M, f32.V, f32.L, f32.max_count) == \
         (f64.M, f64.V, f64.L, f64.max_count)
+
+
+def test_trim_packed_rekeys_and_roundtrips(tmp_path):
+    """trim_packed (the PackedCorpus analogue of fixcorp trim=True,
+    Corpus.jl:641-652; a Corpus can never hold sparse ids — check_corp
+    enforces condensed keys — so the packed level is where trimming is
+    needed): re-keys the used ids densely, maps back via used_ids, and
+    training on the trimmed corpus equals training on the equivalent
+    condensed packing."""
+    import dataclasses
+
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.ops.packing import (load_packed, save_packed,
+                                                  trim_packed)
+
+    corp = tm.synth_corpus(M=80, V=25, K=3, seed=3, mean_terms=12)
+    dense = pack_corpus(corp, pad_multiple=8, docs_multiple=8)
+    live = dense.counts > 0
+    assert len(np.unique(dense.terms[live])) == 25  # every id used (seed scanned)
+    # sparsify the id space 7x: the scenario trim_packed exists for
+    sparse_terms = np.where(live, dense.terms * 7 + 3, 0).astype(np.int32)
+    sparse = dataclasses.replace(dense, terms=sparse_terms, V=25 * 7 + 3)
+
+    trimmed, used = trim_packed(sparse)
+    assert trimmed.V == len(used) == 25 < sparse.V
+    # new → old round-trip on real slots; padding stays id 0 / count 0
+    np.testing.assert_array_equal(used[trimmed.terms[live]],
+                                  sparse.terms[live])
+    assert (trimmed.terms[~live] == 0).all()
+    # dense ascending re-key ⇒ identical to the condensed packing
+    np.testing.assert_array_equal(trimmed.terms, dense.terms)
+    np.testing.assert_array_equal(trimmed.counts, dense.counts)
+
+    # memmapped corpora trim without full materialization, in row
+    # chunks smaller than the corpus
+    save_packed(str(tmp_path / "p"), sparse)
+    disk = load_packed(str(tmp_path / "p"))
+    assert isinstance(disk.terms, np.memmap)
+    t2, used2 = trim_packed(disk, chunk_rows=8)
+    np.testing.assert_array_equal(t2.terms, trimmed.terms)
+    np.testing.assert_array_equal(used2, used)
+
+    # training on trimmed == training on the condensed packing (same
+    # arrays in, same trajectory out), and beta expands back
+    rt = tm.RuntimeConfig(chunk_docs=8, pad_multiple=8)
+    mt = tm.LDA(trimmed, 3, seed=1, runtime=rt)
+    md = tm.LDA(dense, 3, seed=1, runtime=rt)
+    mt.train(iter=3, checkelbo=1, tol=0.0, printelbo=False)
+    md.train(iter=3, checkelbo=1, tol=0.0, printelbo=False)
+    np.testing.assert_array_equal(np.asarray(mt.beta), np.asarray(md.beta))
+    np.testing.assert_allclose(mt.elbo, md.elbo, rtol=0)
+    beta_full = np.zeros((3, sparse.V))
+    beta_full[:, used] = mt.beta
+    np.testing.assert_allclose(beta_full[:, used].sum(1), 1.0, rtol=1e-5)

@@ -347,6 +347,50 @@ _PACKED_ARRAYS = ("terms", "counts", "doc_mask", "N", "C",
 _PACKED_SCALARS = ("M", "V", "L", "U", "Rmax", "max_count", "max_rating")
 
 
+def trim_packed(packed: PackedCorpus,
+                chunk_rows: int = 65536) -> tuple:
+    """Drop vocabulary ids no document uses: the PackedCorpus analogue
+    of ``fixcorp(corp, trim=True)`` (reference trimcorp!,
+    Corpus.jl:520-529) for corpora that never existed as a ``Corpus`` —
+    synthesized or :func:`load_packed` inputs, the streaming layer's
+    domain.  Per-iteration cost is O(V·K) in the M-step normalize and
+    the ELBO table builds, so a corpus whose id space is sparse pays
+    every sweep for vocabulary it never touches; trimming is the root
+    fix (RESULTS.md "Large-V", "where the step's V-dependence lives").
+
+    Returns ``(trimmed, used_ids)``: ``trimmed.terms`` are re-keyed to
+    ``[0, len(used_ids))`` densely, and ``used_ids`` maps new → old id,
+    so a trained topic matrix expands back with
+    ``beta_full[:, used_ids] = beta_trim``.  Scans ``terms`` in row
+    chunks, so memmapped corpora trim without loading fully into RAM
+    (the output arrays are materialized — write them back out with
+    :func:`save_packed` for a trimmed on-disk corpus).  Padding slots
+    (count 0) stay id 0 / count 0; bucketed layouts pass through
+    unchanged (trimming only re-keys the term values).
+    """
+    V = packed.V
+    present = np.zeros(V, dtype=bool)
+    for lo in range(0, packed.M_pad, chunk_rows):
+        t = np.asarray(packed.terms[lo:lo + chunk_rows])
+        c = np.asarray(packed.counts[lo:lo + chunk_rows])
+        present[t[c > 0]] = True
+    used_ids = np.flatnonzero(present).astype(np.int64)
+    remap = np.zeros(V, dtype=np.int32)        # padding id 0 → 0
+    remap[used_ids] = np.arange(len(used_ids), dtype=np.int32)
+    new_terms = np.empty_like(np.asarray(packed.terms))
+    for lo in range(0, packed.M_pad, chunk_rows):
+        t = np.asarray(packed.terms[lo:lo + chunk_rows])
+        c = np.asarray(packed.counts[lo:lo + chunk_rows])
+        nt = remap[t]
+        nt[c <= 0] = 0
+        new_terms[lo:lo + chunk_rows] = nt
+    import dataclasses
+
+    trimmed = dataclasses.replace(packed, terms=new_terms,
+                                  V=int(len(used_ids)))
+    return trimmed, used_ids
+
+
 def save_packed(path: str, packed: PackedCorpus) -> None:
     """Write a dense PackedCorpus as ``<path>/meta.json`` + one ``.npy``
     per array (uncompressed → mmap-loadable)."""
