@@ -219,3 +219,24 @@ def test_cli_packed_dir_streaming_from_disk(tmp_path):
     ])
     assert s["mode"] == "streaming" and np.isfinite(s["final_elbo"])
     assert (tmp_path / "state" / "gamma.npy").exists()
+
+
+def test_cli_round5_knobs(tmp_path):
+    """--checkpoint-f16 and --elogtheta-f64 reach RuntimeConfig and
+    produce a working run (the §5.6 bar: every knob on the CLI)."""
+    ck = str(tmp_path / "ck")
+    s = run([
+        "--model", "lda", "--corpus", "synth", "--synth-m", "32",
+        "--synth-v", "30", "--k", "3", "--iter", "3", "--checkelbo", "1",
+        "--chunk-docs", "8", "--pad-multiple", "8", "--quiet", "--seed", "3",
+        "--checkpoint-every", "2", "--checkpoint-dir", ck,
+        "--checkpoint-f16", "--elogtheta-f64",
+    ])
+    assert np.isfinite(s["final_elbo"])
+    snaps = sorted(os.listdir(ck))
+    assert snaps
+    with np.load(os.path.join(ck, snaps[-1]), allow_pickle=False) as z:
+        metas = json.loads(bytes(z["__meta__"]))
+        assert metas["compress"] == "f16"
+        assert any(z[k].dtype == np.float16 for k in z.files
+                   if k.startswith("leaf_"))

@@ -97,6 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--profile-dir", default=None)
     r.add_argument("--checkpoint-every", type=int, default=None)
     r.add_argument("--checkpoint-dir", default=None)
+    r.add_argument("--checkpoint-f16", action="store_true",
+                   help="snapshot per-doc state at f16 (halves the "
+                        "async checkpoint's D2H bytes; resume "
+                        "re-converges rather than bit-reproducing)")
+    r.add_argument("--elogtheta-f64", action="store_true",
+                   help="lda/flda: run the per-doc gamma->Elogtheta "
+                        "digamma channel in f64 (13-31x smaller noise "
+                        "at the tol=1.0 stop, ~3x step cost; forces "
+                        "--dtype float32 state with x64 enabled)")
     r.add_argument("--n-devices", type=int, default=None,
                    help="limit the mesh to this many devices")
 
@@ -221,6 +230,13 @@ def run(argv=None) -> dict:
             rt_kw[field] = v
     if args.no_pallas:
         rt_kw["use_pallas"] = False
+    if args.checkpoint_f16:
+        rt_kw["checkpoint_f16"] = True
+    if args.elogtheta_f64:
+        import jax as _jax
+
+        _jax.config.update("jax_enable_x64", True)
+        rt_kw["elogtheta_f64"] = True
     runtime = RuntimeConfig(**rt_kw)
     # Multi-controller streaming needs a LOCAL mesh: each process sweeps
     # its own corpus shard on its own devices (streaming._init_common
