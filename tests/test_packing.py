@@ -1,6 +1,7 @@
 """Packing tests: padded slots must be exactly invisible to statistics."""
 
 import numpy as np
+import pytest
 
 from topicmodelsvb_jl_tpu.datasets import synth_corpus
 from topicmodelsvb_jl_tpu.ops.packing import pack_corpus
@@ -192,3 +193,39 @@ def test_trim_packed_rekeys_and_roundtrips(tmp_path):
     beta_full = np.zeros((3, sparse.V))
     beta_full[:, used] = mt.beta
     np.testing.assert_allclose(beta_full[:, used].sum(1), 1.0, rtol=1e-5)
+
+
+def test_trim_packed_users_axis():
+    """users=True re-keys the reader axis too (CTPF's [K, U] state;
+    reference trimcorp! users half, Corpus.jl:647-651) and CTPF trains
+    on the trimmed corpus with recs expanding back."""
+    import dataclasses
+
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.ops.packing import trim_packed
+
+    corp = tm.synth_corpus(M=48, V=30, K=3, U=16, seed=6, mean_readers=3)
+    dense = pack_corpus(corp, pad_multiple=8, docs_multiple=8,
+                        with_readers=True)
+    rlive = dense.ratings > 0
+    sparse = dataclasses.replace(
+        dense,
+        readers=np.where(rlive, dense.readers * 9 + 2, 0).astype(np.int32),
+        U=16 * 9 + 2)
+    trimmed, used_v, used_u = trim_packed(sparse, users=True)
+    assert trimmed.U == len(used_u) <= 16
+    np.testing.assert_array_equal(used_u[trimmed.readers[rlive]],
+                                  sparse.readers[rlive])
+    assert (trimmed.readers[~rlive] == 0).all()
+    # terms untouched by construction here (already dense)
+    assert trimmed.V == dense.V
+
+    m = tm.CTPF(trimmed, 3, seed=1,
+                runtime=tm.RuntimeConfig(chunk_docs=8, pad_multiple=8))
+    m.train(iter=3, checkelbo=1, printelbo=False)
+    assert np.isfinite(m.elbo)
+    assert len(m.urecs[0]) > 0
+
+    with pytest.raises(ValueError):
+        trim_packed(pack_corpus(corp, pad_multiple=8, docs_multiple=8),
+                    users=True)

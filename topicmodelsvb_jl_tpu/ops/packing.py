@@ -347,8 +347,8 @@ _PACKED_ARRAYS = ("terms", "counts", "doc_mask", "N", "C",
 _PACKED_SCALARS = ("M", "V", "L", "U", "Rmax", "max_count", "max_rating")
 
 
-def trim_packed(packed: PackedCorpus,
-                chunk_rows: int = 65536) -> tuple:
+def trim_packed(packed: PackedCorpus, chunk_rows: int = 65536,
+                users: bool = False) -> tuple:
     """Drop vocabulary ids no document uses: the PackedCorpus analogue
     of ``fixcorp(corp, trim=True)`` (reference trimcorp!,
     Corpus.jl:520-529) for corpora that never existed as a ``Corpus`` —
@@ -367,28 +367,43 @@ def trim_packed(packed: PackedCorpus,
     :func:`save_packed` for a trimmed on-disk corpus).  Padding slots
     (count 0) stay id 0 / count 0; bucketed layouts pass through
     unchanged (trimming only re-keys the term values).
+
+    ``users=True`` additionally trims the reader/user axis the same way
+    (CTPF's he is [K, U] — the same sparse-id cost story,
+    reference trimcorp! users half, Corpus.jl:647-651) and returns
+    ``(trimmed, used_ids, used_users)``.
     """
-    V = packed.V
-    present = np.zeros(V, dtype=bool)
-    for lo in range(0, packed.M_pad, chunk_rows):
-        t = np.asarray(packed.terms[lo:lo + chunk_rows])
-        c = np.asarray(packed.counts[lo:lo + chunk_rows])
-        present[t[c > 0]] = True
-    used_ids = np.flatnonzero(present).astype(np.int64)
-    remap = np.zeros(V, dtype=np.int32)        # padding id 0 → 0
-    remap[used_ids] = np.arange(len(used_ids), dtype=np.int32)
-    new_terms = np.empty_like(np.asarray(packed.terms))
-    for lo in range(0, packed.M_pad, chunk_rows):
-        t = np.asarray(packed.terms[lo:lo + chunk_rows])
-        c = np.asarray(packed.counts[lo:lo + chunk_rows])
-        nt = remap[t]
-        nt[c <= 0] = 0
-        new_terms[lo:lo + chunk_rows] = nt
+    def trim_axis(ids, weights, n):
+        present = np.zeros(n, dtype=bool)
+        for lo in range(0, packed.M_pad, chunk_rows):
+            i = np.asarray(ids[lo:lo + chunk_rows])
+            w = np.asarray(weights[lo:lo + chunk_rows])
+            present[i[w > 0]] = True
+        used = np.flatnonzero(present).astype(np.int64)
+        remap = np.zeros(n, dtype=np.int32)    # padding id 0 → 0
+        remap[used] = np.arange(len(used), dtype=np.int32)
+        out = np.empty_like(np.asarray(ids))
+        for lo in range(0, packed.M_pad, chunk_rows):
+            i = np.asarray(ids[lo:lo + chunk_rows])
+            w = np.asarray(weights[lo:lo + chunk_rows])
+            ni = remap[i]
+            ni[w <= 0] = 0
+            out[lo:lo + chunk_rows] = ni
+        return out, used
+
     import dataclasses
 
-    trimmed = dataclasses.replace(packed, terms=new_terms,
-                                  V=int(len(used_ids)))
-    return trimmed, used_ids
+    new_terms, used_ids = trim_axis(packed.terms, packed.counts, packed.V)
+    repl = dict(terms=new_terms, V=int(len(used_ids)))
+    if users:
+        if packed.readers is None:
+            raise ValueError("users=True needs a packed corpus with "
+                             "reader arrays (pack_corpus with_readers)")
+        new_readers, used_users = trim_axis(
+            packed.readers, packed.ratings, packed.U)
+        repl.update(readers=new_readers, U=int(len(used_users)))
+        return (dataclasses.replace(packed, **repl), used_ids, used_users)
+    return dataclasses.replace(packed, **repl), used_ids
 
 
 def save_packed(path: str, packed: PackedCorpus) -> None:
