@@ -240,3 +240,30 @@ def test_cli_round5_knobs(tmp_path):
         assert metas["compress"] == "f16"
         assert any(z[k].dtype == np.float16 for k in z.files
                    if k.startswith("leaf_"))
+
+
+def test_cli_trim_packed(tmp_path):
+    """--trim-packed with --packed-dir: trains on the touched-vocab
+    re-key and saves the new->old map next to the state."""
+    import dataclasses
+
+    import topicmodelsvb_jl_tpu as tm
+    from topicmodelsvb_jl_tpu.ops.packing import pack_corpus, save_packed
+
+    corp = tm.synth_corpus(M=32, V=30, K=3, seed=3, mean_terms=10)
+    dense = pack_corpus(corp, pad_multiple=8, docs_multiple=16)
+    live = dense.counts > 0
+    sparse = dataclasses.replace(
+        dense, terms=np.where(live, dense.terms * 5 + 1, 0).astype(np.int32),
+        V=30 * 5 + 1)
+    pdir, sdir = str(tmp_path / "p"), str(tmp_path / "s")
+    save_packed(pdir, sparse)
+    s = run([
+        "--model", "lda", "--packed-dir", pdir, "--trim-packed",
+        "--k", "3", "--iter", "2", "--checkelbo", "1", "--quiet",
+        "--chunk-docs", "8", "--streaming", "--batch-docs", "16",
+        "--state-dir", sdir, "--json",
+    ])
+    assert np.isfinite(s["final_elbo"])
+    used = np.load(os.path.join(sdir, "vocab_ids.npy"))
+    assert s["V"] == len(used) < sparse.V

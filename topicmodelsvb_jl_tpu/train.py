@@ -22,6 +22,7 @@ otherwise after the reference-format ∆elbo prints).
 from __future__ import annotations
 
 import argparse
+import os
 
 import json
 import math
@@ -51,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory written by ops.packing.save_packed; "
                         "loaded as read-only memmaps (corpus larger than "
                         "RAM streams from disk)")
+    c.add_argument("--trim-packed", action="store_true",
+                   help="with --packed-dir: drop vocabulary ids no "
+                        "document uses before training (fixcorp trim "
+                        "for packed corpora; the new->old id map is "
+                        "saved as <checkpoint-dir|state-dir>/"
+                        "vocab_ids.npy when either is set)")
     c.add_argument("--docfile", default="", help="readcorp docfile")
     c.add_argument("--vocabfile", default="")
     c.add_argument("--userfile", default="")
@@ -147,9 +154,21 @@ def _build_corpus(args):
     from . import datasets
 
     if args.packed_dir:
-        from .ops.packing import load_packed
+        from .ops.packing import load_packed, trim_packed
 
-        return load_packed(args.packed_dir)
+        packed = load_packed(args.packed_dir)
+        if args.trim_packed:
+            import numpy as np
+
+            V0 = packed.V
+            packed, used = trim_packed(packed)
+            if not args.json:
+                print(f"trim_packed: V {V0} -> {packed.V}")
+            out = args.checkpoint_dir or args.state_dir
+            if out:
+                os.makedirs(out, exist_ok=True)
+                np.save(os.path.join(out, "vocab_ids.npy"), used)
+        return packed
     if args.corpus == "nsf-scale":
         chunk = args.chunk_docs or 1024
         seed = 7 if args.seed is None else args.seed   # explicit 0 honoured
