@@ -277,7 +277,13 @@ else:
         return out
 
 
-    for V in (250_000, 1_000_000, 2_000_000, 4_000_000):
+    # --v N runs a single vocabulary size (e.g. the V=6M ceiling row
+    # alone — the full grid takes ~15 min of compiles)
+    if "--v" in sys.argv:
+        grid = (int(sys.argv[sys.argv.index("--v") + 1]),)
+    else:
+        grid = (250_000, 1_000_000, 2_000_000, 4_000_000, 6_000_000)
+    for V in grid:
         try:
             lda_at_V(V)
         except Exception as e:
