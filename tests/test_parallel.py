@@ -86,6 +86,86 @@ def test_vocab_axis_tp_matches_single_device():
     np.testing.assert_allclose(e, ref_elbo, rtol=1e-9)
 
 
+def test_vocab_routed_tp_matches_single_device():
+    """Routed TP: tokens routed to the vocab shard that owns them — beta
+    is never all-gathered, gathers/scatters/normalize are O(V/n) per
+    device — must reproduce the single-device trajectory + ELBO."""
+    from topicmodelsvb_jl_tpu.ops.packing import route_packed
+
+    K = 6
+    packed = _packed()
+    ref, ref_elbo = _reference_run(packed, K)
+
+    routed = route_packed(packed, n_shards=4, pad_multiple=8)
+    # every real slot must survive routing with its count
+    assert routed.counts.sum() == packed.counts.sum()
+    assert routed.Vs * routed.n_shards == packed.V
+    # routed ids are shard-local
+    assert routed.terms.max() < routed.Vs
+
+    mesh = make_mesh(axis_names=("data", "vocab"), shape=(2, 4))
+    spec = lda_mod.partition_spec(data_axis="data", vocab_axis="vocab")
+    step_l = lda_mod.make_step(
+        routed, K, viter=5, vtol=1.0 / K**2, niter=100, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name="data", use_pallas=False,
+        vocab_axis="vocab", vocab_routed=True)
+    elbo_l = lda_mod.make_elbo(
+        routed, K, chunk_docs=16, axis_name="data",
+        vocab_axis="vocab", vocab_routed=True)
+    tokspec = P("data", "vocab")   # docs over data, shard blocks over vocab
+    dspec = P("data")
+    step = jax.jit(shard_map(
+        step_l, mesh=mesh,
+        in_specs=(spec, tokspec, tokspec, dspec, P()),
+        out_specs=spec, check_vma=False))
+    elbo_fn = jax.jit(shard_map(
+        elbo_l, mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
+        out_specs=P(), check_vma=False))
+
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float64)
+    data = (jnp.asarray(routed.terms), jnp.asarray(routed.counts),
+            jnp.asarray(routed.doc_mask),
+            jnp.asarray(float(packed.M), jnp.float64))
+    for _ in range(3):
+        state = step(state, *data)
+    np.testing.assert_allclose(np.asarray(state.beta), np.asarray(ref.beta),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(state.gamma), np.asarray(ref.gamma),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.alpha), np.asarray(ref.alpha),
+                               rtol=1e-7)
+    e = elbo_value(elbo_fn(state, *data[:3]))
+    np.testing.assert_allclose(e, ref_elbo, rtol=1e-9)
+
+
+def test_route_packed_layout():
+    """route_packed: block ownership, local ids, per-doc mass preserved."""
+    from topicmodelsvb_jl_tpu.ops.packing import route_packed
+
+    packed = _packed(M=16, V=64, L=24, seed=7)
+    routed = route_packed(packed, n_shards=4, pad_multiple=8)
+    S, Ls, Vs = routed.n_shards, routed.Ls, routed.Vs
+    assert routed.terms.shape == (packed.M_pad, S * Ls)
+    for m in range(packed.M):
+        # reconstruct this doc's (global id → count) bag from each layout
+        orig = {}
+        for t, c in zip(packed.terms[m], packed.counts[m]):
+            if c > 0:
+                orig[int(t)] = orig.get(int(t), 0.0) + float(c)
+        got = {}
+        for s in range(S):
+            blk = slice(s * Ls, (s + 1) * Ls)
+            for t, c in zip(routed.terms[m, blk], routed.counts[m, blk]):
+                if c > 0:
+                    g = int(t) + s * Vs     # local → global
+                    assert s * Vs <= g < (s + 1) * Vs
+                    got[g] = got.get(g, 0.0) + float(c)
+        assert got == orig
+    assert 0.0 < routed.fill <= 1.0
+    with np.testing.assert_raises(ValueError):
+        route_packed(packed, n_shards=5)   # 64 % 5 != 0
+
+
 def test_seq_axis_sp_matches_single_device():
     """Token axis of every doc sharded over a seq axis (SP analogue)."""
     K = 6

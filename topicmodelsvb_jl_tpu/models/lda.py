@@ -172,7 +172,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
               chunk_docs: int, axis_name=None,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
               vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
-              elogtheta_f64: bool = False):
+              elogtheta_f64: bool = False, vocab_routed: bool = False):
     """Build the jittable outer-iteration step (one full CAVI sweep).
 
     Local docs are scanned in chunks of ``chunk_docs``; beta_temp /
@@ -191,6 +191,19 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     (the sequence-parallel analogue for very long documents, SURVEY
     §5.7b); the per-doc gamma reduction becomes a per-viter psum.
     Incompatible with bucketed packing and the Pallas body.
+
+    ``vocab_routed`` is the TP mode that divides per-device *work*, not
+    just storage: ``packed`` must be an
+    :class:`~..ops.packing.RoutedCorpus` (token slots grouped by the
+    contiguous vocab block each device owns), ``terms``/``counts``
+    arrive sharded ``P(data_axis, vocab_axis)``, and each device
+    gathers from and scatters into only its LOCAL ``[V/n, K]`` beta
+    shard — beta is never all-gathered, the stat scatter and the M-step
+    normalize are O(V/n) per device, and the only added communication
+    is the seq-style per-viter ``psum`` of the [B, K] doc stat over the
+    vocab axis plus one [K] row-sum psum in the M-step.  Pass data
+    axes only in ``axis_name`` (docs are replicated across the vocab
+    axis; any ``vocab_axis`` entry is ignored for the doc-level stats).
 
     ``use_pallas`` selects the fused Pallas E-step kernel
     (kernels/lda_estep.py) over the pure-XLA fixpoint; ``None`` means
@@ -212,10 +225,26 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
     if seq_axis is not None:
         use_pallas = False
         assert seg_starts is None, "token-axis sharding requires dense packing"
+    if vocab_routed:
+        if vocab_axis is None:
+            raise ValueError("vocab_routed requires a vocab_axis")
+        if seq_axis is not None:
+            raise ValueError("vocab_routed and seq_axis are exclusive "
+                             "(routing already splits the token axis)")
+        use_pallas = False
+        assert seg_starts is None, "routed corpora are dense layouts"
+    # vocab extent of the local gather table / stat scatter: the shard
+    # block under routing, the full vocabulary otherwise
+    V_local = packed.Vs if vocab_routed else V
+    # the per-viter [B, K] doc-stat reduction axis: the vocab axis under
+    # routing (each shard holds only its tokens), seq_axis under SP
+    tok_axis = vocab_axis if vocab_routed else seq_axis
 
     def step(state: LDAState, terms, counts, doc_mask, M_total):
         dtype = state.beta.dtype
-        if vocab_axis is not None:
+        if vocab_routed:
+            beta_full = state.beta   # the LOCAL [K, V/n] shard, never gathered
+        elif vocab_axis is not None:
             beta_full = jax.lax.all_gather(
                 state.beta, vocab_axis, axis=1, tiled=True)
         else:
@@ -253,8 +282,8 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             beta_temp, El_sum = carry
             t, c, dm, g, el, elo = xs
             g2, el2, elo2, bt, es = _estep_chunk(
-                logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol, V,
-                seq_axis=seq_axis, beta_acc=beta_temp,
+                logbetaT, state.alpha, t, c, dm, g, el, elo, viter, vtol,
+                V_local, seq_axis=tok_axis, beta_acc=beta_temp,
                 elogtheta_f64=elogtheta_f64,
             )
             return (bt, kbn_add(El_sum, es)), (g2, el2, elo2)
@@ -286,7 +315,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         # Newton amplifies it by ~alpha^2 and the bound re-multiplies by
         # El_sum, a ±1e4 ELBO wobble at NSF scale; frozen-alpha A/B cut
         # the wobble 2.7x (RESULTS.md "tol=1.0 semantics", round 4).
-        carry0 = (jnp.zeros((V, K), dtype), kbn_zeros((K,), dtype))
+        carry0 = (jnp.zeros((V_local, K), dtype), kbn_zeros((K,), dtype))
         if seg_starts is None:
             (beta_temp, El_sum), gamma, El, El_old = sweep(
                 terms, counts, doc_mask,
@@ -314,6 +343,12 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
         stat_axes = axis_name if axis_name is not None else ()
         if isinstance(stat_axes, str):
             stat_axes = (stat_axes,)
+        if vocab_routed:
+            # docs live on the data axes only; El/El_sum are replicated
+            # across the vocab axis (the per-viter psum makes every
+            # replica identical), so doc-level stats reduce over the
+            # data axes alone
+            stat_axes = tuple(ax for ax in stat_axes if ax != vocab_axis)
         if seq_axis is not None:
             # token-local scatters: sum token shards too (El_sum is
             # doc-level and identical across seq shards — data axes only)
@@ -324,7 +359,16 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
             El_sum = kbn_psum(El_sum, stat_axes)
 
         # update_beta! reset (LDA.jl:121-125)
-        if vocab_axis is not None:
+        if vocab_routed:
+            # beta_temp is vocab-LOCAL — every term id lives on exactly
+            # one shard, so there is nothing to reduce over the vocab
+            # axis except the [K] per-topic row sums that make the rows
+            # stochastic over the FULL vocabulary
+            if stat_axes:
+                beta_temp = jax.lax.psum(beta_temp, stat_axes)
+            row_sum = jax.lax.psum(jnp.sum(beta_temp, axis=0), vocab_axis)
+            beta_new = beta_temp.T / row_sum[:, None]
+        elif vocab_axis is not None:
             from ..parallel.shard import tp_normalize_rows
 
             bt_local, row_sum = tp_normalize_rows(
@@ -351,7 +395,7 @@ def make_step(packed, K: int, viter: int, vtol: float, niter: int, ntol: float,
 def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
               vocab_axis: Optional[str] = None, seq_axis: Optional[str] = None,
               use_pallas: Optional[bool] = None, pallas_interpret: bool = False,
-              gather_direct: Optional[bool] = None):
+              gather_direct: Optional[bool] = None, vocab_routed: bool = False):
     """Build the jittable full-corpus ELBO (reference LDA.jl:50-93).
 
     phi is recomputed from (beta_old, Elogtheta_old) exactly as
@@ -374,13 +418,26 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
     keeps it until the table alone would crowd HBM (> ~6 GB); past
     that, gather_direct extends the single-chip vocabulary ceiling at a
     measured ~20-30% ELBO-pass premium.
+
+    ``vocab_routed`` (with a :class:`~..ops.packing.RoutedCorpus` and
+    token data sharded ``P(data, vocab)``): every table is built from
+    the local [V/n, K] beta shard — nothing is all-gathered — and the
+    token-level accumulator (including Elogpz, which is linear in the
+    per-shard partial doc stat) psums over data axes + the vocab axis
+    while the vocab-replicated doc-level terms psum over data axes only.
     """
     V = packed.V
+    if vocab_routed and vocab_axis is None:
+        raise ValueError("vocab_routed requires a vocab_axis")
+    if vocab_routed and seq_axis is not None:
+        raise ValueError("vocab_routed and seq_axis are exclusive")
+    # under routing every table is built from the LOCAL [V/n, K] shard
+    V_tab = packed.Vs if vocab_routed else V
     if gather_direct is None:
         # table bytes = V · 2Kp · itemsize (f64 states build an f64
         # table); switch once it would exceed ~6 GB
         itemsize = np.dtype(packed.counts.dtype).itemsize
-        gather_direct = V * 2 * _round_up_128(K) * itemsize > 6e9
+        gather_direct = V_tab * 2 * _round_up_128(K) * itemsize > 6e9
     seg_starts = seg_loc_starts(packed)
     if use_pallas is None:
         # no small-K gate here (unlike make_step's K >= 64): the ELBO
@@ -394,7 +451,10 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
 
     def elbo(state: LDAState, terms, counts, doc_mask):
         eps = jnp.asarray(EPSILON, state.beta.dtype)
-        if vocab_axis is not None:
+        if vocab_routed:
+            # local shards: every gather/table stays [V/n, ·] per device
+            beta_full, beta_old_full = state.beta, state.beta_old
+        elif vocab_axis is not None:
             beta_full = jax.lax.all_gather(state.beta, vocab_axis, axis=1, tiled=True)
             beta_old_full = jax.lax.all_gather(state.beta_old, vocab_axis, axis=1, tiled=True)
         else:
@@ -469,9 +529,17 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
             # −Elogqz = +Σ c·entropy(Categorical(phi)) (LDA.jl:76-80)
             e_qz = jnp.sum(categorical_entropy(p) * c, axis=-1)
             # doc-level terms are replicated across token shards; token-
-            # level terms are shard-local — kept in separate accumulators
-            acc_doc = kbn_add(acc_doc, jnp.sum(dm * (e_ptheta + e_pz + e_qtheta)))
-            acc_tok = kbn_add(acc_tok, jnp.sum(dm * (e_pw + e_qz)))
+            # level terms are shard-local — kept in separate accumulators.
+            # Under routing e_pz rides the token accumulator instead of a
+            # per-chunk pc psum: dot(pc, El) is linear in pc and El is
+            # replicated, so the shard partial sums add up exactly.
+            if vocab_routed:
+                acc_doc = kbn_add(acc_doc, jnp.sum(dm * (e_ptheta + e_qtheta)))
+                acc_tok = kbn_add(acc_tok, jnp.sum(dm * (e_pz + e_pw + e_qz)))
+            else:
+                acc_doc = kbn_add(
+                    acc_doc, jnp.sum(dm * (e_ptheta + e_pz + e_qtheta)))
+                acc_tok = kbn_add(acc_tok, jnp.sum(dm * (e_pw + e_qz)))
             return (acc_doc, acc_tok), None
 
         def sweep(t_arr, c_arr, dm_arr, g_arr, el_arr, elo_arr, acc):
@@ -514,6 +582,13 @@ def make_elbo(packed, K: int, chunk_docs: int, axis_name=None,
         axes = axis_name if axis_name is not None else ()
         if isinstance(axes, str):
             axes = (axes,)
+        if vocab_routed:
+            # token terms sum over data axes AND the vocab shards; doc
+            # terms are vocab-replicated — data axes only
+            data_axes = tuple(ax for ax in axes if ax != vocab_axis)
+            total_tok = kbn_psum(total_tok, data_axes + (vocab_axis,))
+            total_doc = kbn_psum(total_doc, data_axes)
+            return kbn_pack(kbn_merge(total_doc, total_tok))
         if seq_axis is not None:
             total_tok = kbn_psum(total_tok, axes + (seq_axis,))
             total_doc = kbn_psum(total_doc, axes)
