@@ -30,7 +30,7 @@ from .evaluate import (
     recall_at_k,
     topic_coherence,
 )
-from .ops.packing import load_packed, save_packed, trim_packed
+from .ops.packing import load_packed, route_packed, save_packed, trim_packed
 from .streaming import (
     StreamingCTM, StreamingCTPF, StreamingDTM, StreamingFCTM, StreamingFLDA,
     StreamingHMTM, StreamingLDA, slices_from_stamps,
@@ -52,7 +52,7 @@ __all__ = [
     "StreamingLDA", "StreamingFLDA", "StreamingCTM", "StreamingFCTM",
     "StreamingCTPF", "StreamingHMTM", "StreamingDTM", "slices_from_stamps",
     "load_streaming_checkpoint", "save_packed", "load_packed",
-    "trim_packed",
+    "trim_packed", "route_packed",
     "perplexity", "topic_coherence", "holdout_readers",
     "heldout_reader_rank", "ranked_users", "recall_at_k",
     "check_model",
