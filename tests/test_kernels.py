@@ -165,6 +165,47 @@ def test_alog_bits_matches_log():
     assert rel.max() < 2.0 * eps32
 
 
+def test_lda_elbo_kernel_matches_xla_routed():
+    """Routed vocab-TP ELBO: the fused kernel (local [V/n] tables, the
+    token accumulator carrying Elogpz by linearity) must agree with the
+    routed XLA pass — this is the production on-chip routed ELBO path."""
+    from jax.sharding import PartitionSpec as P
+
+    from topicmodelsvb_jl_tpu.ops.packing import route_packed
+    from topicmodelsvb_jl_tpu.parallel.mesh import make_mesh
+    from topicmodelsvb_jl_tpu.parallel.shard import shard_map
+
+    K = 16
+    packed = _small_packed()
+    routed = route_packed(packed, n_shards=4, pad_multiple=8)
+    state = lda_mod.init(jax.random.PRNGKey(0), packed, K, jnp.float32)
+    data = (
+        jnp.asarray(packed.terms), jnp.asarray(packed.counts),
+        jnp.asarray(packed.doc_mask),
+        jnp.asarray(float(packed.M), jnp.float32),
+    )
+    step = jax.jit(lda_mod.make_step(
+        packed, K, viter=6, vtol=1.0 / K**2, niter=50, ntol=1.0 / K**2,
+        chunk_docs=16, axis_name=None, use_pallas=False))
+    for _ in range(2):
+        state = step(state, *data)
+
+    mesh = make_mesh(axis_names=("data", "vocab"), shape=(2, 4))
+    spec = lda_mod.partition_spec(data_axis="data", vocab_axis="vocab")
+    tokspec, dspec = P("data", "vocab"), P("data")
+    mk = lambda **kw: jax.jit(shard_map(
+        lda_mod.make_elbo(routed, K, chunk_docs=16, axis_name="data",
+                          vocab_axis="vocab", vocab_routed=True, **kw),
+        mesh=mesh, in_specs=(spec, tokspec, tokspec, dspec),
+        out_specs=P(), check_vma=False))
+    rdata = (jnp.asarray(routed.terms), jnp.asarray(routed.counts),
+             jnp.asarray(routed.doc_mask))
+    a = elbo_value(mk(use_pallas=False)(state, *rdata))
+    b = elbo_value(mk(use_pallas=True, pallas_interpret=True)(
+        state, *rdata))
+    assert abs(a - b) / abs(a) < 1e-5, (a, b)
+
+
 @pytest.mark.parametrize("K", [7, 16])
 def test_lda_elbo_kernel_matches_xla(K):
     """The fused ELBO kernel's bound must agree with the XLA pass."""
